@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's four BigQuery analytics queries, re-expressed as
+  * DataFrame transforms over the clean sales table
+  * (composer/sales_etl_dag.py:74-84, 93-101; README.md:99-103, 142-147).
+  */
+object SalesQueries {
+
+  /** Data-quality gate (R9/R13, sales_etl_dag.py:74-84): global agg +
+    * post-agg filter (BQ's HAVING-without-GROUP-BY). Returns 1 row iff
+    * all three invariants hold — non-empty, id-unique, total_sale
+    * consistent — else 0 rows. */
+  def validateQuality(sales: DataFrame): DataFrame =
+    sales.agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col("id")).as("unique_ids"),
+      sum(when(col("total_sale") === col("price") * col("quantity"), 1)
+        .otherwise(0)).as("correct_totals"))
+      .filter(col("total_records") > 0 &&
+        col("unique_ids") === col("total_records") &&
+        col("correct_totals") === col("total_records"))
+
+  /** Daily summary report (R2, sales_etl_dag.py:93-101). */
+  def summaryReport(sales: DataFrame): DataFrame =
+    sales.agg(
+      count(lit(1)).as("total_sales"),
+      round(sum(col("total_sale")), 2).as("total_revenue"),
+      round(avg(col("total_sale")), 2).as("avg_sale_value"),
+      countDistinct(col("product")).as("unique_products"),
+      max(col("sale_date")).as("latest_sale_date"))
+
+  /** Revenue by product (R3/R12, README.md:99-103). */
+  def revenueByProduct(sales: DataFrame): DataFrame =
+    sales.groupBy(col("product"))
+      .agg(round(sum(col("total_sale")), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("product"))
+
+  /** Verification stats (R2/R4/R5/R6, README.md:142-147). */
+  def recordStats(sales: DataFrame): DataFrame =
+    sales.agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col("id")).as("unique_ids"),
+      round(sum(col("total_sale")), 2).as("revenue"))
+}
+
+/** E2 orchestration as a sequential driver program, replacing the
+  * Airflow DAG (composer/sales_etl_dag.py:42-106, O1–O4): input check →
+  * ETL → quality gate (throws, ≡ BigQueryCheckOperator failing the DAG)
+  * → summary report. */
+object SalesPipeline {
+  final case class Result(cleanRows: Long, errorRows: Long, report: Array[org.apache.spark.sql.Row])
+
+  def run(spark: SparkSession, input: String, outDir: String): Result = {
+    // O1: input-existence gate (GCSObjectExistenceSensor analog).
+    require(new java.io.File(input).exists(), s"input not found: $input")
+    // O2: the ETL job.
+    val (nClean, nErr) = graft.etl.SalesEtl.runPipeline(spark, input, outDir)
+    val clean = spark.read.parquet(s"$outDir/clean")
+    // O3: quality gate — abort on failure like BigQueryCheckOperator.
+    require(SalesQueries.validateQuality(clean).count() == 1,
+      "data quality check failed")
+    // O4: summary report.
+    Result(nClean, nErr, SalesQueries.summaryReport(clean).collect())
+  }
+}
