@@ -1,13 +1,52 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2 (or a §7
+  * scale extension); entries with SQL-expressible semantics carry a
+  * DuckDB oracle in `oracleSql` (same column names/aliases on both
+  * sides — the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
+  import graft.analytics.{Relational => R, EventOps => E}
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    R.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_global_stats"      -> (R.globalStats _),
+    "q02_revenue_by_flag"   -> (R.revenueByFlag _),
+    "q03_quality_gate"      -> (R.qualityGate _),
+    "q04_conditional_agg"   -> (R.conditionalAgg _),
+    "q05_csv_parse"         -> (R.csvParse _),
+    "q06_dedup_first_wins"  -> (R.dedupFirstWins _),
+    "q07_revenue_by_nation" -> (R.revenueByNation _),
+    "q08_topk_per_group"    -> (R.topOrdersPerPriority _),
+    "q09_running_window"    -> (R.runningCustomerSpend _),
+    "q10_setops"            -> (R.customerSetOps _),
+    "q11_rollup"            -> (R.rollupByFlagStatus _),
+    "q12_json_extract"      -> (E.jsonExtract _),
+    "q13_tumbling_window"   -> (E.tumblingCounts _),
+    "q14_sessionize"        -> (E.sessionize _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_global_stats"      -> R.globalStatsSql,
+    "q02_revenue_by_flag"   -> R.revenueByFlagSql,
+    "q03_quality_gate"      -> R.qualityGateSql,
+    "q04_conditional_agg"   -> R.conditionalAggSql,
+    "q05_csv_parse"         -> R.csvParseSql,
+    "q06_dedup_first_wins"  -> R.dedupFirstWinsSql,
+    "q07_revenue_by_nation" -> R.revenueByNationSql,
+    "q08_topk_per_group"    -> R.topOrdersPerPrioritySql,
+    "q09_running_window"    -> R.runningCustomerSpendSql,
+    "q10_setops"            -> R.customerSetOpsSql,
+    "q11_rollup"            -> R.rollupByFlagStatusSql,
+    "q12_json_extract"      -> E.jsonExtractSql,
+    "q13_tumbling_window"   -> E.tumblingCountsSql,
+    "q14_sessionize"        -> E.sessionizeSql
+  )
 }

@@ -1,0 +1,94 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Event-stream operators over the `events` table (SURVEY.md §7
+  * extensions; batch forms here so the DuckDB oracle can verify —
+  * graft.streaming.EventsStream carries the Structured Streaming
+  * equivalents with watermarks).
+  *
+  * NOTE on timestamps: events.ts is nanosecond-precision parquet; Spark
+  * truncates to microseconds while DuckDB keeps ns, so every emitted
+  * timestamp is date_trunc'd to seconds on both sides.
+  */
+object EventOps {
+
+  /** JSON column extraction + grouped aggregate (props is a JSON string;
+    * at scale prefer from_json with an explicit schema once, which this
+    * compiles to — no per-row schema inference). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").try_cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           count(col("k")).as("n_with_k"),
+           round(avg(col("k")), 2).as("avg_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Tumbling 1-hour event-time window aggregate. Spark's window()
+    * aligns to the epoch, so 1-hour tumbling window starts coincide with
+    * date_trunc('hour'). */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  val tumblingCountsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag to detect
+    * session starts, running sum to assign session ids, then per-session
+    * aggregate. Two window passes + one groupBy, all partitioned by
+    * user_id — a single shuffle lineage at scale. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           date_trunc("second", min(col("ts"))).as("session_start"),
+           date_trunc("second", max(col("ts"))).as("session_end"),
+           round(sum(col("value")), 2).as("sum_value"))
+
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       date_trunc('second', min(ts)) AS session_start,
+      |       date_trunc('second', max(ts)) AS session_end,
+      |       round(sum(value), 2) AS sum_value
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+}

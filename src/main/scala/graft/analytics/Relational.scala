@@ -1,0 +1,247 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Relational operator surface (SURVEY.md §2b, R1–R13) expressed over the
+  * driver's TPC-H-ish tables so the DuckDB oracle can verify each one.
+  *
+  * Scale notes apply throughout: aggregates are partial+final hash
+  * aggregates (map-side combine before the shuffle); joins broadcast the
+  * dimension side explicitly; window queries shuffle once on the
+  * partition key. All doubles emitted to the oracle are ROUND()ed to a
+  * fixed scale so Spark/DuckDB float summation-order differences cannot
+  * flip a hash compare.
+  */
+object Relational {
+
+  /** R2/R4/R5/R6/R10: global hash aggregate — COUNT(*), exact
+    * COUNT(DISTINCT), SUM, AVG, MAX (sales_etl_dag.py:93-101 shape). */
+  def globalStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      round(sum(col("l_extendedprice")), 2).as("sum_extprice"),
+      round(avg(col("l_quantity")), 2).as("avg_qty"),
+      max(col("l_shipdate")).as("max_shipdate"))
+
+  val globalStatsSql: String =
+    """SELECT count(*) AS total_rows,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       round(sum(l_extendedprice), 2) AS sum_extprice,
+      |       round(avg(l_quantity), 2) AS avg_qty,
+      |       max(l_shipdate) AS max_shipdate
+      |FROM lineitem""".stripMargin
+
+  /** R3/R12: grouped aggregate + ORDER BY revenue DESC
+    * (README.md:99-103 shape, TPC-H Q1 flavor). */
+  def revenueByFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(desc("revenue"), col("l_returnflag"), col("l_linestatus"))
+
+  val revenueByFlagSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY 1, 2 ORDER BY revenue DESC, 1, 2""".stripMargin
+
+  /** R7/R8/R9/R11/R13: the quality-gate shape — global agg with
+    * conditional SUM(CASE WHEN …) and a post-aggregation filter (BQ's
+    * HAVING without GROUP BY, sales_etl_dag.py:74-84). Returns one row
+    * iff all invariants hold. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("total_orders"),
+      countDistinct(col("o_orderkey")).as("unique_keys"),
+      sum(when(col("o_totalprice") > 0, 1).otherwise(0)).as("positive_price"))
+      .filter(col("total_orders") > 0 &&
+        col("unique_keys") === col("total_orders") &&
+        col("positive_price") === col("total_orders"))
+
+  val qualityGateSql: String =
+    """SELECT count(*) AS total_orders,
+      |       count(DISTINCT o_orderkey) AS unique_keys,
+      |       CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS positive_price
+      |FROM orders
+      |HAVING count(*) > 0
+      |   AND count(DISTINCT o_orderkey) = count(*)
+      |   AND sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) = count(*)""".stripMargin
+
+  /** R7/R8: grouped conditional aggregation. */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_high_discount"),
+        sum(when(col("l_tax") > col("l_discount"), 1).otherwise(0)).as("n_tax_over_discount"),
+        count(lit(1)).as("n_rows"))
+
+  val conditionalAggSql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
+      |       CAST(sum(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_over_discount,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** D4/D5/D8/D12 analog with an oracle: round-trip integer columns
+    * through a CSV line, then tokenize/trim/try_cast/derive — the ETL
+    * parse chain expressed over oracle-checkable data. */
+  def csvParse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir).select(
+      concat_ws(",", col("l_orderkey"), col("l_linenumber"), col("l_partkey")).as("line"))
+    val parts = transform(split(col("line"), ",", -1), p => trim(p))
+    lines.select(parts.as("parts"))
+      .filter(size(col("parts")) >= 3)
+      .select(
+        get(col("parts"), lit(0)).try_cast("bigint").as("okey"),
+        get(col("parts"), lit(1)).try_cast("bigint").as("lineno"),
+        get(col("parts"), lit(2)).try_cast("bigint").as("pkey"))
+      .filter(col("okey").isNotNull && col("lineno").isNotNull && col("pkey").isNotNull)
+      .withColumn("derived", col("lineno") * col("pkey"))
+  }
+
+  val csvParseSql: String =
+    """WITH lines AS (
+      |  SELECT concat_ws(',', l_orderkey, l_linenumber, l_partkey) AS line FROM lineitem),
+      |p AS (SELECT string_split(line, ',') AS parts FROM lines WHERE len(string_split(line, ',')) >= 3)
+      |SELECT TRY_CAST(trim(parts[1]) AS BIGINT) AS okey,
+      |       TRY_CAST(trim(parts[2]) AS BIGINT) AS lineno,
+      |       TRY_CAST(trim(parts[3]) AS BIGINT) AS pkey,
+      |       TRY_CAST(trim(parts[2]) AS BIGINT) * TRY_CAST(trim(parts[3]) AS BIGINT) AS derived
+      |FROM p
+      |WHERE TRY_CAST(trim(parts[1]) AS BIGINT) IS NOT NULL
+      |  AND TRY_CAST(trim(parts[2]) AS BIGINT) IS NOT NULL
+      |  AND TRY_CAST(trim(parts[3]) AS BIGINT) IS NOT NULL""".stripMargin
+
+  /** D7 as a deterministic global operator: first-wins dedup via
+    * row_number over (key, order). One shuffle on the key; at scale
+    * this is the canonical exact-dedup plan (AQE handles key skew). */
+  def dedupFirstWins(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // break ties on the remaining projected columns so the winner is
+    // deterministic and oracle-comparable.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  val dedupFirstWinsSql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+      |FROM (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |             row_number() OVER (PARTITION BY l_orderkey
+      |                                ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      |      FROM lineitem)
+      |WHERE rn = 1""".stripMargin
+
+  /** Star join: fact table joined through orders/customer to the tiny
+    * nation/region dims. nation+region are explicitly broadcast (they
+    * are bounded at 25/5 rows at ANY scale factor); the
+    * lineitem⋈orders⋈customer joins shuffle on their keys and benefit
+    * from AQE. TPC-H Q5 flavor. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY revenue DESC, 1, 2""".stripMargin
+
+  /** Top-k per group via ranking window (the scalable top-N pattern:
+    * one shuffle on the group key, no global sort). */
+  def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  val topOrdersPerPrioritySql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Running aggregate window (ROWS UNBOUNDED PRECEDING). */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+  }
+
+  val runningCustomerSpendSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders""".stripMargin
+
+  /** Set operations: EXCEPT / INTERSECT / UNION ALL in one result. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    f.except(open).withColumn("op", lit("only_f"))
+      .unionAll(f.intersect(open).withColumn("op", lit("both")))
+      .select(col("op"), col("o_custkey"))
+  }
+
+  val customerSetOpsSql: String =
+    """SELECT 'only_f' AS op, o_custkey FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'both' AS op, o_custkey FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin
+
+  /** Grouping sets via ROLLUP (subtotals + grand total). */
+  def rollupByFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  val rollupByFlagStatusSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+}

@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). One parquet file per table under `dir`.
@@ -19,7 +21,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a nano-epoch
+    * long (legacy conf) and convert to a microsecond timestamp —
+    * truncation ns→µs matches DuckDB's epoch_ms()/date_trunc semantics
+    * downstream. The conf only affects nanos columns, so other tables
+    * are untouched.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
