@@ -11,6 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   import graft.analytics.{Relational => R, EventOps => E}
+  import graft.text.{TextOps => T}
+  import graft.dedup.{DedupOps => D}
+  import graft.vector.{VectorOps => V}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -30,7 +33,18 @@ object SparkEntry {
     "q11_rollup"            -> (R.rollupByFlagStatus _),
     "q12_json_extract"      -> (E.jsonExtract _),
     "q13_tumbling_window"   -> (E.tumblingCounts _),
-    "q14_sessionize"        -> (E.sessionize _)
+    "q14_sessionize"        -> (E.sessionize _),
+    "q15_token_stats"       -> (T.tokenStats _),
+    "q16_lang_id"           -> (T.langId _),
+    "q17_quality_score"     -> (T.qualityScore _),
+    "q18_fingerprint"       -> (T.fingerprint _),
+    "q19_exact_dedup"       -> (D.exactDedup _),
+    "q20_ngram_jaccard"     -> (D.ngramJaccard _),
+    "q21_minhash_lsh"       -> (D.minhashLsh _),
+    "q22_simhash"           -> (D.simhash _),
+    "q23_embed_neardup"     -> (V.nearDupPairs _),
+    "q24_knn_brute"         -> (V.knnBrute _),
+    "q25_ann_lsh"           -> (V.annLsh _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -47,6 +61,17 @@ object SparkEntry {
     "q11_rollup"            -> R.rollupByFlagStatusSql,
     "q12_json_extract"      -> E.jsonExtractSql,
     "q13_tumbling_window"   -> E.tumblingCountsSql,
-    "q14_sessionize"        -> E.sessionizeSql
+    "q14_sessionize"        -> E.sessionizeSql,
+    "q15_token_stats"       -> T.tokenStatsSql,
+    "q16_lang_id"           -> T.langIdSql,
+    "q17_quality_score"     -> T.qualityScoreSql,
+    "q18_fingerprint"       -> T.fingerprintSql,
+    "q19_exact_dedup"       -> D.exactDedupSql,
+    "q20_ngram_jaccard"     -> D.ngramJaccardSql,
+    "q21_minhash_lsh"       -> D.minhashLshSql,
+    "q22_simhash"           -> D.simhashSql,
+    "q23_embed_neardup"     -> V.nearDupPairsSql,
+    "q24_knn_brute"         -> V.knnBruteSql,
+    "q25_ann_lsh"           -> V.annLshSql
   )
 }

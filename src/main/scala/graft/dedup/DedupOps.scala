@@ -1,0 +1,183 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextExprs._
+
+/** Document deduplication operators over the `documents` table — the
+  * dedup half of the training-data-pipeline surface (builder brief:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one shuffle on a 64-bit content fingerprint (tiny
+  *    shuffle payload — doc_id + hash, never the text).
+  *  - n-gram Jaccard: inverted-index join on shingles (never a
+  *    crossJoin); pair counting is a map-side-combined aggregate keyed
+  *    by (d1, d2). Quadratic in the worst case — the bounded-candidate
+  *    version is MinHash LSH below.
+  *  - MinHash LSH: per-doc signature (narrow map), explode to
+  *    Bands rows per doc (constant fan-out), shuffle on (band, key)
+  *    buckets only, then verify candidates exactly. This is the
+  *    standard shingle→minhash→band→bucket-join pipeline; shuffle
+  *    volume is O(docs * Bands), independent of text size.
+  *  - SimHash: single narrow map per doc → 32-bit signature; near-dup
+  *    pairing at scale then joins on rotated signature bands (same
+  *    banding trick), kept out of this oracle query which verifies the
+  *    signature computation itself.
+  */
+object DedupOps {
+
+  /** Documents → (doc_id, distinct shingle-hash array, set size);
+    * docs with < ShingleW tokens drop out (no shingles to compare). */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesCol(tokensCol(col("text"))),
+          s => polyHashCol(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("n", size(col("hs")))
+
+  private val shingleHashesSql: String =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(${shinglesSql("t")}, s -> ${polyHashSql("s")})) AS hs
+       |       FROM toks),
+       |hsets AS (SELECT doc_id, hs, len(hs) AS n FROM sh WHERE len(hs) > 0)""".stripMargin
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact dedup on the normalized-content fingerprint: groups by the
+    * rolling hash of the token stream, keeps the smallest doc_id
+    * (deterministic first-wins). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactDedupSql: String =
+    s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM (SELECT doc_id,
+       |             ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
+       |      FROM documents)
+       |GROUP BY fp""".stripMargin
+
+  // -------------------------------------------------------- n-gram Jaccard
+
+  /** Jaccard threshold shared by the exact and LSH variants. */
+  val JaccardThreshold = 0.5
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
+    * join: explode shingle hashes, self-join on the hash, count shared
+    * shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleHashes(spark, dir)
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"),
+        any_value(col("a.n")).as("n1"), any_value(col("b.n")).as("n2"))
+    pairs
+      .withColumn("jaccard", round(
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingleHashesSql,
+       |ex AS (SELECT doc_id, n, unnest(hs) AS h FROM hsets),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared,
+       |         any_value(a.n) AS n1, any_value(b.n) AS n2
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, shared,
+       |       round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard
+       |FROM pairs
+       |WHERE round(shared::DOUBLE / (n1 + n2 - shared), 4) >= $JaccardThreshold""".stripMargin
+
+  // ----------------------------------------------------------- MinHash LSH
+
+  /** MinHash(K=32) + LSH(8 bands × 4 rows) near-dup detection:
+    * signature → band keys → bucket join for candidates → exact
+    * Jaccard verification of candidates only. Same output contract as
+    * [[ngramJaccard]]; at scale the bucket join replaces the quadratic
+    * inverted-index pair explosion. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val hsets = shingleHashes(spark, dir).cache()
+    val bands = hsets
+      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
+      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val h1 = hsets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
+    val h2 = hsets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
+    cand.join(h1, "d1").join(h2, "d2")
+      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $shingleHashesSql,
+       |sigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS (
+       |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT d1, d2, len(list_intersect(h1.hs, h2.hs)) AS shared,
+       |         h1.n AS n1, h2.n AS n2
+       |  FROM cand
+       |  JOIN hsets h1 ON h1.doc_id = d1
+       |  JOIN hsets h2 ON h2.doc_id = d2)
+       |SELECT d1, d2, shared,
+       |       round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard
+       |FROM verified
+       |WHERE round(shared::DOUBLE / (n1 + n2 - shared), 4) >= $JaccardThreshold""".stripMargin
+
+  // --------------------------------------------------------------- SimHash
+
+  /** SimHash signature width (bits). */
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over the token multiset: bit b is set iff the sum of
+    * (±1 by bit b of each token hash) is positive. Verified value-exactly
+    * by the oracle; near-dup pairing at scale = hamming-band join on the
+    * signature (not materialized here). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = transform(tokensCol(col("text")), t => polyHashCol(t))
+    val sim = (0 until SimhashBits).map { b =>
+      val s = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  val simhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |hashes AS (SELECT doc_id, list_transform(t, s -> ${polyHashSql("s")}) AS hs FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |                     (acc, h) -> acc + ((h >> b) & 1) * 2 - 1) AS s
+       |  FROM hashes CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS b) bs)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextExprs._
+
+/** Text-analysis operators over the `documents` table — the text half of
+  * the training-data-pipeline surface (SURVEY.md §7 extensions; see the
+  * builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting).
+  *
+  * Everything is Column expressions (whole-stage codegen; no UDFs) and
+  * every operator is a single narrow map over the scan — no shuffle
+  * except the final small aggregate where one exists, so the plans are
+  * embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** BPE-ish token pattern: letter runs | digit runs | single symbol. */
+  private val BpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val BpePatSqlLit = "'[a-z]+|[0-9]+|[^a-z0-9\\s]'"
+
+  // -------------------------------------------------------- token counting
+
+  /** Per-document token statistics: whitespace tokens, BPE-ish regex
+    * tokens, and code-point length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("n_ws_tokens"),
+      regexp_count(lower(col("text")), lit(BpePat)).as("n_bpe_tokens"),
+      length(col("text")).as("n_cp"))
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS n_ws_tokens,
+       |       len(regexp_extract_all(lower(text), $BpePatSqlLit)) AS n_bpe_tokens,
+       |       length(text) AS n_cp
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- language ID
+
+  /** Stopword/marker sets per language + a CJK-codepoint probe for zh.
+    * Shared constants: the Spark exprs and the oracle SQL are both
+    * generated from these lists. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "que", "es"))
+  private val CjkPat = "[\\x{4e00}-\\x{9fff}]"
+
+  private def markerScoreCol(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isin(words.map(lit): _*)))
+
+  private def markerScoreSql(t: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter($t, x -> list_contains($lst, x)))"
+  }
+
+  /** N-gram/marker-heuristic language identification; outputs the
+    * confusion counts (labelled lang × predicted lang). Deterministic
+    * argmax with a fixed tie-break order (en > de > fr > es). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val tk = tokensCol(col("text"))
+    val scored = Tables.documents(spark, dir).select(
+      col("lang"),
+      regexp_count(col("text"), lit(CjkPat)).as("zh_s"),
+      markerScoreCol(tk, markers(0)._2).as("en_s"),
+      markerScoreCol(tk, markers(1)._2).as("de_s"),
+      markerScoreCol(tk, markers(2)._2).as("fr_s"),
+      markerScoreCol(tk, markers(3)._2).as("es_s"))
+    val g = greatest(col("en_s"), col("de_s"), col("fr_s"), col("es_s"))
+    scored.select(col("lang"),
+      when(col("zh_s") > 0, "zh")
+        .when(g === 0, "unknown")
+        .when(col("en_s") === g, "en")
+        .when(col("de_s") === g, "de")
+        .when(col("fr_s") === g, "fr")
+        .otherwise("es").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val langIdSql: String = {
+    val t = tokensSql("text")
+    val ms = markers.map { case (l, ws) => s"${l}_s" -> markerScoreSql("t", ws) }
+    s"""WITH toks AS (SELECT lang, text, $t AS t FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |         len(regexp_extract_all(text, '$CjkPat')) AS zh_s,
+       |         ${ms.map { case (n, e) => s"$e AS $n" }.mkString(",\n         ")}
+       |  FROM toks),
+       |pred AS (
+       |  SELECT lang,
+       |         CASE WHEN zh_s > 0 THEN 'zh'
+       |              WHEN greatest(en_s, de_s, fr_s, es_s) = 0 THEN 'unknown'
+       |              WHEN en_s = greatest(en_s, de_s, fr_s, es_s) THEN 'en'
+       |              WHEN de_s = greatest(en_s, de_s, fr_s, es_s) THEN 'de'
+       |              WHEN fr_s = greatest(en_s, de_s, fr_s, es_s) THEN 'fr'
+       |              ELSE 'es' END AS predicted
+       |  FROM scored)
+       |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------- quality scoring
+
+  /** Per-document quality features + a blended [0,1] score:
+    * length saturation, punctuation ratio, stopword ratio. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tk = tokensCol(col("text"))
+    val stopWords = markers.flatMap(_._2)
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tk).as("n_tokens"),
+      markerScoreCol(tk, stopWords).as("n_stop"),
+      regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).as("n_punct"),
+      length(col("text")).as("n_cp"))
+    // Integer basis points (×10000, floor division) end-to-end:
+    // bit-identical across engines, immune to FP round-half ties.
+    // quality_bp = (5·len_bp + 2·(10000−punct_bp) + 3·stop_bp) / 10,
+    // with length saturation at 50 tokens.
+    base.select(
+      col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+      when(col("n_cp") > 0,
+        floor(col("n_punct") * lit(10000L) / col("n_cp")))
+        .otherwise(0L).as("punct_bp"),
+      when(col("n_tokens") > 0,
+        floor(col("n_stop") * lit(10000L) / col("n_tokens")))
+        .otherwise(0L).as("stop_bp"),
+      (least(col("n_tokens").cast("long"), lit(50L)) * 200).as("len_bp"))
+      .withColumn("quality_bp", floor(
+        (col("len_bp") * 5 + (lit(10000L) - col("punct_bp")) * 2
+          + col("stop_bp") * 3) / 10).cast("long"))
+  }
+
+  val qualityScoreSql: String = {
+    val t = tokensSql("text")
+    val stop = markerScoreSql("t", markers.flatMap(_._2))
+    s"""WITH toks AS (SELECT doc_id, text, $t AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |         len(t) AS n_tokens,
+       |         $stop AS n_stop,
+       |         len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct,
+       |         length(text) AS n_cp
+       |  FROM toks),
+       |feat AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |         CAST(CASE WHEN n_cp > 0 THEN n_punct * 10000 // n_cp ELSE 0 END AS BIGINT) AS punct_bp,
+       |         CAST(CASE WHEN n_tokens > 0 THEN n_stop * 10000 // n_tokens ELSE 0 END AS BIGINT) AS stop_bp,
+       |         CAST(least(n_tokens, 50) * 200 AS BIGINT) AS len_bp
+       |  FROM base)
+       |SELECT doc_id, n_tokens, punct_bp, stop_bp, len_bp,
+       |       CAST((len_bp * 5 + (10000 - punct_bp) * 2 + stop_bp * 3) // 10 AS BIGINT) AS quality_bp
+       |FROM feat""".stripMargin
+  }
+
+  // -------------------------------------------------- document fingerprint
+
+  /** Rolling-hash fingerprint of the normalized token stream — the
+    * canonical-form hash used by exact dedup (DedupOps.exactDedup). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |       ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
+       |FROM documents""".stripMargin
+}

@@ -1,0 +1,162 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Embedding similarity operators over the `embeddings` table
+  * (vec_id, embedding float[64], label) — the ANN half of the
+  * training-data-pipeline surface (builder brief: brute-force cosine
+  * top-k baseline + LSH-bucketed scale path, embedding-cosine near-dup).
+  *
+  * Dot products are `zip_with` + `aggregate` higher-order functions in
+  * double precision — pure Column expressions, codegen-friendly, no UDF.
+  *
+  * Scale design (100 TB):
+  *  - near-dup + brute kNN are O(n·m) nested-loop joins; they exist as
+  *    the exact baseline and for small query sets m (the query side is
+  *    broadcast, so the big side never shuffles).
+  *  - the LSH variant buckets by random-hyperplane sign sketch: an
+  *    equi-join on the bucket id replaces the nested loop, shuffling
+  *    only (bucket, id, vec) pairs; recall/cost is tuned by the number
+  *    of hyperplanes (fewer planes → bigger buckets → higher recall).
+  */
+object VectorOps {
+
+  /** Cosine-similarity floor for [[nearDupPairs]]. */
+  val CosineThreshold = 0.4
+
+  /** Query set: vec_id < QueryMax are the kNN probes. */
+  val QueryMax = 10
+  val K        = 5
+  val KLsh     = 3
+
+  /** Random-hyperplane count for the LSH sketch (2^Planes buckets). */
+  val Planes = 8
+  val Dim    = 64
+
+  /** Deterministic pseudo-random hyperplane weights in [-1000, 1000],
+    * from a fixed LCG — the SQL literals are generated from this same
+    * sequence. */
+  val planeW: Seq[Seq[Double]] =
+    (0 until Planes).map { p =>
+      (0 until Dim).map { d =>
+        (((1103515245L * (p * Dim + d + 1) + 12345L) % 2001L) - 1000L).toDouble
+      }
+    }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, v: array<double>, nrm) projection of the embeddings. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  private val vecsSql: String =
+    "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)"
+
+  // -------------------------------------------------- cosine near-dup pairs
+
+  /** All vector pairs with cosine similarity ≥ threshold (exact,
+    * brute-force — the correctness baseline for the LSH path). */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos_sim") >= CosineThreshold)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos_sim"))
+  }
+
+  val nearDupPairsSql: String =
+    s"""WITH $vecsSql
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $CosineThreshold""".stripMargin
+
+  // ------------------------------------------------------- brute-force kNN
+
+  /** Exact cosine top-K neighbors for the query vectors (vec_id <
+    * QueryMax): broadcast the tiny query side over the full corpus, rank
+    * per query. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    q.join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  val knnBruteSql: String =
+    s"""WITH $vecsSql,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
+       |  FROM vecs q JOIN vecs e ON q.vec_id != e.vec_id
+       |  WHERE q.vec_id < $QueryMax)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
+  // ---------------------------------------------------------------- LSH ANN
+
+  private def bucketCol(v: Column): Column =
+    (0 until Planes).map { p =>
+      when(dot(v, typedLit(planeW(p))) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 until Planes).map { p =>
+      val w = planeW(p).map(_.toInt).mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product($v, $w::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Approximate top-KLsh neighbors via random-hyperplane LSH: bucket =
+    * 8 sign bits, candidates = same-bucket vectors, exact cosine rank
+    * within the bucket. Same probes as [[knnBrute]] (recall vs. the
+    * exact result is the quality metric; the bucket equi-join is the
+    * scale path). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("bucket", bucketCol(col("v")))
+    val q = broadcast(e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    q.join(e, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KLsh)
+  }
+
+  val annLshSql: String =
+    s"""WITH $vecsSql,
+       |bucketed AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM vecs),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
+       |  FROM bucketed q JOIN bucketed e
+       |    ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+       |  WHERE q.vec_id < $QueryMax)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $KLsh""".stripMargin
+}
