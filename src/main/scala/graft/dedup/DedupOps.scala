@@ -31,10 +31,15 @@ object DedupOps {
   /** Documents → (doc_id, distinct shingle-hash array, set size);
     * docs with < ShingleW tokens drop out (no shingles to compare). */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    // The testdata corpus is one small parquet file = one input split;
+    // spread the CPU-heavy tokenize→shingle→hash map across all cores
+    // (one tiny shuffle of raw rows — a multi-TB corpus would already
+    // arrive in thousands of splits).
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        array_distinct(transform(shinglesCol(tokensCol(col("text"))),
-          s => polyHashCol(s))).as("hs"))
+        graft.functions.NativeExprs
+          .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("n", size(col("hs")))
 
@@ -51,6 +56,7 @@ object DedupOps {
     * (deterministic first-wins). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
       .groupBy(col("fp"))
@@ -72,8 +78,11 @@ object DedupOps {
     * join: explode shingle hashes, self-join on the hash, count shared
     * shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the exploded index feeds both sides of the self-join —
+    // without it the whole tokenize→shingle→hash pipeline runs twice.
     val ex = shingleHashes(spark, dir)
       .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      .cache()
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -159,14 +168,10 @@ object DedupOps {
     * signature (not materialized here). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val hs = transform(tokensCol(col("text")), t => polyHashCol(t))
-    val sim = (0 until SimhashBits).map { b =>
-      val s = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-      when(s > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), sim.as("simhash"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.simHash(hs, SimhashBits).as("simhash"))
   }
 
   val simhashSql: String =

@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw multimodal asset: media treated as an opaque binary column plus
+  * typed metadata — the storage contract for image/audio/video at scale
+  * (builder brief: multimodal columns). */
+case class Asset(
+    asset_id: Long,
+    kind: String,          // "image" | "audio"
+    bytes: Array[Byte],    // opaque payload, decoded only by [[MultimodalOps.decode]]
+    source: String)
+
+/** Decoded per-asset features. */
+case class DecodedAsset(
+    asset_id: Long,
+    kind: String,
+    width: Int,            // images: pixels; audio: 0
+    height: Int,
+    sample_rate: Int,      // audio: Hz; images: 0
+    n_frames: Int,
+    byte_len: Int,
+    checksum: Long)
+
+/** Multimodal-column operators: binary payloads with typed metadata,
+  * decode / feature-extract / resize / frame-sample.
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
+  * so `decode` parses a deterministic 16-byte fake header
+  * (magic, width, height, sampleRate, nFrames) instead of calling a real
+  * codec. Everything around it — the binary schema, the per-partition
+  * batch iteration (`mapPartitions`, the JVM analog of `mapInPandas`),
+  * the partition sizing, and the downstream relational handling of the
+  * decoded features — is real and tested (MultimodalSpec).
+  *
+  * Scale notes: payload bytes never enter a shuffle — decode is a narrow
+  * map emitting only the small feature row; repartition by asset_id
+  * BEFORE decode if the source files skew (payload sizes vary wildly).
+  */
+object MultimodalOps {
+
+  val Magic: Short = 0x6d4d // "mM"
+  val HeaderLen = 16
+
+  /** Build the fake header + payload for a synthetic asset. */
+  private[multimodal] def fakeAssetBytes(
+      id: Long, width: Int, height: Int, sampleRate: Int, nFrames: Int,
+      payloadLen: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(HeaderLen + payloadLen)
+    buf.putShort(Magic).putShort(0)
+      .putInt(width).putInt(height)
+      .putShort((sampleRate / 100).toShort).putShort(nFrames.toShort)
+    var i = 0
+    var x = id * 6364136223846793005L + 1442695040888963407L
+    while (i < payloadLen) {
+      buf.put((x >>> 32).toByte)
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic synthetic asset table (no codecs in the container —
+    * stands in for `spark.read.format("binaryFile")` over a media
+    * bucket). */
+  def synthesizeAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val isImage = id % 3 != 0
+      val w = if (isImage) (64 + (id % 8) * 32).toInt else 0
+      val h = if (isImage) (64 + (id % 5) * 48).toInt else 0
+      val sr = if (isImage) 0 else 8000 * (1 + (id % 3)).toInt
+      val frames = if (isImage) 1 else (100 + id % 50).toInt
+      Asset(id, if (isImage) "image" else "audio",
+        fakeAssetBytes(id, w, h, sr, frames, payloadLen = (id % 4096).toInt),
+        s"bucket/part-${id % 16}")
+    }
+  }
+
+  /** Decode the binary column into typed features — per-partition batch
+    * loop over the payload bytes (the real-codec integration point). */
+  def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val buf = ByteBuffer.wrap(a.bytes)
+        val magic = buf.getShort()
+        require(magic == Magic, s"bad magic for asset ${a.asset_id}")
+        buf.getShort() // reserved
+        val w = buf.getInt(); val h = buf.getInt()
+        val sr = buf.getShort() * 100; val frames = buf.getShort().toInt
+        // STUB: a real implementation hands a.bytes to a codec here.
+        var sum = 0L
+        var i = HeaderLen
+        while (i < a.bytes.length) { sum = sum * 31 + (a.bytes(i) & 0xff); i += 1 }
+        DecodedAsset(a.asset_id, a.kind, w, h, sr, frames,
+          a.bytes.length, sum)
+      }
+    }
+  }
+
+  /** Resize plan: target box fit preserving aspect ratio — metadata-only
+    * here (STUB: the pixel transform would run next to the codec). */
+  def resizePlan(decoded: Dataset[DecodedAsset], maxSide: Int): DataFrame =
+    decoded.toDF()
+      .filter(col("kind") === "image" && greatest(col("width"), col("height")) > maxSide)
+      .withColumn("scale",
+        lit(maxSide) / greatest(col("width"), col("height")))
+      .withColumn("new_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("new_height", floor(col("height") * col("scale")).cast("int"))
+      .select(col("asset_id"), col("width"), col("height"),
+        col("new_width"), col("new_height"))
+
+  /** Frame sampling: every `stride`-th frame index per audio/video asset
+    * (posexplode of a sequence — frame payloads would be fetched lazily
+    * by the decoder at these indices). */
+  def frameSample(decoded: Dataset[DecodedAsset], stride: Int): DataFrame =
+    decoded.toDF()
+      .filter(col("n_frames") > 1)
+      .select(col("asset_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+}

@@ -26,7 +26,9 @@ object TextOps {
   /** Per-document token statistics: whitespace tokens, BPE-ish regex
     * tokens, and code-point length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("n_ws_tokens"),
       regexp_count(lower(col("text")), lit(BpePat)).as("n_bpe_tokens"),
@@ -64,7 +66,9 @@ object TextOps {
     * argmax with a fixed tie-break order (en > de > fr > es). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val tk = tokensCol(col("text"))
-    val scored = Tables.documents(spark, dir).select(
+    val scored = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
       col("lang"),
       regexp_count(col("text"), lit(CjkPat)).as("zh_s"),
       markerScoreCol(tk, markers(0)._2).as("en_s"),
@@ -111,7 +115,9 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val tk = tokensCol(col("text"))
     val stopWords = markers.flatMap(_._2)
-    val base = Tables.documents(spark, dir).select(
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       size(tk).as("n_tokens"),
       markerScoreCol(tk, stopWords).as("n_stop"),
@@ -162,7 +168,9 @@ object TextOps {
   /** Rolling-hash fingerprint of the normalized token stream — the
     * canonical-form hash used by exact dedup (DedupOps.exactDedup). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
 

@@ -46,12 +46,18 @@ object VectorOps {
       }
     }
 
+  /** Native codegen dot product (graft.functions.DotProductExpr) — the
+    * zip_with+aggregate HOF form runs interpreted and made the
+    * brute-force pair scans ~50× slower. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExprs.dotProduct(a, b)
 
   /** (vec_id, v: array<double>, nrm) projection of the embeddings. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
+    // one small file = one split; spread the O(n·m) pair scans below
+    // across all cores (see DedupOps.shingleHashes note)
     Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters so graft's
+  * native Catalyst expressions (graft.functions.NativeExprs) can be
+  * exposed as plain `Column`s. This is the same mechanism Spark's own
+  * `functions` object uses; nothing else from the private API is
+  * touched.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

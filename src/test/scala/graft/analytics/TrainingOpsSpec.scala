@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+import graft.dedup.DedupOps
+import graft.text.TextOps
+import graft.vector.VectorOps
+
+/** Invariant checks for the training-data operators on sf0.001 (value
+  * correctness vs. DuckDB is covered by the Verify/oracle gate — these
+  * pin structural properties and cross-operator agreement). */
+class TrainingOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  test("exact dedup partitions all documents") {
+    val d = DedupOps.exactDedup(spark, dir)
+    assert(d.agg(sum("n_copies")).head().getLong(0) === 500L)
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact n-gram Jaccard") {
+    // With 8 bands × 4 rows, P(candidate) at j=0.5 per band = j^4; the
+    // planted dups sit at j≈0.97 so recall is ~1; precision is exact
+    // because candidates are verified.
+    val exact = DedupOps.ngramJaccard(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash of near-duplicate documents has small hamming distance") {
+    val sim = DedupOps.simhash(spark, dir)
+    val pairs = DedupOps.ngramJaccard(spark, dir).select("d1", "d2")
+    val s1 = sim.withColumnRenamed("doc_id", "d1").withColumnRenamed("simhash", "h1")
+    val s2 = sim.withColumnRenamed("doc_id", "d2").withColumnRenamed("simhash", "h2")
+    val ham = pairs.join(s1, "d1").join(s2, "d2")
+      .select(bit_count(expr("h1 ^ h2")).as("ham")).collect().map(_.getInt(0))
+    assert(ham.nonEmpty)
+    assert(ham.forall(_ <= 8), s"near-dup hamming distances: ${ham.mkString(",")}")
+  }
+
+  test("quality scores are valid basis points") {
+    val q = TextOps.qualityScore(spark, dir)
+    val bad = q.filter(col("quality_bp") < 0 || col("quality_bp") > 10000 ||
+      col("punct_bp") < 0 || col("punct_bp") > 10000 ||
+      col("stop_bp") < 0 || col("stop_bp") > 10000).count()
+    assert(bad === 0)
+    assert(q.count() === 500)
+  }
+
+  test("language id predicts a language for every document") {
+    val total = TextOps.langId(spark, dir).agg(sum("n")).head().getLong(0)
+    assert(total === 500L)
+  }
+
+  test("brute kNN returns exactly K ranked neighbors per query") {
+    val k = VectorOps.knnBrute(spark, dir)
+    val perQuery = k.groupBy("query_id").count().collect()
+    assert(perQuery.length === VectorOps.QueryMax)
+    assert(perQuery.forall(_.getLong(1) === VectorOps.K))
+    // rank 1 neighbor has the max cos_sim of the query's rows
+    val r1 = k.filter(col("rank") === 1).select("query_id", "cos_sim")
+    val mx = k.groupBy("query_id").agg(max("cos_sim").as("cos_sim"))
+    assert(r1.except(mx).count() === 0)
+  }
+
+  test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
+    val ann = VectorOps.annLsh(spark, dir)
+    val brute = VectorOps.knnBrute(spark, dir)
+    // every ANN hit must also score identically in the brute ranking
+    val joined = ann.select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c1"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c2")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.EventOps
+import graft.etl.SparkTestSession
+
+/** Streaming forms must agree with their batch twins on the same input
+  * (Trigger.AvailableNow drains the directory exactly once). */
+class StreamingSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  private def asSet(rows: Seq[Row]): Set[Seq[String]] =
+    rows.map(_.toSeq.map(String.valueOf)).toSet
+
+  test("streaming tumbling window counts equal the batch result") {
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.tumblingCounts(EventsStream.source(spark, dir)),
+      "stream_tumbling")
+    val batch = EventOps.tumblingCounts(spark, dir)
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
+  test("streaming session windows equal the batch lag-based sessionization") {
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.sessionize(EventsStream.source(spark, dir)),
+      "stream_sessions")
+    val batch = EventOps.sessionize(spark, dir)
+      .selectExpr("user_id", "session_start", "n_events", "sum_value")
+    assert(asSet(streamed.select("user_id", "session_start", "n_events", "sum_value")
+      .collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+}
