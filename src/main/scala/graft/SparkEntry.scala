@@ -44,7 +44,14 @@ object SparkEntry {
     "q22_simhash"           -> (D.simhash _),
     "q23_embed_neardup"     -> (V.nearDupPairs _),
     "q24_knn_brute"         -> (V.knnBrute _),
-    "q25_ann_lsh"           -> (V.annLsh _)
+    "q25_ann_lsh"           -> (V.annLsh _),
+    // Structured Streaming twin of q13: drains the events directory with
+    // Trigger.AvailableNow and must produce the same windows as the
+    // batch query (same oracle).
+    "q26_stream_tumbling"   -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.tumblingCounts(
+          graft.streaming.EventsStream.source(s, dir)), "q26_stream_tumbling"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,6 +79,7 @@ object SparkEntry {
     "q22_simhash"           -> D.simhashSql,
     "q23_embed_neardup"     -> V.nearDupPairsSql,
     "q24_knn_brute"         -> V.knnBruteSql,
-    "q25_ann_lsh"           -> V.annLshSql
+    "q25_ann_lsh"           -> V.annLshSql,
+    "q26_stream_tumbling"   -> E.tumblingCountsSql
   )
 }
