@@ -1,0 +1,29 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Dump the formatted physical plan of every SparkEntry query (dev tool:
+  * plan audit for pushdown / broadcast / codegen spans). */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (name != "q26_stream_tumbling") {
+        sb.append(s"\n===================== $name =====================\n")
+        try sb.append(fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
+      }
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[explain] wrote $out")
+    spark.stop()
+  }
+}
