@@ -51,7 +51,9 @@ object SparkEntry {
     "q26_stream_tumbling"   -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
       graft.streaming.EventsStream.runAvailableNow(
         s, graft.streaming.EventsStream.tumblingCounts(
-          graft.streaming.EventsStream.source(s, dir)), "q26_stream_tumbling"))
+          graft.streaming.EventsStream.source(s, dir)), "q26_stream_tumbling")),
+    "q27_subquery"          -> (R.aboveAvgOrders _),
+    "q28_asof_join"         -> (E.asofJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -80,6 +82,8 @@ object SparkEntry {
     "q23_embed_neardup"     -> V.nearDupPairsSql,
     "q24_knn_brute"         -> V.knnBruteSql,
     "q25_ann_lsh"           -> V.annLshSql,
-    "q26_stream_tumbling"   -> E.tumblingCountsSql
+    "q26_stream_tumbling"   -> E.tumblingCountsSql,
+    "q27_subquery"          -> R.aboveAvgOrdersSql,
+    "q28_asof_join"         -> E.asofJoinSql
   )
 }

@@ -73,6 +73,46 @@ object EventOps {
 
   }
 
+  /** As-of join — an operator Spark lacks natively, composed scalably
+    * from built-ins (union + window, the single-shuffle formulation):
+    * for each `purchase` event, the same user's latest `click` event at
+    * or before it. Probe and build sides are unioned, sorted per user by
+    * (ts, side) with the build side first on ties, and the build
+    * attributes are carried forward with last(_, ignoreNulls) — one
+    * shuffle on user_id regardless of build-side density. The oracle is
+    * the independent quadratic formulation (join + row_number), so the
+    * two engines verify each other's semantics, including the
+    * max-ts-then-max-event-id tie-break. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("long").as("b_event"),
+        lit(null).cast("double").as("b_value"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("side"), col("event_id").as("b_event"),
+        col("value").as("b_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionAll(build)
+      .withColumn("m_event", last(col("b_event"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m_event").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("m_event").as("click_id"), round(col("m_value"), 2).as("click_value"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT a.event_id AS purchase_id, a.user_id,
+      |       b.event_id AS click_id, round(b.value, 2) AS click_value
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts <= a.ts
+      | AND a.event_type = 'purchase' AND b.event_type = 'click'
+      |QUALIFY row_number() OVER (PARTITION BY a.event_id
+      |                           ORDER BY b.ts DESC, b.event_id DESC) = 1""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,

@@ -244,4 +244,29 @@ object Relational {
     """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
       |       round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Correlated scalar subquery (the E3 `spark.sql` lifecycle: parse →
+    * analyze → decorrelate): orders priced above their customer's own
+    * average. Catalyst rewrites the per-row subquery into an aggregate +
+    * join — the scalable plan — rather than re-executing it per row. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o.o_custkey, count(*) AS n_above,
+        |       round(max(o.o_totalprice), 2) AS max_price
+        |FROM graft_orders o
+        |WHERE o.o_totalprice > (SELECT avg(i.o_totalprice)
+        |                        FROM graft_orders i
+        |                        WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o.o_custkey""".stripMargin)
+  }
+
+  val aboveAvgOrdersSql: String =
+    """SELECT o.o_custkey, count(*) AS n_above,
+      |       round(max(o.o_totalprice), 2) AS max_price
+      |FROM orders o
+      |WHERE o.o_totalprice > (SELECT avg(i.o_totalprice)
+      |                        FROM orders i
+      |                        WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o.o_custkey""".stripMargin
 }
