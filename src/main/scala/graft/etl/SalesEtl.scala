@@ -87,7 +87,8 @@ object SalesEtl {
     * shuffles only rows that survived the cheap narrow predicates, and
     * AQE handles id skew.
     */
-  def parseAndValidate(lines: DataFrame): (DataFrame, DataFrame) = {
+  def parseAndValidate(lines: DataFrame,
+                       quoteAware: Boolean = false): (DataFrame, DataFrame) = {
     // D2: header skip (dataflow_transform.py:49-50)
     val body = lines
       .withColumn("_lineno", monotonically_increasing_id())
@@ -95,7 +96,17 @@ object SalesEtl {
 
     // D4: naive split + trim each part. split keeps trailing empties
     // (limit -1), matching Python str.split(',').
-    val parts = transform(split(col("value"), ",", -1), p => trim(p))
+    // `quoteAware=true` is the documented deviation (SURVEY.md §7
+    // "faithful-vs-sane CSV parsing"): split on commas OUTSIDE
+    // double-quoted fields (regex lookahead: a comma followed by an even
+    // number of remaining quotes), then strip the enclosing quotes, so
+    // `"Bluetooth Speaker, Portable"` parses as one field instead of
+    // becoming a dead-letter row like the reference's naive split.
+    val rawParts =
+      if (quoteAware)
+        split(col("value"), ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", -1)
+      else split(col("value"), ",", -1)
+    val parts = transform(rawParts, p => trim(p))
 
     val withParts = body
       .withColumn("parts", parts)
@@ -175,9 +186,10 @@ object SalesEtl {
     * (SaveMode.Overwrite ≡ WRITE_TRUNCATE, dataflow_transform.py:157)
     * + dead-letter parquet (upgrade over the reference's log-only
     * errors, dataflow_transform.py:163-168). */
-  def runPipeline(spark: SparkSession, input: String, outDir: String): (Long, Long) = {
+  def runPipeline(spark: SparkSession, input: String, outDir: String,
+                  quoteAware: Boolean = false): (Long, Long) = {
     val lines = spark.read.text(input)
-    val (clean, errors) = parseAndValidate(lines)
+    val (clean, errors) = parseAndValidate(lines, quoteAware)
     clean.write.mode("overwrite").parquet(s"$outDir/clean")
     errors.write.mode("overwrite").parquet(s"$outDir/errors")
     val cleanOut = spark.read.parquet(s"$outDir/clean")

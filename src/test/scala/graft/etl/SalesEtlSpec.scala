@@ -81,3 +81,22 @@ class SalesEtlSpec extends AnyFunSuite {
     assert(msgs === Seq(SalesEtl.Err.BadDate, SalesEtl.Err.Duplicate))
   }
 }
+
+/** The documented quote-aware deviation (SURVEY.md §7): same pipeline,
+  * but quoted fields containing commas parse instead of dead-lettering. */
+class SalesEtlQuoteAwareSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("quoteAware=true rescues the quoted-comma row, all else unchanged") {
+    val spark = SparkTestSession.get
+    val path = getClass.getResource("/messy_sales_data.csv").getPath
+    val lines = spark.read.text(path)
+    val (clean, errors) = SalesEtl.parseAndValidate(lines, quoteAware = true)
+    val cleanRows = clean.collect()
+    // reference golden split is 12/14; the quoted row (id 11, "Bluetooth
+    // Speaker, Portable", fixture line 14) moves from errors to clean
+    assert(cleanRows.length === 13)
+    assert(errors.count() === 13)
+    val rescued = cleanRows.find(_.getAs[String]("id") == "11").get
+    assert(rescued.getAs[String]("product") === "Bluetooth Speaker, Portable")
+    assert(rescued.getAs[Double]("total_sale") === 399.9)
+  }
+}
