@@ -65,10 +65,16 @@ object TextOps {
     * confusion counts (labelled lang × predicted lang). Deterministic
     * argmax with a fixed tie-break order (en > de > fr > es). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val tk = tokensCol(col("text"))
-    val scored = Tables.documents(spark, dir)
+    // Materialize the token array BEFORE the repartition barrier: the
+    // downstream argmax CASE chain references every score several times,
+    // and CollapseProject would otherwise inline (and re-evaluate) the
+    // whole tokenize pipeline per reference. Projections do not collapse
+    // across the exchange, so `t` is computed exactly once per row.
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("text"), tokensCol(col("text")).as("t"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(
+    val tk = col("t")
+    val scored = toks.select(
       col("lang"),
       regexp_count(col("text"), lit(CjkPat)).as("zh_s"),
       markerScoreCol(tk, markers(0)._2).as("en_s"),
@@ -113,11 +119,13 @@ object TextOps {
   /** Per-document quality features + a blended [0,1] score:
     * length saturation, punctuation ratio, stopword ratio. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val tk = tokensCol(col("text"))
     val stopWords = markers.flatMap(_._2)
-    val base = Tables.documents(spark, dir)
+    // tokens behind the exchange barrier — same rationale as langId
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokensCol(col("text")).as("t"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(
+    val tk = col("t")
+    val base = toks.select(
       col("doc_id"),
       size(tk).as("n_tokens"),
       markerScoreCol(tk, stopWords).as("n_stop"),
