@@ -53,7 +53,8 @@ object SparkEntry {
         s, graft.streaming.EventsStream.tumblingCounts(
           graft.streaming.EventsStream.source(s, dir)), "q26_stream_tumbling")),
     "q27_subquery"          -> (R.aboveAvgOrders _),
-    "q28_asof_join"         -> (E.asofJoin _)
+    "q28_asof_join"         -> (E.asofJoin _),
+    "q29_topk_custom"       -> (R.topOrdersPerPriorityCustom _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -84,6 +85,7 @@ object SparkEntry {
     "q25_ann_lsh"           -> V.annLshSql,
     "q26_stream_tumbling"   -> E.tumblingCountsSql,
     "q27_subquery"          -> R.aboveAvgOrdersSql,
-    "q28_asof_join"         -> E.asofJoinSql
+    "q28_asof_join"         -> E.asofJoinSql,
+    "q29_topk_custom"       -> R.topOrdersPerPrioritySql
   )
 }

@@ -245,6 +245,18 @@ object Relational {
       |       round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** q08's semantics through the custom whole-operator plan
+    * (graft.plans.GroupedTopK: logical node → strategy → bounded-heap
+    * exec). Same oracle as the window form — the two implementations
+    * verify each other. */
+  def topOrdersPerPriorityCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupedTopK(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      groupCols = Seq("o_orderpriority"),
+      orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+
   /** Correlated scalar subquery (the E3 `spark.sql` lifecycle: parse →
     * analyze → decorrelate): orders priced above their customer's own
     * average. Catalyst rewrites the per-row subquery into an aggregate +

@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator plan: GroupedTopK logical node → bounded-heap exec
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "_FUNC_(str) - polynomial rolling hash mod 1e9+7"),
