@@ -54,7 +54,8 @@ object SparkEntry {
           graft.streaming.EventsStream.source(s, dir)), "q26_stream_tumbling")),
     "q27_subquery"          -> (R.aboveAvgOrders _),
     "q28_asof_join"         -> (E.asofJoin _),
-    "q29_topk_custom"       -> (R.topOrdersPerPriorityCustom _)
+    "q29_topk_custom"       -> (R.topOrdersPerPriorityCustom _),
+    "q30_salted_join"       -> (R.saltedJoinAgg _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,6 +87,7 @@ object SparkEntry {
     "q26_stream_tumbling"   -> E.tumblingCountsSql,
     "q27_subquery"          -> R.aboveAvgOrdersSql,
     "q28_asof_join"         -> E.asofJoinSql,
-    "q29_topk_custom"       -> R.topOrdersPerPrioritySql
+    "q29_topk_custom"       -> R.topOrdersPerPrioritySql,
+    "q30_salted_join"       -> R.saltedJoinAggSql
   )
 }

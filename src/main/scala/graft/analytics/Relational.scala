@@ -257,6 +257,28 @@ object Relational {
       orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
       k = 3)
 
+  /** Skewed fact⋈dim join via explicit salting (graft.operators
+    * .SkewJoin): result-identical to the plain equi-join, so the plain
+    * join is the oracle. Aggregated so the output is compact. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedInnerJoin(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      keys = Seq("l_orderkey"), salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val saltedJoinAggSql: String =
+    """SELECT o_orderpriority,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** Correlated scalar subquery (the E3 `spark.sql` lifecycle: parse →
     * analyze → decorrelate): orders priced above their customer's own
     * average. Catalyst rewrites the per-row subquery into an aggregate +
