@@ -55,7 +55,9 @@ object SparkEntry {
     "q27_subquery"          -> (R.aboveAvgOrders _),
     "q28_asof_join"         -> (E.asofJoin _),
     "q29_topk_custom"       -> (R.topOrdersPerPriorityCustom _),
-    "q30_salted_join"       -> (R.saltedJoinAgg _)
+    "q30_salted_join"       -> (R.saltedJoinAgg _),
+    "q31_label_centroids"   -> (V.labelCentroids _),
+    "q32_top_terms"         -> (T.topTermsPerLang _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,6 +90,8 @@ object SparkEntry {
     "q27_subquery"          -> R.aboveAvgOrdersSql,
     "q28_asof_join"         -> E.asofJoinSql,
     "q29_topk_custom"       -> R.topOrdersPerPrioritySql,
-    "q30_salted_join"       -> R.saltedJoinAggSql
+    "q30_salted_join"       -> R.saltedJoinAggSql,
+    "q31_label_centroids"   -> V.labelCentroidsSql,
+    "q32_top_terms"         -> T.topTermsPerLangSql
   )
 }

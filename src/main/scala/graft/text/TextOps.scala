@@ -171,6 +171,34 @@ object TextOps {
        |FROM feat""".stripMargin
   }
 
+  // ------------------------------------------------------- corpus term stats
+
+  /** Top-5 terms per language: explode tokens → (lang, term) counts →
+    * per-group top-k through the custom bounded-heap operator
+    * (graft.plans.GroupedTopK) — term-frequency corpus statistics with
+    * a shuffle keyed first by (lang, term) for the count, then by lang
+    * for the top-k; never a global sort. */
+  def topTermsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), explode(tokensCol(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.GroupedTopK(counts, groupCols = Seq("lang"),
+      orderBy = Seq("cnt" -> false, "term" -> true), k = 5)
+  }
+
+  val topTermsPerLangSql: String = {
+    val t = tokensSql("text")
+    s"""WITH terms AS (SELECT lang, unnest($t) AS term FROM documents),
+       |counts AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY 1, 2)
+       |SELECT lang, term, cnt, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |                                    ORDER BY cnt DESC, term) AS INT) AS rank
+       |  FROM counts)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // -------------------------------------------------- document fingerprint
 
   /** Rolling-hash fingerprint of the normalized token stream — the

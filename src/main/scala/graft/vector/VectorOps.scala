@@ -117,6 +117,30 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= $K""".stripMargin
 
+  // -------------------------------------------------------- label centroids
+
+  /** Per-label centroid of the embedding vectors — the distributed
+    * vector-aggregation pattern: posexplode to (label, dim, value),
+    * partial+final average keyed by (label, dim). Map-side combine
+    * reduces the shuffle to |labels|·dim rows per partition regardless
+    * of corpus size (the building block for k-means / IVF coarse
+    * quantizers). Emitted long-form for the oracle. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+
+  val labelCentroidsSql: String =
+    """SELECT label, CAST(dim AS INT) AS dim,
+      |       round(avg(x), 6) AS centroid, count(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+      |             unnest(range(len(embedding))) AS dim
+      |      FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- LSH ANN
 
   private def bucketCol(v: Column): Column =
