@@ -57,7 +57,8 @@ object SparkEntry {
     "q29_topk_custom"       -> (R.topOrdersPerPriorityCustom _),
     "q30_salted_join"       -> (R.saltedJoinAgg _),
     "q31_label_centroids"   -> (V.labelCentroids _),
-    "q32_top_terms"         -> (T.topTermsPerLang _)
+    "q32_top_terms"         -> (T.topTermsPerLang _),
+    "q33_percentiles"       -> (R.pricePercentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,6 +93,7 @@ object SparkEntry {
     "q29_topk_custom"       -> R.topOrdersPerPrioritySql,
     "q30_salted_join"       -> R.saltedJoinAggSql,
     "q31_label_centroids"   -> V.labelCentroidsSql,
-    "q32_top_terms"         -> T.topTermsPerLangSql
+    "q32_top_terms"         -> T.topTermsPerLangSql,
+    "q33_percentiles"       -> R.pricePercentilesSql
   )
 }
