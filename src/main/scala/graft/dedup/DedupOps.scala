@@ -84,7 +84,7 @@ object DedupOps {
     // (cache substitution on self-joined subtrees proved unreliable).
     val ex = shingleHashes(spark, dir)
       .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint()
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -119,7 +119,7 @@ object DedupOps {
     * inverted-index pair explosion. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // eager, lineage-truncating materialization — see ngramJaccard note
-    val hsets = shingleHashes(spark, dir).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val hsets = shingleHashes(spark, dir).localCheckpoint()
     // Each stage below is materialized eagerly: the band index and the
     // candidate set are tiny (O(docs·Bands) and O(near-dup pairs)), and
     // truncating lineage keeps the self-join + two verify joins from
@@ -128,13 +128,13 @@ object DedupOps {
       .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
       .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint()
     val h1 = hsets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
     val h2 = hsets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
     cand.join(h1, "d1").join(h2, "d2")
