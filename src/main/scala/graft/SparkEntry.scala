@@ -58,7 +58,8 @@ object SparkEntry {
     "q30_salted_join"       -> (R.saltedJoinAgg _),
     "q31_label_centroids"   -> (V.labelCentroids _),
     "q32_top_terms"         -> (T.topTermsPerLang _),
-    "q33_percentiles"       -> (R.pricePercentiles _)
+    "q33_percentiles"       -> (R.pricePercentiles _),
+    "q34_minhash_estimate"  -> (D.minhashEstimate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -94,6 +95,7 @@ object SparkEntry {
     "q30_salted_join"       -> R.saltedJoinAggSql,
     "q31_label_centroids"   -> V.labelCentroidsSql,
     "q32_top_terms"         -> T.topTermsPerLangSql,
-    "q33_percentiles"       -> R.pricePercentilesSql
+    "q33_percentiles"       -> R.pricePercentilesSql,
+    "q34_minhash_estimate"  -> D.minhashEstimateSql
   )
 }

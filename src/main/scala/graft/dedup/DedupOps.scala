@@ -166,6 +166,61 @@ object DedupOps {
        |FROM verified
        |WHERE round(shared::DOUBLE / (n1 + n2 - shared), 4) >= $JaccardThreshold""".stripMargin
 
+  // ------------------------------------------------- MinHash Jaccard estimate
+
+  /** Sketch-based Jaccard ESTIMATION: for LSH candidate pairs, the
+    * fraction of agreeing MinHash signature positions is an unbiased
+    * estimator of the true Jaccard similarity (E[sig_a(i)=sig_b(i)] =
+    * J(A,B)). Emitted alongside the exact value so the estimator's
+    * error is visible; at 100 TB the estimate replaces the exact
+    * verification entirely (no shingle sets in the shuffle, just the
+    * K-long signatures). All integer arithmetic — oracle-exact. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val hsets = shingleHashes(spark, dir).localCheckpoint()
+    val sigs = hsets
+      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
+      .localCheckpoint()
+    val bands = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
+      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    val h1 = hsets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
+    val h2 = hsets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
+    cand.join(s1, "d1").join(s2, "d2").join(h1, "d1").join(h2, "d2")
+      .withColumn("n_agree", size(filter(
+        zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
+      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
+      .select(col("d1"), col("d2"), col("n_agree"),
+        col("shared"),
+        (col("n1") + col("n2") - col("shared")).as("unioned"))
+  }
+
+  val minhashEstimateSql: String =
+    s"""WITH $shingleHashesSql,
+       |sigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS (
+       |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |       len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) AS n_agree,
+       |       len(list_intersect(h1.hs, h2.hs)) AS shared,
+       |       h1.n + h2.n - len(list_intersect(h1.hs, h2.hs)) AS unioned
+       |FROM cand
+       |JOIN sigs s1 ON s1.doc_id = d1
+       |JOIN sigs s2 ON s2.doc_id = d2
+       |JOIN hsets h1 ON h1.doc_id = d1
+       |JOIN hsets h2 ON h2.doc_id = d2""".stripMargin
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash signature width (bits). */
