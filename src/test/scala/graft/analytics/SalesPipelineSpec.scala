@@ -1,0 +1,34 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.SparkTestSession
+
+/** Orchestration negative paths (SURVEY.md §2c O1/O3): the pipeline
+  * must abort — like the reference's sensor timeout and
+  * BigQueryCheckOperator — when the input is missing or the quality
+  * gate fails. */
+class SalesPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("missing input aborts before running the ETL (O1)") {
+    val e = intercept[IllegalArgumentException] {
+      SalesPipeline.run(spark, "/nonexistent/input.csv", "/tmp/graft_pipe_out")
+    }
+    assert(e.getMessage.contains("input not found"))
+  }
+
+  test("quality gate rejects a table with duplicate ids / broken totals (O3)") {
+    import spark.implicits._
+    val bad = Seq(
+      ("1", "Laptop", 10.0, 2L, java.sql.Date.valueOf("2024-01-15"), 20.0),
+      ("1", "Laptop", 10.0, 2L, java.sql.Date.valueOf("2024-01-15"), 20.0), // dup id
+      ("2", "Mouse", 5.0, 1L, java.sql.Date.valueOf("2024-01-16"), 99.0)    // wrong total
+    ).toDF("id", "product", "price", "quantity", "sale_date", "total_sale")
+    assert(SalesQueries.validateQuality(bad).count() === 0)
+    val good = Seq(
+      ("1", "Laptop", 10.0, 2L, java.sql.Date.valueOf("2024-01-15"), 20.0),
+      ("2", "Mouse", 5.0, 1L, java.sql.Date.valueOf("2024-01-16"), 5.0)
+    ).toDF("id", "product", "price", "quantity", "sale_date", "total_sale")
+    assert(SalesQueries.validateQuality(good).count() === 1)
+  }
+}
