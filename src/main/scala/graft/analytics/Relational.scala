@@ -257,24 +257,30 @@ object Relational {
       orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
       k = 3)
 
-  /** Exact interpolated percentiles per group (Spark `percentile` and
-    * DuckDB `quantile_cont` both use linear interpolation). At 100 TB
-    * the exact form needs a full sort per group — the scale path is
-    * `approx_percentile` (t-digest/KLL sketch, not oracle-comparable,
-    * so the exact form is the verified one). */
+  /** Exact discrete percentiles per group (`percentile_disc`: smallest
+    * value whose cumulative distribution ≥ q). Discrete — not
+    * interpolated — so the result is an ACTUAL element of the data and
+    * bit-identical across engines (interpolated `percentile` differs in
+    * final-ulp arithmetic and round-half behavior). The oracle encodes
+    * the same definition explicitly with cume_dist. At 100 TB the
+    * exact form needs a per-group sort — the scale path is
+    * `approx_percentile` (KLL sketch, not oracle-comparable). */
   def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), typedLit(Seq(0.5, 0.95))).as("p"))
-      .select(col("l_returnflag"),
-        round(element_at(col("p"), 1), 2).as("p50"),
-        round(element_at(col("p"), 2), 2).as("p95"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"))
 
   val pricePercentilesSql: String =
     """SELECT l_returnflag,
-      |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-      |FROM lineitem GROUP BY 1""".stripMargin
+      |       min(CASE WHEN cd >= 0.5 THEN x END) AS p50,
+      |       min(CASE WHEN cd >= 0.95 THEN x END) AS p95
+      |FROM (SELECT l_returnflag, l_extendedprice AS x,
+      |             cume_dist() OVER (PARTITION BY l_returnflag
+      |                               ORDER BY l_extendedprice) AS cd
+      |      FROM lineitem)
+      |GROUP BY 1""".stripMargin
 
   /** Skewed fact⋈dim join via explicit salting (graft.operators
     * .SkewJoin): result-identical to the plain equi-join, so the plain
