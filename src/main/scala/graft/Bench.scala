@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness: runs every SparkEntry query once against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * `{"metric":"total","value":…,"queries":{…},"errors":{…},"sf":…}`.
+  *
+  * Failure policy: a query that throws is recorded with a NEGATIVE
+  * elapsed time in `queries` plus its message in `errors`, is excluded
+  * from the total, and the process exits nonzero — a broken query must
+  * not read as a fast pass in bench telemetry.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,19 +20,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Stable name order; drop per-query caches so queries don't fight
-    // each other for storage memory within the shared JVM.
+    // Stable name order; drop per-query state (caches AND the
+    // lineage-truncation localCheckpoint blocks, which clearCache does
+    // not touch) so queries don't fight for storage within the JVM.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val failed = try { fn(spark, sfDir).count(); false } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+          true
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (failed) -dt else dt)
     }.toMap
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

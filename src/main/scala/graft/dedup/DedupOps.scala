@@ -84,7 +84,7 @@ object DedupOps {
     // (cache substitution on self-joined subtrees proved unreliable).
     val ex = shingleHashes(spark, dir)
       .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -119,7 +119,7 @@ object DedupOps {
     * inverted-index pair explosion. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // eager, lineage-truncating materialization — see ngramJaccard note
-    val hsets = shingleHashes(spark, dir).localCheckpoint()
+    val hsets = shingleHashes(spark, dir).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Each stage below is materialized eagerly: the band index and the
     // candidate set are tiny (O(docs·Bands) and O(near-dup pairs)), and
     // truncating lineage keeps the self-join + two verify joins from
@@ -128,13 +128,13 @@ object DedupOps {
       .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
       .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val h1 = hsets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
     val h2 = hsets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
     cand.join(h1, "d1").join(h2, "d2")
@@ -176,10 +176,10 @@ object DedupOps {
     * verification entirely (no shingle sets in the shuffle, just the
     * K-long signatures). All integer arithmetic — oracle-exact. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val hsets = shingleHashes(spark, dir).localCheckpoint()
+    val hsets = shingleHashes(spark, dir).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sigs = hsets
       .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
       .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
@@ -231,7 +231,9 @@ object DedupOps {
     * by the oracle; near-dup pairing at scale = hamming-band join on the
     * signature (not materialized here). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hs = transform(tokensCol(col("text")), t => polyHashCol(t))
+    // native per-token hashing — the transform(…, polyHash) HOF lambda
+    // evaluates interpreted per element
+    val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),

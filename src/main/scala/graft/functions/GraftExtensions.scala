@@ -14,11 +14,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_dot(array<double>, array<double>) → double
   *   graft_shingle_hashes(array<string>, w)  → array<bigint>  (mod P)
   *   graft_simhash(array<bigint>, bits)      → bigint
+  *   graft_token_hashes(array<string>)       → array<bigint>
+  *   graft_count_cp_range(str, lo, hi)       → int
+  *   graft_count_punct(str)                  → int
+  *   graft_count_ws_tokens(str)              → int
+  *   graft_count_bpe_tokens(str)             → int
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** Arity gate: wrong argument counts raise a clear error from the
+    * builder instead of an IndexOutOfBounds from inside it. */
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -27,26 +39,75 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // whole-operator plan: GroupedTopK logical node → bounded-heap exec
+    // whole-operator plan: GroupedTopK logical node → streaming-rank exec
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "_FUNC_(str) - polynomial rolling hash mod 1e9+7"),
-      (args: Seq[Expression]) => PolyHashExpr(args.head)))
+      (args: Seq[Expression]) => {
+        arity("graft_poly_hash", 1, args)
+        PolyHashExpr(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(a, b) - dot product of two array<double>"),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("graft_dot", 2, args)
+        DotProductExpr(args(0), args(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes",
         "_FUNC_(tokens, w) - distinct hashes of w-word shingles"),
-      (args: Seq[Expression]) =>
-        ShingleHashesExpr(args(0), intArg(args(1), "w"), PolyHashExpr.P)))
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2, args)
+        ShingleHashesExpr(args(0), intArg(args(1), "w"), PolyHashExpr.P)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "_FUNC_(hashes, bits) - simhash of token hashes"),
-      (args: Seq[Expression]) =>
-        SimHashExpr(args(0), intArg(args(1), "bits"))))
+      (args: Seq[Expression]) => {
+        arity("graft_simhash", 2, args)
+        SimHashExpr(args(0), intArg(args(1), "bits"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_hashes"),
+      info("graft_token_hashes", "_FUNC_(tokens) - per-token polynomial hashes"),
+      (args: Seq[Expression]) => {
+        arity("graft_token_hashes", 1, args)
+        TokenHashesExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_cp_range"),
+      info("graft_count_cp_range",
+        "_FUNC_(str, lo, hi) - count of code points in [lo, hi]"),
+      (args: Seq[Expression]) => {
+        arity("graft_count_cp_range", 3, args)
+        CountCpRangeExpr(args.head, intArg(args(1), "lo"), intArg(args(2), "hi"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_punct"),
+      info("graft_count_punct",
+        "_FUNC_(str) - count of code points matching [^a-z0-9\\s]"),
+      (args: Seq[Expression]) => {
+        arity("graft_count_punct", 1, args)
+        CountPunctExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_ws_tokens"),
+      info("graft_count_ws_tokens",
+        "_FUNC_(str) - count of whitespace-separated tokens"),
+      (args: Seq[Expression]) => {
+        arity("graft_count_ws_tokens", 1, args)
+        CountWsTokensExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_bpe_tokens"),
+      info("graft_count_bpe_tokens",
+        "_FUNC_(str) - count of [a-z]+|[0-9]+|[^a-z0-9\\s] tokens"),
+      (args: Seq[Expression]) => {
+        arity("graft_count_bpe_tokens", 1, args)
+        CountBpeTokensExpr(args.head)
+      }))
   }
 }

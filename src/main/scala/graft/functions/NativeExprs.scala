@@ -36,6 +36,24 @@ object NativeExprs {
 
   def simHash(hs: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(hs), bits))
+
+  def tokenHashes(tokens: Column): Column =
+    ExpressionUtils.column(TokenHashesExpr(ExpressionUtils.expression(tokens)))
+
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(CountInSetExpr(ExpressionUtils.expression(tokens), words.toArray))
+
+  def countCpRange(s: Column, lo: Int, hi: Int): Column =
+    ExpressionUtils.column(CountCpRangeExpr(ExpressionUtils.expression(s), lo, hi))
+
+  def countPunct(s: Column): Column =
+    ExpressionUtils.column(CountPunctExpr(ExpressionUtils.expression(s)))
+
+  def countWsTokens(s: Column): Column =
+    ExpressionUtils.column(CountWsTokensExpr(ExpressionUtils.expression(s)))
+
+  def countBpeTokens(s: Column): Column =
+    ExpressionUtils.column(CountBpeTokensExpr(ExpressionUtils.expression(s)))
 }
 
 /** h = fold(codepoints(s), 0, (acc, cp) => (acc*31 + cp) mod P) —
@@ -95,7 +113,11 @@ object DotProductExpr {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // null elements contribute 0 (skipped) rather than NPE
+      if (!a.isNullAt(i) && !b.isNullAt(i)) s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }
@@ -157,11 +179,17 @@ case class ShingleHashesExpr(child: Expression, w: Int, p: Long)
 
 object ShingleHashesExpr {
   def hashes(tokens: ArrayData, w: Int, p: Long): ArrayData = {
-    val n = tokens.numElements()
-    if (n < w) return new GenericArrayData(Array.emptyLongArray)
-    val toks = new Array[String](n)
+    val nAll = tokens.numElements()
+    // null elements are dropped before shingling
+    val toks0 = new Array[String](nAll)
+    var n = 0
     var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    while (i < nAll) {
+      if (!tokens.isNullAt(i)) { toks0(n) = tokens.getUTF8String(i).toString; n += 1 }
+      i += 1
+    }
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val toks = toks0
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     i = 0
     while (i <= n - w) {
@@ -213,11 +241,14 @@ object SimHashExpr {
     val n = hs.numElements()
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var b = 0
-      while (b < bits) {
-        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      // null elements are skipped
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -231,6 +262,229 @@ object SimHashExpr {
   }
 }
 
+/** Per-element polynomial hash of a token array: the native (codegen)
+  * form of `transform(tokens, t => polyHash(t))`, whose lambda runs
+  * interpreted per element. Null elements are skipped (dropped from the
+  * output), consistent with the other graft array expressions. */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TokenHashesExpr.hashes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashesExpr.hashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_hashes"
+}
+
+object TokenHashesExpr {
+  def hashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        out(m) = PolyHashExpr.hash(tokens.getUTF8String(i))
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** Count of array elements contained in a fixed word set — the native
+  * form of `size(filter(tokens, t => t.isin(words)))` (interpreted HOF).
+  * Null elements are ignored. */
+case class CountInSetExpr(child: Expression, words: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  @transient private lazy val set: java.util.HashSet[UTF8String] = CountInSetExpr.toSet(words)
+  override def nullSafeEval(input: Any): Any =
+    CountInSetExpr.count(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountInSetExpr.count($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountInSetExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_in_set"
+  // Array field would use reference equality; compare by content.
+  override def equals(o: Any): Boolean = o match {
+    case m: CountInSetExpr =>
+      m.child == child && java.util.Arrays.equals(
+        m.words.asInstanceOf[Array[AnyRef]], words.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(java.util.Arrays.hashCode(words.asInstanceOf[Array[AnyRef]])))
+}
+
+object CountInSetExpr {
+  def toSet(words: Array[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  def count(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Count of code points within [lo, hi] — the native form of
+  * `regexp_count(s, "[\\x{lo}-\\x{hi}]")` without the regex engine. */
+case class CountCpRangeExpr(child: Expression, lo: Int, hi: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CountCpRangeExpr.count(input.asInstanceOf[UTF8String], lo, hi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountCpRangeExpr.count($c, $lo, $hi)")
+  override protected def withNewChildInternal(newChild: Expression): CountCpRangeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_cp_range"
+}
+
+object CountCpRangeExpr {
+  def count(s: UTF8String, lo: Int, hi: Int): Int = {
+    val str = s.toString
+    var c = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= lo && cp <= hi) c += 1
+      i += Character.charCount(cp)
+    }
+    c
+  }
+}
+
+/** Count of code points matching Java regex class `[^a-z0-9\s]`
+  * (punctuation probe over already-lowercased text) — native form of
+  * `regexp_count(s, "[^a-z0-9\\s]")`. Java's `\s` is the ASCII set
+  * {\t, \n, \x0B, \f, \r, space}. */
+case class CountPunctExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CountPunctExpr.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountPunctExpr.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountPunctExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_punct"
+}
+
+object CountPunctExpr {
+  private def isJavaSpace(cp: Int): Boolean =
+    cp == ' ' || (cp >= '\t' && cp <= '\r') // \t \n \x0B \f \r
+  def count(s: UTF8String): Int = {
+    val str = s.toString
+    var c = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (!(cp >= 'a' && cp <= 'z') && !(cp >= '0' && cp <= '9') && !isJavaSpace(cp)) c += 1
+      i += Character.charCount(cp)
+    }
+    c
+  }
+}
+
+/** Count of whitespace-separated tokens — native form of
+  * `size(filter(split(s, "\\s+"), t => t != ""))`: the number of maximal
+  * runs of non-`\s` characters (Java ASCII `\s`). */
+case class CountWsTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CountWsTokensExpr.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountWsTokensExpr.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountWsTokensExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_ws_tokens"
+}
+
+object CountWsTokensExpr {
+  def count(s: UTF8String): Int = {
+    val str = s.toString
+    var c = 0
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val ws = cp == ' ' || (cp >= '\t' && cp <= '\r')
+      if (!ws && !inTok) { c += 1; inTok = true }
+      else if (ws) inTok = false
+      i += Character.charCount(cp)
+    }
+    c
+  }
+}
+
+/** Count of BPE-ish tokens over lowercased text — native form of
+  * `regexp_count(s, "[a-z]+|[0-9]+|[^a-z0-9\\s]")`: greedy left-to-right
+  * alternation ≡ (# maximal letter runs) + (# maximal digit runs) +
+  * (# other non-whitespace code points). */
+case class CountBpeTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CountBpeTokensExpr.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CountBpeTokensExpr.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): CountBpeTokensExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_bpe_tokens"
+}
+
+object CountBpeTokensExpr {
+  def count(s: UTF8String): Int = {
+    val str = s.toString
+    var c = 0
+    var run = 0 // 0 = none, 1 = letters, 2 = digits
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') { if (run != 1) { c += 1; run = 1 } }
+      else if (cp >= '0' && cp <= '9') { if (run != 2) { c += 1; run = 2 } }
+      else {
+        run = 0
+        val ws = cp == ' ' || (cp >= '\t' && cp <= '\r')
+        if (!ws) c += 1
+      }
+      i += Character.charCount(cp)
+    }
+    c
+  }
+}
+
 object MinHashSigExpr {
   def sig(hs: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
     val k = a.length
@@ -241,8 +495,11 @@ object MinHashSigExpr {
       var m = Long.MaxValue
       var j = 0
       while (j < n) {
-        val v = (a(i) * hs.getLong(j) + b(i)) % p
-        if (v < m) m = v
+        // null elements are skipped
+        if (!hs.isNullAt(j)) {
+          val v = (a(i) * hs.getLong(j) + b(i)) % p
+          if (v < m) m = v
+        }
         j += 1
       }
       out(i) = m

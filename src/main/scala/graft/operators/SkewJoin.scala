@@ -23,15 +23,20 @@ object SkewJoin {
   def saltedInnerJoin(big: DataFrame, dim: DataFrame, keys: Seq[String],
                       salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    // Collision-free working column: extend "_salt" until it clashes
+    // with neither input schema (withColumn would silently REPLACE an
+    // existing column and corrupt user data).
+    val taken = (big.columns ++ dim.columns).toSet
+    val saltName = Iterator.iterate("_salt")(_ + "_").dropWhile(taken).next()
     // Any per-row value in [0, salt) preserves correctness; derive it
     // from the row's own key columns plus partition id so it needs no
     // extra state and stays uniform under key skew.
     val saltCol: Column =
       pmod(xxhash64(keys.map(col) :+ spark_partition_id().cast("long"): _*)
         + monotonically_increasing_id(), lit(salt.toLong))
-    val b = big.withColumn("_salt", saltCol)
-    val d = dim.withColumn("_salt",
+    val b = big.withColumn(saltName, saltCol)
+    val d = dim.withColumn(saltName,
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    b.join(d, keys :+ "_salt").drop("_salt")
+    b.join(d, keys :+ saltName).drop(saltName)
   }
 }

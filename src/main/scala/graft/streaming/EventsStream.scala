@@ -23,15 +23,18 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object EventsStream {
 
   /** Streaming source over the events parquet directory, normalizing the
-    * nanosecond `ts` (see Tables.events) to a microsecond timestamp. */
+    * nanosecond `ts` (see Tables.events) to a microsecond timestamp.
+    * The nanos legacy conf is scoped to schema inference and restored
+    * (see Tables.withNanosAsLong). */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file source needs a directory basePath; select just the events
-    // file from the shared testdata dir via pathGlobFilter.
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val (schema: StructType, raw) = graft.tables.Tables.withNanosAsLong(spark) {
+      val s = spark.read.parquet(s"$dir/events.parquet").schema
+      // The file source needs a directory basePath; select just the
+      // events file from the shared testdata dir via pathGlobFilter.
+      (s, spark.readStream.schema(s)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    }
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
@@ -63,15 +66,33 @@ object EventsStream {
 
   /** Run a streaming aggregate to completion over the files currently in
     * `dir` (Trigger.AvailableNow — the "sense, drain, stop" loop) and
-    * return the final result from the in-memory sink. */
+    * return the final result from the in-memory sink.
+    *
+    * Session confs are tuned for the drain-then-stop shape and restored
+    * afterwards: the per-batch checkpoint fsync+checksum tax and one
+    * HDFS-backed state store per shuffle partition dominate a short run,
+    * so state parallelism is capped and checkpoint file checksums are
+    * skipped (the checkpoint is a temp dir, discarded on exit).
+    */
   def runAvailableNow(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val conf = spark.conf
+    val saved = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
     spark.table(name)
   }
 }

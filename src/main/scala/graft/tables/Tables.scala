@@ -25,15 +25,28 @@ object Tables {
     * rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a nano-epoch
     * long (legacy conf) and convert to a microsecond timestamp —
     * truncation ns→µs matches DuckDB's epoch_ms()/date_trunc semantics
-    * downstream. The conf only affects nanos columns, so other tables
-    * are untouched.
+    * downstream. The conf is only consulted while `spark.read.parquet`
+    * infers the schema (verified empirically: execution with the conf
+    * reset still succeeds), so it is restored immediately — no lasting
+    * session-state side effect for concurrent users.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    val raw = withNanosAsLong(spark)(table(spark, dir, "events"))
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** Runs `body` with spark.sql.legacy.parquet.nanosAsLong=true and
+    * restores the previous value (schema inference happens inside). */
+  def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -26,12 +26,15 @@ object TextOps {
   /** Per-document token statistics: whitespace tokens, BPE-ish regex
     * tokens, and code-point length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    // counts via native codegen expressions (NativeExprs) — the
+    // split+filter HOF and regexp_count forms evaluate interpreted /
+    // through the regex engine and dominated the bench
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
       col("doc_id"),
-      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("n_ws_tokens"),
-      regexp_count(lower(col("text")), lit(BpePat)).as("n_bpe_tokens"),
+      graft.functions.NativeExprs.countWsTokens(col("text")).as("n_ws_tokens"),
+      graft.functions.NativeExprs.countBpeTokens(lower(col("text"))).as("n_bpe_tokens"),
       length(col("text")).as("n_cp"))
 
   val tokenStatsSql: String =
@@ -54,7 +57,8 @@ object TextOps {
   private val CjkPat = "[\\x{4e00}-\\x{9fff}]"
 
   private def markerScoreCol(tk: Column, words: Seq[String]): Column =
-    size(filter(tk, t => t.isin(words.map(lit): _*)))
+    // native set-membership count; the filter+isin HOF runs interpreted
+    graft.functions.NativeExprs.countInSet(tk, words)
 
   private def markerScoreSql(t: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -76,7 +80,8 @@ object TextOps {
     val tk = col("t")
     val scored = toks.select(
       col("lang"),
-      regexp_count(col("text"), lit(CjkPat)).as("zh_s"),
+      // native code-point range count ≡ regexp_count(text, CjkPat)
+      graft.functions.NativeExprs.countCpRange(col("text"), 0x4e00, 0x9fff).as("zh_s"),
       markerScoreCol(tk, markers(0)._2).as("en_s"),
       markerScoreCol(tk, markers(1)._2).as("de_s"),
       markerScoreCol(tk, markers(2)._2).as("fr_s"),
@@ -129,7 +134,8 @@ object TextOps {
       col("doc_id"),
       size(tk).as("n_tokens"),
       markerScoreCol(tk, stopWords).as("n_stop"),
-      regexp_count(lower(col("text")), lit("[^a-z0-9\\s]")).as("n_punct"),
+      // native ≡ regexp_count(lower(text), "[^a-z0-9\\s]")
+      graft.functions.NativeExprs.countPunct(lower(col("text"))).as("n_punct"),
       length(col("text")).as("n_cp"))
     // Integer basis points (×10000, floor division) end-to-end:
     // bit-identical across engines, immune to FP round-half ties.

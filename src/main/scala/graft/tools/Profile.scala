@@ -9,46 +9,111 @@ import graft.functions.TextExprs._
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
+    def on(n: String) = which.isEmpty || which.contains(n)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for (a <- si.submissionTime; b <- si.completionTime) yield (b - a) / 1e3
+        if (dur.exists(_ > 0.5))
+          println(f"[stage] ${si.stageId}%4d ${dur.get}%7.2f s  gc=${si.taskMetrics.jvmGCTime/1e3}%6.2f s  tasks=${si.numTasks}  ${si.name.takeWhile(_ != '\n').take(80)}")
+      }
+    })
 
-    def time(name: String)(f: => Any): Unit = {
+    def time(name: String)(f: => Any): Unit = if (on(name.split(" ").head)) {
       val t0 = System.nanoTime()
       val r = f
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
     }
 
-    val docs = Tables.documents(spark, dir)
-    time("docs count")(docs.count())
-    time("tokens")(docs.select(tokensCol(col("text")).as("t")).selectExpr("sum(size(t))").head())
-    time("shingles")(docs.select(shinglesCol(tokensCol(col("text"))).as("s"))
-      .selectExpr("sum(size(s))").head())
-    val hs = docs.select(col("doc_id"),
-      array_distinct(transform(shinglesCol(tokensCol(col("text"))), s => polyHashCol(s))).as("hs"))
-    time("shingle hashes")(hs.selectExpr("sum(size(hs))").head())
-    val ex = hs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
-    time("exploded index")(ex.count())
-    val exC = ex.cache()
-    time("cache materialize")(exC.count())
-    val pairs = exC.as("a").join(exC.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-    time("pair join+agg")(pairs.count())
-    time("q20 full")(graft.dedup.DedupOps.ngramJaccard(spark, dir).count())
-    time("q21 full")(graft.dedup.DedupOps.minhashLsh(spark, dir).count())
-    time("q16 full")(graft.text.TextOps.langId(spark, dir).count())
-    val tk = tokensCol(col("text"))
-    time("q16 zh regex only")(docs.select(
-      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("z"))
-      .selectExpr("sum(z)").head())
-    time("q16 markers only")(docs.select(
-      size(filter(tk, t => t.isin("the", "and", "of", "is", "to"))).as("s"))
-      .selectExpr("sum(s)").head())
+    // --- q23 breakdown ---------------------------------------------------
+    if (on("q23")) {
+      val e = Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(graft.functions.NativeExprs.dotProduct(col("v"), col("v"))))
+      time("q23 vecs")(e.count())
+      val j = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      time("q23 pairs only")(j.count())
+      val cos = j.withColumn("cos_sim",
+        graft.functions.NativeExprs.dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      time("q23 pairs+dot")(cos.filter(col("cos_sim") >= 0.4).count())
+      time("q23 full")(graft.vector.VectorOps.nearDupPairs(spark, dir).count())
+      graft.vector.VectorOps.nearDupPairs(spark, dir).explain("formatted")
+    }
+
+    // --- q34 breakdown ---------------------------------------------------
+    if (on("q34")) {
+      val hsets0 = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("n", size(col("hs")))
+      time("q34 hsets")(hsets0.count())
+      val hsets = hsets0.localCheckpoint()
+      val sigs = hsets.select(col("doc_id"), minhashSigCol(col("hs")).as("sig")).localCheckpoint()
+      time("q34 sigs")(sigs.count())
+      val bands = sigs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
+        .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
+      time("q34 bands")(bands.count())
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      time("q34 cand")(cand.count())
+      time("q34 full")(graft.dedup.DedupOps.minhashEstimate(spark, dir).count())
+    }
+
+    // --- q20 breakdown ---------------------------------------------------
+    if (on("q20")) {
+      time("q20 full")(graft.dedup.DedupOps.ngramJaccard(spark, dir).count())
+    }
+    if (on("q21")) time("q21 full")(graft.dedup.DedupOps.minhashLsh(spark, dir).count())
+
+    // --- q30 -------------------------------------------------------------
+    if (on("q30")) {
+      time("q30 full")(graft.analytics.Relational.saltedJoinAgg(spark, dir).count())
+      val plain = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")), Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("r"))
+      time("q30 plain join")(plain.count())
+    }
+
+    // --- q33 -------------------------------------------------------------
+    if (on("q33")) time("q33 full")(graft.analytics.Relational.pricePercentiles(spark, dir).count())
+
+    // --- q28 -------------------------------------------------------------
+    if (on("q28")) time("q28 full")(graft.analytics.EventOps.asofJoin(spark, dir).count())
+
+    // --- q26 -------------------------------------------------------------
+    if (on("q26")) {
+      time("q26 full")(graft.streaming.EventsStream.runAvailableNow(
+        spark, graft.streaming.EventsStream.tumblingCounts(
+          graft.streaming.EventsStream.source(spark, dir)), "profile_q26").count())
+    }
+
+    // --- q27 -------------------------------------------------------------
+    if (on("q27")) time("q27 full")(graft.analytics.Relational.aboveAvgOrders(spark, dir).count())
+    if (on("q29")) time("q29 full")(graft.analytics.Relational.topOrdersPerPriorityCustom(spark, dir).count())
+    if (on("q32")) time("q32 full")(graft.text.TextOps.topTermsPerLang(spark, dir).count())
+    if (on("q22")) time("q22 full")(graft.dedup.DedupOps.simhash(spark, dir).count())
+    if (on("q24")) time("q24 full")(graft.vector.VectorOps.knnBrute(spark, dir).count())
+    if (on("q25")) time("q25 full")(graft.vector.VectorOps.annLsh(spark, dir).count())
+    if (on("q16")) time("q16 full")(graft.text.TextOps.langId(spark, dir).count())
+    if (on("q01")) time("q01 full")(graft.analytics.Relational.globalStats(spark, dir).count())
     spark.stop()
   }
 }
