@@ -59,7 +59,23 @@ object SparkEntry {
     "q31_label_centroids"   -> (V.labelCentroids _),
     "q32_top_terms"         -> (T.topTermsPerLang _),
     "q33_percentiles"       -> (R.pricePercentiles _),
-    "q34_minhash_estimate"  -> (D.minhashEstimate _)
+    "q34_minhash_estimate"  -> (D.minhashEstimate _),
+    "q35_ann_ivf"           -> (V.annIvf _),
+    "q36_chunking"          -> (T.chunkDocs _),
+    "q37_redact"            -> (T.redact _),
+    "q38_stratified"        -> (T.stratifiedSample _),
+    "q39_tfidf"             -> (T.tfidfTopTerms _),
+    "q40_lead_lag"          -> (E.leadLagDeltas _),
+    "q41_semi_anti"         -> (R.semiAntiCustomers _),
+    "q42_cube"              -> (R.cubeByStatusPriority _),
+    "q43_binary_meta"       -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.binaryMeta(s, dir)),
+    // Sketch operators (HLL++ distinct, approx percentiles): engine-
+    // specific sketch internals → no DuckDB oracle; the exact columns
+    // emitted next to the sketch make the results self-validating and
+    // the driver records the rows-only check.
+    "q44_approx_distinct"   -> (R.approxDistinct _),
+    "q45_approx_percentile" -> (R.approxPercentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,6 +112,15 @@ object SparkEntry {
     "q31_label_centroids"   -> V.labelCentroidsSql,
     "q32_top_terms"         -> T.topTermsPerLangSql,
     "q33_percentiles"       -> R.pricePercentilesSql,
-    "q34_minhash_estimate"  -> D.minhashEstimateSql
+    "q34_minhash_estimate"  -> D.minhashEstimateSql,
+    "q35_ann_ivf"           -> V.annIvfSql,
+    "q36_chunking"          -> T.chunkDocsSql,
+    "q37_redact"            -> T.redactSql,
+    "q38_stratified"        -> T.stratifiedSampleSql,
+    "q39_tfidf"             -> T.tfidfTopTermsSql,
+    "q40_lead_lag"          -> E.leadLagDeltasSql,
+    "q41_semi_anti"         -> R.semiAntiCustomersSql,
+    "q42_cube"              -> R.cubeByStatusPrioritySql,
+    "q43_binary_meta"       -> graft.multimodal.MultimodalOps.binaryMetaSql
   )
 }

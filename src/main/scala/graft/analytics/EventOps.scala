@@ -113,6 +113,41 @@ object EventOps {
       |QUALIFY row_number() OVER (PARTITION BY a.event_id
       |                           ORDER BY b.ts DESC, b.event_id DESC) = 1""".stripMargin
 
+  /** LEAD/LAG window navigation: per-user inter-event gaps (lag) and
+    * next-value direction (lead), rolled up per event type. All emitted
+    * aggregates derive from integers (ms gaps, counts) so double
+    * summation order cannot flip the hash. One shuffle on user_id for
+    * the window, one small aggregate. */
+  def leadLagDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("next_up",
+        when(lead(col("value"), 1).over(byUser) > col("value"), 1L).otherwise(0L))
+      .withColumn("has_next",
+        when(lead(col("value"), 1).over(byUser).isNotNull, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(col("gap_ms")).as("n_gaps"),
+        max(col("gap_ms")).as("max_gap_ms"),
+        round(avg(col("gap_ms")), 2).as("avg_gap_ms"),
+        sum(col("next_up")).as("n_next_up"),
+        sum(col("has_next")).as("n_with_next"))
+  }
+
+  val leadLagDeltasSql: String =
+    """WITH nav AS (
+      |  SELECT event_type,
+      |         epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+      |         CASE WHEN lead(value) OVER w > value THEN 1 ELSE 0 END AS next_up,
+      |         CASE WHEN lead(value) OVER w IS NOT NULL THEN 1 ELSE 0 END AS has_next
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type, count(gap_ms) AS n_gaps, max(gap_ms) AS max_gap_ms,
+      |       round(avg(gap_ms), 2) AS avg_gap_ms,
+      |       CAST(sum(next_up) AS BIGINT) AS n_next_up,
+      |       CAST(sum(has_next) AS BIGINT) AS n_with_next
+      |FROM nav GROUP BY 1""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,

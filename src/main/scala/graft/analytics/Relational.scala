@@ -328,4 +328,71 @@ object Relational {
       |                        FROM orders i
       |                        WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o.o_custkey""".stripMargin
+
+  /** LEFT SEMI + LEFT ANTI joins: customers holding at least one
+    * finished ('F') order and no open ('O') order. Both joins shuffle
+    * on the key with the probe side reduced to the key column only —
+    * the EXISTS / NOT EXISTS plan shape (no row multiplication, unlike
+    * an inner join + distinct). */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(spark, dir)
+      .join(f, Seq("c_custkey"), "left_semi")
+      .join(open, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val semiAntiCustomersSql: String =
+    """SELECT c_custkey, c_nationkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'O')""".stripMargin
+
+  /** GROUP BY CUBE: all 2^2 grouping sets over (status, priority) in one
+    * pass — Catalyst expands to a single Expand + hash aggregate (rows
+    * replicated 4×, one shuffle), the scalable grouping-sets plan. */
+  def cubeByStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  val cubeByStatusPrioritySql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** HLL++ approximate COUNT(DISTINCT) next to the exact value, with
+    * the relative error in integer basis points. The sketch is the
+    * 100 TB path: fixed-size state, one-pass, mergeable across
+    * partitions — no oracle (DuckDB's approx sketch differs), so the
+    * driver records the weaker rows-only check; the exact column and
+    * the bounded `err_bp` make the result self-validating. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_nd"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"))
+      .withColumn("err_bp",
+        floor(abs(col("approx_nd") - col("exact_nd")) * lit(10000L) / col("exact_nd"))
+          .cast("long"))
+
+  /** KLL/GK-sketch approximate percentiles next to the exact
+    * percentile_disc values (q33's scale path). No oracle — sketch
+    * internals are engine-specific; self-validating via the exact
+    * columns. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
 }

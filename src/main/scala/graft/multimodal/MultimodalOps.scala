@@ -123,4 +123,32 @@ object MultimodalOps {
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Binary-column metadata extraction with a cross-engine oracle: the
+    * documents' text bytes stand in for an opaque media payload (this
+    * container ships no real media), and the query exercises the binary
+    * plumbing a media table needs — BINARY cast, byte length, a
+    * deterministic content digest (md5), and a typed `kind` column
+    * derived from the payload. Narrow map, payload never shuffles (the
+    * aggregate sees only the small metadata row). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    graft.tables.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        when(length(bin) % 3 === 0, "image")
+          .when(length(bin) % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        length(bin).cast("long").as("n_bytes"),
+        md5(bin).as("digest"))
+  }
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN octet_length(CAST(text AS BLOB)) % 3 = 0 THEN 'image'
+      |            WHEN octet_length(CAST(text AS BLOB)) % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS kind,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS digest
+      |FROM documents""".stripMargin
 }

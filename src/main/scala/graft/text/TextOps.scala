@@ -205,6 +205,162 @@ object TextOps {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ----------------------------------------------------- document chunking
+
+  /** Tokens per chunk / stride (overlap = ChunkSize - ChunkStride). */
+  val ChunkSize   = 64
+  val ChunkStride = 48
+
+  /** Overlapping token-window chunking — the standard context-window
+    * prep for training pipelines: chunk i covers tokens
+    * [i·stride, i·stride + size). Every doc yields ≥ 1 chunk (short
+    * docs produce one short chunk); each chunk carries its token count
+    * and a content fingerprint so downstream exact-dedup runs directly
+    * on chunks. Narrow map + explode — embarrassingly parallel, no
+    * shuffle at any corpus size. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val nch = (greatest(lit(0L),
+      floor((size(t) - lit(ChunkSize - ChunkStride + 1)) / lit(ChunkStride.toDouble)))
+      + 1L).cast("long")
+    val chunks = transform(sequence(lit(0L), nch - 1),
+      i => slice(t, (i * ChunkStride + 1).cast("int"), lit(ChunkSize)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        polyHashCol(array_join(col("chunk"), " ")).as("chunk_fp"))
+  }
+
+  val chunkDocsSql: String = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |ch AS (SELECT doc_id, t,
+       |              1 + greatest(0, (len(t) - ${ChunkSize - ChunkStride + 1}) // $ChunkStride) AS nch
+       |       FROM toks),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, nch)) AS chunk_id,
+       |         unnest(list_transform(range(0, nch),
+       |           i -> t[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize])) AS chunk
+       |  FROM ch)
+       |SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
+       |       ${polyHashSql("array_to_string(chunk, ' ')")} AS chunk_fp
+       |FROM chunks""".stripMargin
+  }
+
+  // --------------------------------------------------------- PII redaction
+
+  /** Redaction patterns (Java regex ≡ RE2 for these classes). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumPat   = "[0-9]{3,}"
+
+  /** Pattern-based PII redaction: replace email-shaped and long-digit
+    * spans with typed placeholders, emit match counts plus a fingerprint
+    * of the redacted text (bit-parity check that both engines rewrote
+    * identically). Narrow map — no shuffle. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(col("text"), EmailPat, "<EMAIL>"), NumPat, "<NUM>")
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(NumPat)).cast("long").as("n_nums"),
+        length(red).as("red_len"),
+        polyHashCol(red).as("red_fp"))
+  }
+
+  val redactSql: String = {
+    val emailSql = EmailPat.replace("\\.", "\\.")
+    val red = s"regexp_replace(regexp_replace(text, '$emailSql', '<EMAIL>', 'g'), '$NumPat', '<NUM>', 'g')"
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$emailSql')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$NumPat')) AS BIGINT) AS n_nums,
+       |       length($red) AS red_len,
+       |       ${polyHashSql(red)} AS red_fp
+       |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------------- stratified sampling
+
+  /** Per-language keep-rate in percent (unlisted languages: 10%). */
+  val SampleRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 30, "fr" -> 20)
+  val DefaultRate = 10
+
+  /** Deterministic hash-based stratified sampling: a doc is kept iff
+    * polyhash(doc_id) mod 100 < rate(lang) — reproducible across runs
+    * and engines (no RNG), the standard down-sampling gate in data
+    * pipelines. Emitted as per-stratum totals so the oracle checks both
+    * the rate logic and the hash. Scale: narrow map + small aggregate;
+    * the hash gate runs before any shuffle so discarded rows never
+    * leave the scan stage. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(DefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val keep = pmod(polyHashCol(col("doc_id").cast("string")), lit(100L)) < rate
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val rate = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < $rate
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------- TF-IDF
+
+  /** Top-5 corpus terms per language by integer TF-IDF:
+    * score_bp = tf·10000 // df, where tf counts term occurrences within
+    * the language and df counts distinct documents (corpus-wide)
+    * containing the term — integer arithmetic end-to-end so both
+    * engines agree bit-exactly (no float log-idf). Two shuffles (term
+    * counts, distinct doc-term) + a broadcast-sized df join; the top-k
+    * is the one-shuffle ranking window. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), tokensCol(col("text")).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), col("doc_id"), explode(col("t")).as("term"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val tf = ex.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = ex.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("score_bp"), col("term"))
+    tf.join(df, "term")
+      .withColumn("score_bp", floor(col("tf") * lit(10000L) / col("df")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("score_bp"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String = {
+    val t = tokensSql("text")
+    s"""WITH ex AS (SELECT lang, doc_id, unnest($t) AS term FROM documents),
+       |tf AS (SELECT lang, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1),
+       |scored AS (
+       |  SELECT lang, tf.term AS term, tf, df, tf * 10000 // df AS score_bp
+       |  FROM tf JOIN df ON tf.term = df.term)
+       |SELECT lang, term, tf, df, score_bp, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |              ORDER BY score_bp DESC, term) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // -------------------------------------------------- document fingerprint
 
   /** Rolling-hash fingerprint of the normalized token stream — the

@@ -90,6 +90,15 @@ object Profile {
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_extendedprice")).as("r"))
       time("q30 plain join")(plain.count())
+      val salted = graft.operators.SkewJoin.saltedInnerJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        keys = Seq("l_orderkey"), salt = 8)
+      time("q30 join only")(salted.count())
+      time("q30 full again")(graft.analytics.Relational.saltedJoinAgg(spark, dir).count())
+      graft.analytics.Relational.saltedJoinAgg(spark, dir).explain("formatted")
     }
 
     // --- q33 -------------------------------------------------------------
@@ -112,8 +121,34 @@ object Profile {
     if (on("q22")) time("q22 full")(graft.dedup.DedupOps.simhash(spark, dir).count())
     if (on("q24")) time("q24 full")(graft.vector.VectorOps.knnBrute(spark, dir).count())
     if (on("q25")) time("q25 full")(graft.vector.VectorOps.annLsh(spark, dir).count())
+    if (on("q16x")) {
+      val toks = Tables.documents(spark, dir)
+        .select(col("lang"), col("text"), tokensCol(col("text")).as("t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      time("q16x toks")(toks.count())
+      time("q16x cp range")(toks.select(
+        graft.functions.NativeExprs.countCpRange(col("text"), 0x4e00, 0x9fff).as("z"))
+        .selectExpr("sum(z)").head())
+      time("q16x one marker")(toks.select(
+        graft.functions.NativeExprs.countInSet(col("t"), Seq("the","and","of","is","to")).as("s"))
+        .selectExpr("sum(s)").head())
+      graft.text.TextOps.langId(spark, dir).explain("formatted")
+    }
     if (on("q16")) time("q16 full")(graft.text.TextOps.langId(spark, dir).count())
     if (on("q01")) time("q01 full")(graft.analytics.Relational.globalStats(spark, dir).count())
+    if (on("sleep")) { println("[profile] sleeping 15s"); Thread.sleep(15000) }
+    if (on("q23post")) {
+      time("q23post full")(graft.vector.VectorOps.nearDupPairs(spark, dir).count())
+      time("q27post full")(graft.analytics.Relational.aboveAvgOrders(spark, dir).count())
+    }
+    if (on("unpersist")) {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      println("[profile] unpersisted")
+    }
+    if (on("q23post2")) {
+      time("q23post2 full")(graft.vector.VectorOps.nearDupPairs(spark, dir).count())
+    }
     spark.stop()
   }
 }

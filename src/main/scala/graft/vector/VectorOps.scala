@@ -189,4 +189,88 @@ object VectorOps {
        |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= $KLsh""".stripMargin
+
+  // ---------------------------------------------------------------- IVF ANN
+
+  /** Coarse-quantizer cell count and probe width for the IVF index. */
+  val Cells  = 16
+  val NProbe = 2
+
+  /** Deterministic pseudo-random cell centroids (same LCG family as
+    * [[planeW]], offset so the two sketches are independent). */
+  val centW: Seq[Seq[Double]] =
+    (0 until Cells).map { c =>
+      (0 until Dim).map { d =>
+        (((1103515245L * (100000 + c * Dim + d) + 12345L) % 2001L) - 1000L).toDouble
+      }
+    }
+
+  /** array of dot(v, centroid_c) for c in [0, Cells). */
+  private def centDots(v: Column): Column =
+    array((0 until Cells).map(c => dot(v, typedLit(centW(c)))): _*)
+
+  private def centDotsSql(v: String): String =
+    (0 until Cells).map { c =>
+      val w = centW(c).map(_.toInt).mkString("[", ",", "]")
+      s"list_dot_product($v, $w::DOUBLE[])"
+    }.mkString("[", ",", "]")
+
+  /** IVF-style ANN: every vector is assigned to its nearest coarse cell
+    * (argmax dot with [[Cells]] fixed centroids — 1-based first-max, a
+    * deterministic tie-break both engines share); each query probes its
+    * [[NProbe]] best cells and ranks ONLY the vectors in those cells by
+    * exact cosine. The candidate step is an equi-join on the cell id —
+    * at 100 TB the corpus side shuffles once on `cell` (or is written
+    * bucketed by cell) and each query touches NProbe/Cells of the data,
+    * the standard inverted-file trade of recall for cost. Same probe
+    * set as [[knnBrute]] so recall is measurable against the exact
+    * result. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+      .withColumn("d", centDots(col("v")))
+      .withColumn("cell", array_position(col("d"), array_max(col("d"))))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // second-best cell: mask the argmax slot, take the argmax again
+    val masked = transform(sequence(lit(1L), lit(Cells.toLong)),
+      i => when(i === col("cell"), lit(-1e18))
+        .otherwise(element_at(col("d"), i.cast("int"))))
+    val q = broadcast(e.filter(col("vec_id") < QueryMax)
+      .withColumn("m", masked)
+      .withColumn("cell2", array_position(col("m"), array_max(col("m"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(array(col("cell"), col("cell2"))).as("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KLsh)
+  }
+
+  val annIvfSql: String =
+    s"""WITH $vecsSql,
+       |dots AS (SELECT vec_id, v, nrm, ${centDotsSql("v")} AS d FROM vecs),
+       |cells AS (SELECT vec_id, v, nrm, d, list_position(d, list_max(d)) AS cell FROM dots),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |         list_transform(range(1, ${Cells + 1}),
+       |           i -> CASE WHEN i = cell THEN -1e18 ELSE d[i] END) AS m
+       |  FROM cells WHERE vec_id < $QueryMax),
+       |qcells AS (
+       |  SELECT vec_id, v, nrm, unnest([cell, list_position(m, list_max(m))]) AS cell
+       |  FROM probes),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
+       |  FROM qcells q JOIN cells e
+       |    ON q.cell = e.cell AND q.vec_id != e.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $KLsh""".stripMargin
 }

@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.SparkTestSession
+
+/** Invariant specs for the round-2 operator surface (q35–q45); the
+  * driver's DuckDB oracle provides value-exact verification, these
+  * cover structural properties at sf0.001. */
+class Round2OpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  test("chunking: every doc chunked, chunk sizes bounded, counts consistent") {
+    import graft.text.TextOps.{ChunkSize, ChunkStride}
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val chunks = graft.text.TextOps.chunkDocs(spark, dir).cache()
+    assert(chunks.select("doc_id").distinct().count() === docs.count())
+    assert(chunks.filter(col("n_chunk_tokens") > ChunkSize).count() === 0)
+    // chunk_ids per doc are dense 0..n-1
+    val bad = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_id").as("mx"), min("chunk_id").as("mn"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.count() === 0)
+    // overlap: consecutive chunks of a long doc share ChunkSize-ChunkStride tokens
+    assert(ChunkSize > ChunkStride)
+    chunks.unpersist()
+  }
+
+  test("redaction changes the fingerprint exactly when something matched") {
+    val red = graft.text.TextOps.redact(spark, dir)
+    val fp = graft.text.TextOps.fingerprint(spark, dir)
+    val j = red.join(
+      graft.tables.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.polyHash(col("text")).as("orig_fp")),
+      "doc_id").cache()
+    assert(j.filter(col("n_nums") + col("n_emails") > 0 &&
+      col("red_fp") === col("orig_fp")).count() === 0)
+    assert(j.filter(col("n_nums") + col("n_emails") === 0 &&
+      col("red_fp") =!= col("orig_fp")).count() === 0)
+    assert(fp.count() > 0)
+    j.unpersist()
+  }
+
+  test("stratified sample keeps a subset with lang-dependent rates") {
+    val s = graft.text.TextOps.stratifiedSample(spark, dir).cache()
+    assert(s.filter(col("n_sampled") > col("n_docs")).count() === 0)
+    assert(s.agg(sum("n_sampled")).head().getLong(0) > 0)
+    s.unpersist()
+  }
+
+  test("tfidf emits at most 5 ranked terms per language with positive scores") {
+    val t = graft.text.TextOps.tfidfTopTerms(spark, dir).cache()
+    val perLang = t.groupBy("lang").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perLang.filter(col("n") > 5 || col("mx") > 5).count() === 0)
+    assert(t.filter(col("score_bp") <= 0 || col("df") <= 0).count() === 0)
+    t.unpersist()
+  }
+
+  test("IVF ANN: ranked neighbors per probe, never the probe itself") {
+    val a = graft.vector.VectorOps.annIvf(spark, dir).cache()
+    assert(a.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    val perQ = a.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") > graft.vector.VectorOps.KLsh).count() === 0)
+    assert(perQ.filter(col("mx") =!= col("n")).count() === 0) // dense ranks from 1
+    a.unpersist()
+  }
+
+  test("semi/anti customers have an F order and no O order") {
+    val r = graft.analytics.Relational.semiAntiCustomers(spark, dir)
+    val o = graft.tables.Tables.orders(spark, dir)
+    val withO = r.join(o.filter(col("o_orderstatus") === "O"),
+      r("c_custkey") === o("o_custkey"))
+    val withF = r.join(o.filter(col("o_orderstatus") === "F"),
+      r("c_custkey") === o("o_custkey"), "left_anti")
+    assert(withO.count() === 0)
+    assert(withF.count() === 0)
+  }
+
+  test("cube grand total equals the table count") {
+    val c = graft.analytics.Relational.cubeByStatusPriority(spark, dir)
+    val total = c.filter(col("o_orderstatus").isNull && col("o_orderpriority").isNull)
+      .select("n_orders").head().getLong(0)
+    assert(total === graft.tables.Tables.orders(spark, dir).count())
+  }
+
+  test("lead/lag gap counts are bounded by event counts") {
+    val l = graft.analytics.EventOps.leadLagDeltas(spark, dir).cache()
+    assert(l.filter(col("n_next_up") > col("n_with_next")).count() === 0)
+    assert(l.filter(col("avg_gap_ms") > col("max_gap_ms")).count() === 0)
+    l.unpersist()
+  }
+
+  test("binary metadata: md5 digest shape and positive byte lengths") {
+    val b = graft.multimodal.MultimodalOps.binaryMeta(spark, dir).cache()
+    assert(b.filter(length(col("digest")) =!= 32).count() === 0)
+    assert(b.filter(col("n_bytes") <= 0).count() === 0)
+    assert(b.select("kind").distinct().count() <= 3)
+    b.unpersist()
+  }
+
+  test("HLL approx distinct lands within 5% of exact") {
+    val a = graft.analytics.Relational.approxDistinct(spark, dir)
+    assert(a.filter(col("err_bp") > 500).count() === 0)
+  }
+
+  test("approx percentiles bracket the exact discrete percentiles loosely") {
+    val p = graft.analytics.Relational.approxPercentiles(spark, dir)
+    val bad = p.filter(
+      abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") > 0.05 ||
+      abs(col("approx_p95") - col("exact_p95")) / col("exact_p95") > 0.05)
+    assert(bad.count() === 0)
+  }
+}
