@@ -75,7 +75,22 @@ object SparkEntry {
     // emitted next to the sketch make the results self-validating and
     // the driver records the rows-only check.
     "q44_approx_distinct"   -> (R.approxDistinct _),
-    "q45_approx_percentile" -> (R.approxPercentiles _)
+    "q45_approx_percentile" -> (R.approxPercentiles _),
+    // Streaming twin of q14's sessions through the NATIVE session_window
+    // operator (watermarked state store) — oracle re-derives the same
+    // sessions from the batch lag formulation.
+    "q46_stream_session"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.sessionize(
+          graft.streaming.EventsStream.source(s, dir)), "q46_stream_session")),
+    // Arbitrary stateful streaming (mapGroupsWithState, Update mode):
+    // per-user running stats; AvailableNow over one file = one
+    // micro-batch, so each user emits exactly once.
+    "q47_stream_userstats"  -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.userStats(
+          graft.streaming.EventsStream.source(s, dir)), "q47_stream_userstats",
+        outputMode = "update"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +136,8 @@ object SparkEntry {
     "q40_lead_lag"          -> E.leadLagDeltasSql,
     "q41_semi_anti"         -> R.semiAntiCustomersSql,
     "q42_cube"              -> R.cubeByStatusPrioritySql,
-    "q43_binary_meta"       -> graft.multimodal.MultimodalOps.binaryMetaSql
+    "q43_binary_meta"       -> graft.multimodal.MultimodalOps.binaryMetaSql,
+    "q46_stream_session"    -> E.streamSessionizeSql,
+    "q47_stream_userstats"  -> E.userStatsSql
   )
 }

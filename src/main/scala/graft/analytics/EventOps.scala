@@ -148,6 +148,34 @@ object EventOps {
       |       CAST(sum(has_next) AS BIGINT) AS n_with_next
       |FROM nav GROUP BY 1""".stripMargin
 
+  /** Oracle for the STREAMING session-window query (q46): the
+    * lag-formulation sessions of [[sessionizeSql]], re-aggregated to the
+    * native session_window output shape (no session_id — the streaming
+    * operator doesn't number sessions). */
+  val streamSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
+  /** Oracle for the mapGroupsWithState per-user stats (q47). */
+  val userStatsSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+      |       date_trunc('second', min(ts)) AS first_s,
+      |       date_trunc('second', max(ts)) AS last_s
+      |FROM events GROUP BY 1""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,

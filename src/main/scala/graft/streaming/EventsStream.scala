@@ -2,8 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Running per-user accumulator for [[EventsStream.userStats]]. */
+case class UserAggState(
+    n_events: Long, sum_value: Double, first_ms: Long, last_ms: Long)
+
+/** Emitted per-user row for [[EventsStream.userStats]]. */
+case class UserAgg(
+    user_id: Long, n_events: Long, sum_value: Double,
+    first_ms: Long, last_ms: Long)
 
 /** Structured Streaming forms of the event-stream operators
   * (SURVEY.md §1: the reference's Airflow sensor→process loop
@@ -64,6 +73,42 @@ object EventsStream {
         date_trunc("second", col("session_window.start")).as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Custom stateful streaming aggregate via `mapGroupsWithState` — the
+    * arbitrary-state API (the escape hatch when built-in windows can't
+    * express the state machine): one [[UserAggState]] per user, updated
+    * per micro-batch, emitted in Update mode. State is partitioned by
+    * the group key across executors and persisted in the state store —
+    * the standard scale path for custom streaming state. Emitted values
+    * (counts, ms timestamps) are integer-derived except the double sum,
+    * which is rounded on output like every other oracle query. */
+  def userStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ds = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .as[(Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[UserAggState, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[UserAggState]) =>
+          var s = state.getOption.getOrElse(
+            UserAggState(0L, 0.0, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, ms, v) =>
+            s = UserAggState(s.n_events + 1, s.sum_value + v,
+              math.min(s.first_ms, ms), math.max(s.last_ms, ms))
+          }
+          state.update(s)
+          UserAgg(uid, s.n_events, s.sum_value, s.first_ms, s.last_ms)
+      }
+      .toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"),
+        timestamp_millis(col("first_ms")).as("first_s"),
+        timestamp_millis(col("last_ms")).as("last_s"))
+      // second precision on output (ms == s here; ts is ns-truncated)
+      .withColumn("first_s", date_trunc("second", col("first_s")))
+      .withColumn("last_s", date_trunc("second", col("last_s")))
+  }
+
   /** Run a streaming aggregate to completion over the files currently in
     * `dir` (Trigger.AvailableNow — the "sense, drain, stop" loop) and
     * return the final result from the in-memory sink.
@@ -74,7 +119,8 @@ object EventsStream {
     * so state parallelism is capped and checkpoint file checksums are
     * skipped (the checkpoint is a temp dir, discarded on exit).
     */
-  def runAvailableNow(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runAvailableNow(spark: SparkSession, agg: DataFrame, name: String,
+                      outputMode: String = "complete"): DataFrame = {
     val conf = spark.conf
     val saved = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.checkpoint.fileChecksum.enabled")
@@ -85,7 +131,7 @@ object EventsStream {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()

@@ -22,6 +22,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("mapGroupsWithState per-user stats equal the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.userStats(EventsStream.source(spark, dir)),
+      "stream_userstats", outputMode = "update")
+    val batch = graft.tables.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        date_trunc("second", min("ts")).as("first_s"),
+        date_trunc("second", max("ts")).as("last_s"))
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
   test("streaming session windows equal the batch lag-based sessionization") {
     val streamed = EventsStream.runAvailableNow(
       spark, EventsStream.sessionize(EventsStream.source(spark, dir)),
