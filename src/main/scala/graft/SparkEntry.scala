@@ -90,7 +90,12 @@ object SparkEntry {
       graft.streaming.EventsStream.runAvailableNow(
         s, graft.streaming.EventsStream.userStats(
           graft.streaming.EventsStream.source(s, dir)), "q47_stream_userstats",
-        outputMode = "update"))
+        outputMode = "update")),
+    "q48_pivot"             -> (R.pivotQtyByStatus _),
+    "q49_array_funcs"       -> (T.arrayFuncs _),
+    "q50_rank_suite"        -> (R.rankSuite _),
+    "q51_string_funcs"      -> (R.stringFuncs _),
+    "q52_date_funcs"        -> (R.dateFuncs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,6 +143,11 @@ object SparkEntry {
     "q42_cube"              -> R.cubeByStatusPrioritySql,
     "q43_binary_meta"       -> graft.multimodal.MultimodalOps.binaryMetaSql,
     "q46_stream_session"    -> E.streamSessionizeSql,
-    "q47_stream_userstats"  -> E.userStatsSql
+    "q47_stream_userstats"  -> E.userStatsSql,
+    "q48_pivot"             -> R.pivotQtyByStatusSql,
+    "q49_array_funcs"       -> T.arrayFuncsSql,
+    "q50_rank_suite"        -> R.rankSuiteSql,
+    "q51_string_funcs"      -> R.stringFuncsSql,
+    "q52_date_funcs"        -> R.dateFuncsSql
   )
 }

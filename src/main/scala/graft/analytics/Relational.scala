@@ -383,6 +383,113 @@ object Relational {
         floor(abs(col("approx_nd") - col("exact_nd")) * lit(10000L) / col("exact_nd"))
           .cast("long"))
 
+  /** PIVOT: wide-format grouped aggregate — one row per return flag,
+    * one column per line status. Spark's pivot with explicit values
+    * compiles to a single hash aggregate with one conditional-agg
+    * column per value (no extra shuffle vs. the long form); the oracle
+    * is the equivalent explicit conditional aggregation. */
+  def pivotQtyByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+
+  val pivotQtyByStatusSql: String =
+    """SELECT l_returnflag,
+      |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+      |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Ranking-function suite: dense_rank / percent_rank / ntile /
+    * cume_dist in one window pass (same partition+order ⇒ one shuffle,
+    * one sort), top-5 rows per group by row_number. percent_rank and
+    * cume_dist are exact integer ratios — identical doubles across
+    * engines. */
+  def rankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cdist"))
+      .filter(col("rn") <= 5)
+  }
+
+  val rankSuiteSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |       CAST(rn AS INT) AS rn, CAST(drank AS INT) AS drank, prank,
+      |       CAST(quartile AS INT) AS quartile, cdist
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         row_number()   OVER w AS rn,
+      |         dense_rank()   OVER w AS drank,
+      |         percent_rank() OVER w AS prank,
+      |         ntile(4)       OVER w AS quartile,
+      |         cume_dist()    OVER w AS cdist
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 5""".stripMargin
+
+  /** Scalar string-function surface over customer (upper/length/
+    * substring/concat/lpad/replace/split_part/reverse/translate) —
+    * narrow map, verified value-exactly cross-engine. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      length(col("c_name")).as("name_len"),
+      substring(col("c_name"), 1, 8).as("name_head"),
+      concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+      regexp_replace(col("c_name"), "^Customer", "Cust").as("name_short"),
+      split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+      reverse(split_part(col("c_name"), lit("#"), lit(1))).as("name_rev"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"))
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |       upper(c_mktsegment) AS seg_upper,
+      |       length(c_name) AS name_len,
+      |       substring(c_name, 1, 8) AS name_head,
+      |       concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
+      |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+      |       regexp_replace(c_name, '^Customer', 'Cust') AS name_short,
+      |       split_part(c_name, '#', 2) AS name_num,
+      |       reverse(split_part(c_name, '#', 1)) AS name_rev,
+      |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+      |FROM customer""".stripMargin
+
+  /** Scalar date/time-function surface over orders (extract fields,
+    * date arithmetic, month truncation, last_day) — the orderdate is a
+    * timestamp in the parquet, normalized to DATE first on both sides. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(d).as("y"), month(d).as("m"), dayofmonth(d).as("dom"),
+      quarter(d).as("q"),
+      date_add(d, 30).as("plus30"),
+      datediff(d, lit("1995-01-01").cast("date")).as("days_since_95"),
+      last_day(d).as("month_end"),
+      trunc(d, "mm").as("month_start"))
+  }
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |       CAST(year(d)    AS INT) AS y,
+      |       CAST(month(d)   AS INT) AS m,
+      |       CAST(day(d)     AS INT) AS dom,
+      |       CAST(quarter(d) AS INT) AS q,
+      |       d + 30 AS plus30,
+      |       CAST(date_diff('day', DATE '1995-01-01', d) AS INT) AS days_since_95,
+      |       last_day(d) AS month_end,
+      |       date_trunc('month', d) AS month_start
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)""".stripMargin
+
   /** KLL/GK-sketch approximate percentiles next to the exact
     * percentile_disc values (q33's scale path). No oracle — sketch
     * internals are engine-specific; self-validating via the exact

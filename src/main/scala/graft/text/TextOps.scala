@@ -361,6 +361,41 @@ object TextOps {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ------------------------------------------------- array-function surface
+
+  /** Array/collection-function surface over the token arrays:
+    * distinct-count, element access (null-safe for empty docs),
+    * membership, max-by-derived-value — the list-manipulation core any
+    * document pipeline leans on. Narrow map, oracle-verified. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        array_max(transform(t, x => length(x))).as("max_token_len"),
+        array_contains(t, "the").as("has_the"),
+        get(t, lit(0)).as("first_token"),
+        element_at(t, -1).as("last_token"),
+        slice(sort_array(array_distinct(t)), 1, 3).as("first3_sorted"))
+  }
+
+  val arrayFuncsSql: String = {
+    val t = tokensSql("text")
+    s"""SELECT doc_id,
+       |       len(t) AS n_tokens,
+       |       len(list_distinct(t)) AS n_distinct,
+       |       list_max(list_transform(t, x -> length(x))) AS max_token_len,
+       |       list_contains(t, 'the') AS has_the,
+       |       t[1] AS first_token,
+       |       t[-1] AS last_token,
+       |       list_sort(list_distinct(t))[1:3] AS first3_sorted
+       |FROM (SELECT doc_id, $t AS t FROM documents)""".stripMargin
+  }
+
   // -------------------------------------------------- document fingerprint
 
   /** Rolling-hash fingerprint of the normalized token stream — the
