@@ -35,8 +35,8 @@ object DedupOps {
     // spread the CPU-heavy tokenize→shingle→hash map across all cores
     // (one tiny shuffle of raw rows — a multi-TB corpus would already
     // arrive in thousands of splits).
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         graft.functions.NativeExprs
           .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
@@ -55,8 +55,8 @@ object DedupOps {
     * rolling hash of the token stream, keeps the smallest doc_id
     * (deterministic first-wins). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
       .groupBy(col("fp"))
@@ -234,8 +234,8 @@ object DedupOps {
     // native per-token hashing — the transform(…, polyHash) HOF lambda
     // evaluates interpreted per element
     val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         graft.functions.NativeExprs.simHash(hs, SimhashBits).as("simhash"))
   }

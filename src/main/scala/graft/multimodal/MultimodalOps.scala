@@ -133,8 +133,8 @@ object MultimodalOps {
     * aggregate sees only the small metadata row). */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
     val bin = col("text").cast("binary")
-    graft.tables.Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+    graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
       .select(col("doc_id"),
         when(length(bin) % 3 === 0, "image")
           .when(length(bin) % 3 === 1, "audio")

@@ -50,4 +50,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Spread an under-partitioned scan across the session's cores.
+    *
+    * The driver testdata is ONE parquet split per table, which would
+    * serialize every CPU-heavy map (tokenize/shingle/hash) onto a single
+    * task. A production deployment reads thousands of splits and must
+    * NOT pay an extra full shuffle — so the round-robin repartition only
+    * fires when the scan exposes fewer partitions than the session's
+    * parallelism. At 100 TB this is a no-op; on a laptop-sized file it
+    * unlocks all cores. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

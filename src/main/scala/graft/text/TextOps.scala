@@ -29,8 +29,8 @@ object TextOps {
     // counts via native codegen expressions (NativeExprs) — the
     // split+filter HOF and regexp_count forms evaluate interpreted /
     // through the regex engine and dominated the bench
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(
       col("doc_id"),
       graft.functions.NativeExprs.countWsTokens(col("text")).as("n_ws_tokens"),
@@ -69,14 +69,11 @@ object TextOps {
     * confusion counts (labelled lang × predicted lang). Deterministic
     * argmax with a fixed tie-break order (en > de > fr > es). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the token array BEFORE the repartition barrier: the
-    // downstream argmax CASE chain references every score several times,
-    // and CollapseProject would otherwise inline (and re-evaluate) the
-    // whole tokenize pipeline per reference. Projections do not collapse
-    // across the exchange, so `t` is computed exactly once per row.
-    val toks = Tables.documents(spark, dir)
+    // The token array is its own projection referenced by several score
+    // expressions; CollapseProject leaves non-cheap multi-referenced
+    // projections alone, so `t` is computed exactly once per row.
+    val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"), col("text"), tokensCol(col("text")).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism)
     val tk = col("t")
     val scored = toks.select(
       col("lang"),
@@ -125,10 +122,9 @@ object TextOps {
     * length saturation, punctuation ratio, stopword ratio. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val stopWords = markers.flatMap(_._2)
-    // tokens behind the exchange barrier — same rationale as langId
-    val toks = Tables.documents(spark, dir)
+    // tokens in their own multi-referenced projection — see langId note
+    val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"), tokensCol(col("text")).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism)
     val tk = col("t")
     val base = toks.select(
       col("doc_id"),
@@ -185,8 +181,8 @@ object TextOps {
     * a shuffle keyed first by (lang, term) for the count, then by lang
     * for the top-k; never a global sort. */
   def topTermsPerLang(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val counts =       // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"), explode(tokensCol(col("text"))).as("term"))
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("cnt"))
@@ -225,9 +221,8 @@ object TextOps {
       + 1L).cast("long")
     val chunks = transform(sequence(lit(0L), nch - 1),
       i => slice(t, (i * ChunkStride + 1).cast("int"), lit(ChunkSize)))
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), tokensCol(col("text")).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(col("chunk")).as("n_chunk_tokens"),
@@ -264,8 +259,8 @@ object TextOps {
   def redact(spark: SparkSession, dir: String): DataFrame = {
     val red = regexp_replace(
       regexp_replace(col("text"), EmailPat, "<EMAIL>"), NumPat, "<NUM>")
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
         regexp_count(col("text"), lit(NumPat)).cast("long").as("n_nums"),
@@ -302,8 +297,8 @@ object TextOps {
       case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
     val keep = pmod(polyHashCol(col("doc_id").cast("string")), lit(100L)) < rate
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
@@ -328,9 +323,8 @@ object TextOps {
     * counts, distinct doc-term) + a broadcast-sized df join; the top-k
     * is the one-shuffle ranking window. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(spark, dir)
+    val ex = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"), col("doc_id"), tokensCol(col("text")).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("lang"), col("doc_id"), explode(col("t")).as("term"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tf = ex.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
@@ -369,9 +363,8 @@ object TextOps {
     * document pipeline leans on. Narrow map, oracle-verified. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
     val t = col("t")
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), tokensCol(col("text")).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         size(t).as("n_tokens"),
@@ -401,8 +394,8 @@ object TextOps {
   /** Rolling-hash fingerprint of the normalized token stream — the
     * canonical-form hash used by exact dedup (DedupOps.exactDedup). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
       .select(
       col("doc_id"),
       polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))

@@ -56,8 +56,8 @@ object VectorOps {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     // one small file = one split; spread the O(n·m) pair scans below
     // across all cores (see DedupOps.shingleHashes note)
-    Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
@@ -126,8 +126,8 @@ object VectorOps {
     * of corpus size (the building block for k-means / IVF coarse
     * quantizers). Emitted long-form for the oracle. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.embeddings(spark, dir))
       .select(col("label"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
