@@ -95,7 +95,11 @@ object SparkEntry {
     "q49_array_funcs"       -> (T.arrayFuncs _),
     "q50_rank_suite"        -> (R.rankSuite _),
     "q51_string_funcs"      -> (R.stringFuncs _),
-    "q52_date_funcs"        -> (R.dateFuncs _)
+    "q52_date_funcs"        -> (R.dateFuncs _),
+    "q53_grouping_sets"     -> (R.groupingSetsTotals _),
+    "q54_map_funcs"         -> (E.mapFuncs _),
+    "q55_setops_all"        -> (R.setOpsAll _),
+    "q56_range_window"      -> (R.rangeWindowBand _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -148,6 +152,10 @@ object SparkEntry {
     "q49_array_funcs"       -> T.arrayFuncsSql,
     "q50_rank_suite"        -> R.rankSuiteSql,
     "q51_string_funcs"      -> R.stringFuncsSql,
-    "q52_date_funcs"        -> R.dateFuncsSql
+    "q52_date_funcs"        -> R.dateFuncsSql,
+    "q53_grouping_sets"     -> R.groupingSetsTotalsSql,
+    "q54_map_funcs"         -> E.mapFuncsSql,
+    "q55_setops_all"        -> R.setOpsAllSql,
+    "q56_range_window"      -> R.rangeWindowBandSql
   )
 }

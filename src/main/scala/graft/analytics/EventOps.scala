@@ -169,6 +169,31 @@ object EventOps {
       |       count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM sessions GROUP BY user_id, session_id""".stripMargin
 
+  /** MapType surface: parse the JSON props column into a real
+    * map<string,bigint> ONCE (`from_json` with an explicit schema — no
+    * per-row inference), then key inventory, cardinality, and null-safe
+    * element access. At scale this is the "parse once, use many"
+    * pattern that replaces repeated get_json_object calls. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    Tables.events(spark, dir)
+      .select(col("event_id"), m.as("m"))
+      .select(col("event_id"),
+        size(col("m")).as("n_keys"),
+        array_sort(map_keys(col("m"))).as("keys_sorted"),
+        try_element_at(col("m"), lit("k")).as("k_val"),
+        try_element_at(col("m"), lit("missing")).as("missing_val"))
+  }
+
+  val mapFuncsSql: String =
+    """SELECT event_id,
+      |       len(json_keys(props)) AS n_keys,
+      |       list_sort(json_keys(props)) AS keys_sorted,
+      |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |       TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+      |FROM events""".stripMargin
+
   /** Oracle for the mapGroupsWithState per-user stats (q47). */
   val userStatsSql: String =
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,

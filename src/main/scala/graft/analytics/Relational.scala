@@ -490,6 +490,83 @@ object Relational {
       |       date_trunc('month', d) AS month_start
       |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping() indicators — the general
+    * form of rollup/cube (q11/q42): three chosen sets in one Expand +
+    * hash-agg pass, expressed through `spark.sql` (the E3 lifecycle)
+    * with syntax both engines share verbatim. */
+  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val groupingSetsTotalsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL) over order
+    * custkey bags, compacted to (op, custkey, multiplicity). Unlike the
+    * distinct forms (q10), these preserve duplicate counts — Spark
+    * plans them as an aggregate on a sum_count column, one shuffle. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.exceptAll(open).withColumn("op", lit("f_minus_o_all"))
+      .unionAll(f.intersectAll(open).withColumn("op", lit("both_all")))
+      .groupBy(col("op"), col("o_custkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
+  val setOpsAllSql: String =
+    """SELECT op, o_custkey, count(*) AS multiplicity FROM (
+      |  SELECT 'f_minus_o_all' AS op, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT 'both_all' AS op, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+      |GROUP BY 1, 2""".stripMargin
+
+  /** RANGE window frame (value-based, vs. q09's ROWS frame): for each
+    * lineitem, how many rows of the same (flag, status) fall within
+    * quantity ± the 2-unit trailing band, plus the exact sum of their
+    * integral quantities. RANGE frames bound by VALUE distance — the
+    * frame is a set, so engine-internal iteration order cannot change
+    * the result (quantities are integral doubles; sums exact). */
+  def rangeWindowBand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_quantity"))
+      .rangeBetween(-2L, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        count(lit(1)).over(w).as("n_in_band"),
+        round(sum(col("l_quantity")).over(w), 2).as("qty_in_band"))
+  }
+
+  val rangeWindowBandSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity,
+      |       count(*) OVER w AS n_in_band,
+      |       round(sum(l_quantity) OVER w, 2) AS qty_in_band
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag, l_linestatus ORDER BY l_quantity
+      |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** KLL/GK-sketch approximate percentiles next to the exact
     * percentile_disc values (q33's scale path). No oracle — sketch
     * internals are engine-specific; self-validating via the exact

@@ -1,0 +1,96 @@
+package graft.analytics
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.SparkTestSession
+
+/** Plan-shape assertions for the two biggest 100 TB levers the bench
+  * data is too small to surface: partition pruning and bucketed
+  * (shuffle-free) joins. These pin the PLAN, not just the values —
+  * a regression that silently re-scans or re-shuffles fails here. */
+class ScalePlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Run `body` with AQE off (stable plan strings for assertions) and
+    * optionally broadcast joins off (so the bucketed SMJ path is the
+    * one planned); restores the previous confs. */
+  private def withPlanConfs[A](noBroadcast: Boolean)(body: => A): A = {
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("partition pruning: a filter on the partition column prunes the scan") {
+    val out = Files.createTempDirectory("part-prune").toString
+    graft.tables.Tables.lineitem(spark, dir)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+
+    withPlanConfs(noBroadcast = false) {
+      val pruned = spark.read.parquet(out).filter(col("l_returnflag") === "A")
+        .agg(round(sum(col("l_quantity")), 2).as("s"))
+      // value correctness vs. the unpartitioned source
+      val expected = graft.tables.Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "A")
+        .agg(round(sum(col("l_quantity")), 2).as("s")).head().getDouble(0)
+      assert(pruned.head().getDouble(0) === expected)
+
+      // the partition filter must appear as PartitionFilters on the
+      // scan, and pruning must cover strictly fewer files than exist
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+      assert(scans.exists(_.toString.contains("PartitionFilters: [isnotnull(l_returnflag")),
+        scans.map(_.toString).mkString("\n"))
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val allFiles = spark.read.parquet(out).inputFiles.length
+      assert(filesRead < allFiles, s"scan read $filesRead of $allFiles files — no pruning")
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse directories persist — clear them so CREATE succeeds
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val p = java.nio.file.Paths.get(new java.net.URI(wh).getPath, t)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+    graft.tables.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    graft.tables.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+
+    withPlanConfs(noBroadcast = true) {
+      val joined = spark.table("li_bucketed").join(
+        spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // correctness: same row count as the plain join
+      val expected = graft.tables.Tables.lineitem(spark, dir).join(
+        graft.tables.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+      assert(wh.nonEmpty)
+    }
+  }
+}
