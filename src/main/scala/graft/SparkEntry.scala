@@ -99,7 +99,10 @@ object SparkEntry {
     "q53_grouping_sets"     -> (R.groupingSetsTotals _),
     "q54_map_funcs"         -> (E.mapFuncs _),
     "q55_setops_all"        -> (R.setOpsAll _),
-    "q56_range_window"      -> (R.rangeWindowBand _)
+    "q56_range_window"      -> (R.rangeWindowBand _),
+    "q57_unpivot"           -> (R.unpivotMetrics _),
+    "q58_regexp_extract"    -> (R.regexExtract _),
+    "q59_null_funcs"        -> (R.nullFuncs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -156,6 +159,9 @@ object SparkEntry {
     "q53_grouping_sets"     -> R.groupingSetsTotalsSql,
     "q54_map_funcs"         -> E.mapFuncsSql,
     "q55_setops_all"        -> R.setOpsAllSql,
-    "q56_range_window"      -> R.rangeWindowBandSql
+    "q56_range_window"      -> R.rangeWindowBandSql,
+    "q57_unpivot"           -> R.unpivotMetricsSql,
+    "q58_regexp_extract"    -> R.regexExtractSql,
+    "q59_null_funcs"        -> R.nullFuncsSql
   )
 }

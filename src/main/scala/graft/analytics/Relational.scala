@@ -567,6 +567,72 @@ object Relational {
       |WINDOW w AS (PARTITION BY l_returnflag, l_linestatus ORDER BY l_quantity
       |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** UNPIVOT / melt: wide metric columns to long (metric, value) rows —
+    * Spark's native unpivot compiles to a single Expand (rows × 4, no
+    * shuffle); the oracle is the equivalent UNION ALL form. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
+  val unpivotMetricsSql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin
+
+  /** Regex group extraction: pull the numeric id out of the customer
+    * name, with the all-matches variant alongside (regexp_extract /
+    * regexp_extract_all share syntax and group semantics across
+    * engines). */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "Customer#([0-9]+)", 1).as("num_str"),
+      regexp_extract(col("c_name"), "Customer#([0-9]+)", 1)
+        .try_cast("bigint").as("num_val"),
+      size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)))
+        .as("n_digit_runs"))
+
+  val regexExtractSql: String =
+    """SELECT c_custkey,
+      |       regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS num_str,
+      |       TRY_CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS num_val,
+      |       len(regexp_extract_all(c_name, '[0-9]+', 0)) AS n_digit_runs
+      |FROM customer""".stripMargin
+
+  /** Null-handling scalar suite: nullif / coalesce / least / greatest
+    * composed into a grouped aggregate (the synthetic data is
+    * null-free, so nullif MANUFACTURES the nulls being tested). */
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        nullif(col("l_discount"), lit(0.0)).as("d0"),
+        col("l_discount"), col("l_tax"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("d0").isNull, 1L).otherwise(0L)).as("n_zero_disc"),
+        round(sum(coalesce(col("d0"), col("l_tax"))), 2).as("sum_disc_or_tax"),
+        round(min(least(col("l_discount"), col("l_tax"))), 2).as("min_lt"),
+        round(max(greatest(col("l_discount"), col("l_tax"))), 2).as("max_gt"))
+
+  val nullFuncsSql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+      |       round(sum(coalesce(nullif(l_discount, 0.0), l_tax)), 2) AS sum_disc_or_tax,
+      |       round(min(least(l_discount, l_tax)), 2) AS min_lt,
+      |       round(max(greatest(l_discount, l_tax)), 2) AS max_gt
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** KLL/GK-sketch approximate percentiles next to the exact
     * percentile_disc values (q33's scale path). No oracle — sketch
     * internals are engine-specific; self-validating via the exact
