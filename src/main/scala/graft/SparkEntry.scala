@@ -102,7 +102,16 @@ object SparkEntry {
     "q56_range_window"      -> (R.rangeWindowBand _),
     "q57_unpivot"           -> (R.unpivotMetrics _),
     "q58_regexp_extract"    -> (R.regexExtract _),
-    "q59_null_funcs"        -> (R.nullFuncs _)
+    "q59_null_funcs"        -> (R.nullFuncs _),
+    "q60_interval_join"     -> (E.intervalJoin _),
+    // Stream-stream interval join (two watermarked file streams over
+    // the same events directory) — same oracle as the batch q60.
+    "q61_stream_interval"   -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.intervalJoin(
+          graft.streaming.EventsStream.source(s, dir),
+          graft.streaming.EventsStream.source(s, dir)), "q61_stream_interval",
+        outputMode = "append"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +171,8 @@ object SparkEntry {
     "q56_range_window"      -> R.rangeWindowBandSql,
     "q57_unpivot"           -> R.unpivotMetricsSql,
     "q58_regexp_extract"    -> R.regexExtractSql,
-    "q59_null_funcs"        -> R.nullFuncsSql
+    "q59_null_funcs"        -> R.nullFuncsSql,
+    "q60_interval_join"     -> E.intervalJoinSql,
+    "q61_stream_interval"   -> E.intervalJoinSql
   )
 }

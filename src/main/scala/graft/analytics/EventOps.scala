@@ -194,6 +194,34 @@ object EventOps {
       |       TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
       |FROM events""".stripMargin
 
+  /** Interval (range) join: every purchase paired with EVERY click by
+    * the same user in the trailing 1-hour window — the general form of
+    * the as-of join (q28 keeps only the latest; this keeps the set).
+    * Equi-key on user + a time-band predicate: Spark plans the shuffle
+    * on user_id and filters the band inside the join, so per-user
+    * density bounds the cost at any scale. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin
+
   /** Oracle for the mapGroupsWithState per-user stats (q47). */
   val userStatsSql: String =
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,

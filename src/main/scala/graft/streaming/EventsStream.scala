@@ -73,6 +73,27 @@ object EventsStream {
         date_trunc("second", col("session_window.start")).as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** STREAM-STREAM interval join: purchases joined with same-user
+    * clicks from the trailing hour, both sides watermarked so the state
+    * store evicts rows once they can no longer match (clicks kept 1 h
+    * past the purchase watermark per the band). Inner joins emit as
+    * matches arrive; the watermark bounds state, not output latency.
+    * Batch twin / oracle: [[graft.analytics.EventOps.intervalJoin]]. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+  }
+
   /** Custom stateful streaming aggregate via `mapGroupsWithState` — the
     * arbitrary-state API (the escape hatch when built-in windows can't
     * express the state machine): one [[UserAggState]] per user, updated

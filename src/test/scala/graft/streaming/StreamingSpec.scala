@@ -36,6 +36,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.intervalJoin(
+        EventsStream.source(spark, dir), EventsStream.source(spark, dir)),
+      "stream_interval", outputMode = "append")
+    val batch = EventOps.intervalJoin(spark, dir)
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
   test("streaming session windows equal the batch lag-based sessionization") {
     val streamed = EventsStream.runAvailableNow(
       spark, EventsStream.sessionize(EventsStream.source(spark, dir)),
