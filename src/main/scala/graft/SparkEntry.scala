@@ -111,7 +111,13 @@ object SparkEntry {
         s, graft.streaming.EventsStream.intervalJoin(
           graft.streaming.EventsStream.source(s, dir),
           graft.streaming.EventsStream.source(s, dir)), "q61_stream_interval",
-        outputMode = "append"))
+        outputMode = "append")),
+    "q62_outer_join"        -> (R.outerJoinOrders _),
+    "q63_select_subquery"   -> (R.selectScalarSubquery _),
+    "q64_value_windows"     -> (R.valueWindows _),
+    "q65_collect_aggs"      -> (R.collectAggs _),
+    "q66_predicate_aggs"    -> (R.predicateAggs _),
+    "q67_stats_aggs"        -> (R.statsAggs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,6 +179,12 @@ object SparkEntry {
     "q58_regexp_extract"    -> R.regexExtractSql,
     "q59_null_funcs"        -> R.nullFuncsSql,
     "q60_interval_join"     -> E.intervalJoinSql,
-    "q61_stream_interval"   -> E.intervalJoinSql
+    "q61_stream_interval"   -> E.intervalJoinSql,
+    "q62_outer_join"        -> R.outerJoinOrdersSql,
+    "q63_select_subquery"   -> R.selectScalarSubquerySql,
+    "q64_value_windows"     -> R.valueWindowsSql,
+    "q65_collect_aggs"      -> R.collectAggsSql,
+    "q66_predicate_aggs"    -> R.predicateAggsSql,
+    "q67_stats_aggs"        -> R.statsAggsSql
   )
 }

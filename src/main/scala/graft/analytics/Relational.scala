@@ -633,6 +633,134 @@ object Relational {
       |       round(max(greatest(l_discount, l_tax)), 2) AS max_gt
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** FULL OUTER join + aggregate: per-customer order stats INCLUDING
+    * customers with no orders (count over the null-extended side is 0;
+    * totals coalesced). One shuffle per side on the key; null-extension
+    * happens inside the join, not via a second anti-join pass. */
+  def outerJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+  }
+
+  val outerJoinOrdersSql: String =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |       count(o.o_orderkey) AS n_orders,
+      |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+      |FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Scalar subquery in the SELECT clause (vs. q27's WHERE-clause
+    * form): Catalyst decorrelates it into a left outer join against the
+    * grouped aggregate — per-row subquery execution never happens. */
+  def selectScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_cust_ss")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ord_ss")
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT round(max(o_totalprice), 2) FROM graft_ord_ss
+        |        WHERE o_custkey = c_custkey) AS max_order
+        |FROM graft_cust_ss""".stripMargin)
+  }
+
+  val selectScalarSubquerySql: String =
+    """SELECT c_custkey,
+      |       (SELECT round(max(o_totalprice), 2) FROM orders
+      |        WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer""".stripMargin
+
+  /** Value-navigation windows: first_value / last_value / nth_value
+    * over the full partition frame plus the rank cut — one shuffle,
+    * one sort, all five functions in the same window pass. */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        first_value(col("o_orderkey")).over(full).as("top_key"),
+        last_value(col("o_orderkey")).over(full).as("bottom_key"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+      .filter(col("rn") <= 5)
+  }
+
+  val valueWindowsSql: String =
+    """SELECT o_orderpriority, o_orderkey, CAST(rn AS INT) AS rn,
+      |       top_key, bottom_key, third_key
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         row_number() OVER w AS rn,
+      |         first_value(o_orderkey) OVER wf AS top_key,
+      |         last_value(o_orderkey)  OVER wf AS bottom_key,
+      |         nth_value(o_orderkey, 3) OVER wf AS third_key
+      |  FROM orders
+      |  WINDOW w  AS (PARTITION BY o_orderpriority
+      |                ORDER BY o_totalprice DESC, o_orderkey),
+      |         wf AS (PARTITION BY o_orderpriority
+      |                ORDER BY o_totalprice DESC, o_orderkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE rn <= 5""".stripMargin
+
+  /** Array aggregation: collect_set + deterministic sort (collect_list
+    * order is execution-dependent, so the SET form is the
+    * cross-engine-stable one) plus the distinct count it implies. */
+  def collectAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        countDistinct(col("l_shipdate")).as("n_ship_dates"))
+
+  val collectAggsSql: String =
+    """SELECT l_returnflag,
+      |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |       count(DISTINCT l_shipdate) AS n_ship_dates
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Predicate aggregates + exact median: bool_and / bool_or /
+    * count_if, and median over integral doubles (the .5 interpolation
+    * midpoint of two integers is exact in binary — engine-identical). */
+  def predicateAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        count_if(col("l_tax") > 0.05).as("n_high_tax"),
+        median(col("l_quantity")).as("median_qty"))
+
+  val predicateAggsSql: String =
+    """SELECT l_returnflag,
+      |       bool_and(l_quantity > 0) AS all_qty_pos,
+      |       bool_or(l_discount > 0.09) AS any_deep_discount,
+      |       count_if(l_tax > 0.05) AS n_high_tax,
+      |       median(l_quantity) AS median_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Statistical aggregates (sample stddev/variance, correlation,
+    * sample covariance), rounded to absorb accumulation-order ulps —
+    * single-pass co-moment implementations on both engines. */
+  def statsAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+
+  val statsAggsSql: String =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |       round(var_samp(l_quantity), 4) AS var_qty,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** KLL/GK-sketch approximate percentiles next to the exact
     * percentile_disc values (q33's scale path). No oracle — sketch
     * internals are engine-specific; self-validating via the exact
