@@ -117,7 +117,8 @@ object SparkEntry {
     "q64_value_windows"     -> (R.valueWindows _),
     "q65_collect_aggs"      -> (R.collectAggs _),
     "q66_predicate_aggs"    -> (R.predicateAggs _),
-    "q67_stats_aggs"        -> (R.statsAggs _)
+    "q67_stats_aggs"        -> (R.statsAggs _),
+    "q68_minhash_group_sig" -> (D.minhashGroupSig _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,6 +186,7 @@ object SparkEntry {
     "q64_value_windows"     -> R.valueWindowsSql,
     "q65_collect_aggs"      -> R.collectAggsSql,
     "q66_predicate_aggs"    -> R.predicateAggsSql,
-    "q67_stats_aggs"        -> R.statsAggsSql
+    "q67_stats_aggs"        -> R.statsAggsSql,
+    "q68_minhash_group_sig" -> D.minhashGroupSigSql
   )
 }

@@ -221,6 +221,40 @@ object DedupOps {
        |JOIN hsets h1 ON h1.doc_id = d1
        |JOIN hsets h2 ON h2.doc_id = d2""".stripMargin
 
+  // ------------------------------------------------ grouped MinHash sketch
+
+  /** Group-level MinHash signatures via the typed
+    * [[graft.functions.MinHashSigAggregator]] (Aggregator[IN,BUF,OUT]):
+    * the signature of each language's ENTIRE shingle set, computed with
+    * a fixed-size mergeable buffer — partial aggregation ships K longs
+    * per group per partition regardless of corpus size. The oracle
+    * re-derives the same signatures relationally (explode → per-(group,
+    * i) min → re-assemble), so the sketch algebra is value-verified. */
+  def minhashGroupSig(spark: SparkSession, dir: String): DataFrame = {
+    val hsets = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"),
+        graft.functions.NativeExprs
+          .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val groupSig = udaf(graft.functions.MinHashSigAggregator)
+    hsets.groupBy(col("lang")).agg(groupSig(col("hs")).as("sig"))
+  }
+
+  val minhashGroupSigSql: String = {
+    val pairs = minhashA.zip(minhashB)
+      .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+    s"""WITH toks AS (SELECT lang, ${tokensSql("text")} AS t FROM documents),
+       |sh AS (SELECT lang, list_distinct(list_transform(${shinglesSql("t")}, s -> ${polyHashSql("s")})) AS hs
+       |       FROM toks),
+       |hsets AS (SELECT lang, hs FROM sh WHERE len(hs) > 0),
+       |ex AS (SELECT lang, unnest(hs) AS h FROM hsets),
+       |mins AS (
+       |  SELECT lang, i, min(($pairs[i][1] * h + $pairs[i][2]) % $P) AS m
+       |  FROM ex CROSS JOIN (SELECT unnest(range(1, ${MinhashK + 1})) AS i) ix
+       |  GROUP BY 1, 2)
+       |SELECT lang, list(m ORDER BY i) AS sig FROM mins GROUP BY lang""".stripMargin
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash signature width (bits). */

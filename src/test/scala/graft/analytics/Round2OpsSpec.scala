@@ -100,6 +100,28 @@ class Round2OpsSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("group MinHash signature == elementwise min of member signatures") {
+    import graft.functions.TextExprs._
+    val perDoc = graft.tables.Tables.documents(spark, dir)
+      .select(col("lang"),
+        graft.functions.NativeExprs.shingleHashes(
+          tokensCol(col("text")), ShingleW, P).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("lang"), minhashSigCol(col("hs")).as("sig"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.map(_.getSeq[Long](1)).reduce((a, b) =>
+          a.zip(b).map { case (x, y) => math.min(x, y) })
+      }
+    val grouped = graft.dedup.DedupOps.minhashGroupSig(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(grouped.keySet === perDoc.keySet)
+    grouped.foreach { case (lang, sig) =>
+      assert(sig === perDoc(lang), s"lang=$lang")
+    }
+  }
+
   test("HLL approx distinct lands within 5% of exact") {
     val a = graft.analytics.Relational.approxDistinct(spark, dir)
     assert(a.filter(col("err_bp") > 500).count() === 0)
