@@ -118,7 +118,9 @@ object SparkEntry {
     "q65_collect_aggs"      -> (R.collectAggs _),
     "q66_predicate_aggs"    -> (R.predicateAggs _),
     "q67_stats_aggs"        -> (R.statsAggs _),
-    "q68_minhash_group_sig" -> (D.minhashGroupSig _)
+    "q68_minhash_group_sig" -> (D.minhashGroupSig _),
+    "q69_binary_files"      -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.binaryFiles(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,6 +189,7 @@ object SparkEntry {
     "q65_collect_aggs"      -> R.collectAggsSql,
     "q66_predicate_aggs"    -> R.predicateAggsSql,
     "q67_stats_aggs"        -> R.statsAggsSql,
-    "q68_minhash_group_sig" -> D.minhashGroupSigSql
+    "q68_minhash_group_sig" -> D.minhashGroupSigSql,
+    "q69_binary_files"      -> graft.multimodal.MultimodalOps.binaryFilesSql
   )
 }

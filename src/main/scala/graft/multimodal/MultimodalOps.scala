@@ -143,6 +143,30 @@ object MultimodalOps {
         md5(bin).as("digest"))
   }
 
+  /** Real media-bucket ingestion path: `spark.read.format("binaryFile")`
+    * over a directory of opaque files — (path, length, content) per
+    * file, metadata + digest extracted without the payload ever
+    * entering a shuffle. The oracle is DuckDB's read_blob over the SAME
+    * fixed directory (sf0.001, so the oracle SQL can carry a static
+    * path; file ingestion is scale-factor-independent). The digest is
+    * md5(hex(content)) because DuckDB's md5 only takes VARCHAR — both
+    * engines emit identical uppercase hex, verified byte-identical. */
+  def binaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .load(s"$BinaryFilesDir/*.parquet")
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("length").as("n_bytes"),
+        md5(hex(col("content"))).as("digest"))
+
+  val BinaryFilesDir = "/root/testdata/sf0.001"
+
+  val binaryFilesSql: String =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |       CAST(size AS BIGINT) AS n_bytes,
+       |       md5(hex(content)) AS digest
+       |FROM read_blob('$BinaryFilesDir/*.parquet')""".stripMargin
+
   val binaryMetaSql: String =
     """SELECT doc_id,
       |       CASE WHEN octet_length(CAST(text AS BLOB)) % 3 = 0 THEN 'image'
