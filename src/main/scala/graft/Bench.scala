@@ -40,6 +40,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       if (failed) -dt else dt
     }
+    // Untimed warmup: primes the parquet reader, codegen compiler, and
+    // shuffle machinery so the alphabetically-first query doesn't carry
+    // the JVM's one-time init in its number.
+    try graft.tables.Tables.lineitem(spark, sfDir)
+      .limit(10000).groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> run1(name, fn) }
     // The host is shared: transient CPU contention can inflate an
