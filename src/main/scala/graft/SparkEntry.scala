@@ -120,7 +120,8 @@ object SparkEntry {
     "q67_stats_aggs"        -> (R.statsAggs _),
     "q68_minhash_group_sig" -> (D.minhashGroupSig _),
     "q69_binary_files"      -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.binaryFiles(s, dir))
+      graft.multimodal.MultimodalOps.binaryFiles(s, dir)),
+    "q70_minhash_agg_native" -> (D.minhashGroupSigNative _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +191,7 @@ object SparkEntry {
     "q66_predicate_aggs"    -> R.predicateAggsSql,
     "q67_stats_aggs"        -> R.statsAggsSql,
     "q68_minhash_group_sig" -> D.minhashGroupSigSql,
-    "q69_binary_files"      -> graft.multimodal.MultimodalOps.binaryFilesSql
+    "q69_binary_files"      -> graft.multimodal.MultimodalOps.binaryFilesSql,
+    "q70_minhash_agg_native" -> D.minhashGroupSigSql
   )
 }

@@ -255,6 +255,21 @@ object DedupOps {
        |SELECT lang, list(m ORDER BY i) AS sig FROM mins GROUP BY lang""".stripMargin
   }
 
+  /** q68's semantics through the NATIVE TypedImperativeAggregate
+    * ([[graft.functions.MinHashSigAggExpr]]): raw long[K] buffer, no
+    * per-row encoder round-trip. Same oracle as q68 — the udaf and the
+    * native aggregate verify each other. */
+  def minhashGroupSigNative(spark: SparkSession, dir: String): DataFrame = {
+    val hsets = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"),
+        graft.functions.NativeExprs
+          .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
+      .filter(size(col("hs")) > 0)
+    hsets.groupBy(col("lang"))
+      .agg(graft.functions.NativeExprs
+        .minhashSigAgg(col("hs"), minhashA, minhashB, P).as("sig"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash signature width (bits). */

@@ -54,6 +54,11 @@ object NativeExprs {
 
   def countBpeTokens(s: Column): Column =
     ExpressionUtils.column(CountBpeTokensExpr(ExpressionUtils.expression(s)))
+
+  def minhashSigAgg(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(
+      MinHashSigAggExpr(ExpressionUtils.expression(hs), a.toArray, b.toArray, p)
+        .toAggregateExpression())
 }
 
 /** h = fold(codepoints(s), 0, (acc, cp) => (acc*31 + cp) mod P) —
@@ -483,6 +488,94 @@ object CountBpeTokensExpr {
     }
     c
   }
+}
+
+/** Native grouped MinHash sketch: the TypedImperativeAggregate twin of
+  * [[graft.functions.MinHashSigAggregator]] (the Aggregator/udaf form).
+  * The buffer is a raw long[K] updated in place and serialized as
+  * packed bytes between partial and final aggregation — no per-row
+  * encoder round-trip, which is the udaf form's dominant cost. Same
+  * algebra: sig(union) = elementwise min, so partials merge exactly. */
+case class MinHashSigAggExpr(
+    child: Expression,
+    a: Array[Long], b: Array[Long], p: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  private def k = a.length
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val hs = child.eval(input)
+    if (hs != null) {
+      val arr = hs.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = arr.getLong(j)
+          var i = 0
+          while (i < k) {
+            val v = (a(i) * h + b(i)) % p
+            if (v < buf(i)) buf(i) = v
+            i += 1
+          }
+        }
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashSigAggExpr =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSigAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSigAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_minhash_agg"
+  // Array fields would use reference equality; compare by content.
+  override def equals(o: Any): Boolean = o match {
+    case m: MinHashSigAggExpr =>
+      m.child == child && m.p == p &&
+        m.mutableAggBufferOffset == mutableAggBufferOffset &&
+        m.inputAggBufferOffset == inputAggBufferOffset &&
+        java.util.Arrays.equals(m.a, a) && java.util.Arrays.equals(m.b, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Long.valueOf(p),
+      Integer.valueOf(java.util.Arrays.hashCode(a)))
 }
 
 object MinHashSigExpr {
