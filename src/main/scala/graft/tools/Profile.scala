@@ -136,19 +136,6 @@ object Profile {
     }
     if (on("q16")) time("q16 full")(graft.text.TextOps.langId(spark, dir).count())
     if (on("q01")) time("q01 full")(graft.analytics.Relational.globalStats(spark, dir).count())
-    if (on("sleep")) { println("[profile] sleeping 15s"); Thread.sleep(15000) }
-    if (on("q23post")) {
-      time("q23post full")(graft.vector.VectorOps.nearDupPairs(spark, dir).count())
-      time("q27post full")(graft.analytics.Relational.aboveAvgOrders(spark, dir).count())
-    }
-    if (on("unpersist")) {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      println("[profile] unpersisted")
-    }
-    if (on("q23post2")) {
-      time("q23post2 full")(graft.vector.VectorOps.nearDupPairs(spark, dir).count())
-    }
     spark.stop()
   }
 }
