@@ -153,16 +153,22 @@ object EventOps {
     * native session_window output shape (no session_id — the streaming
     * operator doesn't number sessions). */
   val streamSessionizeSql: String =
+    // NOTE: native session_window windows are [t, t+gap) with an
+    // EXCLUSIVE end, so a gap of exactly 30 minutes starts a NEW
+    // session — hence `>=` here, unlike q14's lag formulation whose
+    // own (batch) semantics use strict `>` on both sides. The running
+    // sum orders by (ts, event_id) like the flag window, so timestamp
+    // ties cannot reshuffle session assignment.
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, date_trunc('second', min(ts)) AS session_start,

@@ -44,7 +44,12 @@ object SalesEtlStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (spark.read.parquet(s"$outDir/clean").count(),
-      spark.read.parquet(s"$outDir/errors").count())
+    // an empty drain (sensor fired before any file arrived) writes no
+    // batches, so the output dirs may not exist yet — report 0, don't throw
+    def countOrZero(path: String): Long =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        spark.read.parquet(path).count()
+      else 0L
+    (countOrZero(s"$outDir/clean"), countOrZero(s"$outDir/errors"))
   }
 }

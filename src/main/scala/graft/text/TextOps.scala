@@ -17,9 +17,12 @@ import graft.functions.TextExprs._
   */
 object TextOps {
 
-  /** BPE-ish token pattern: letter runs | digit runs | single symbol. */
+  /** BPE-ish token pattern: letter runs | digit runs | single symbol
+    * (the oracle regex; the Spark side counts the same alternation
+    * natively in CountBpeTokensExpr — NativeExprsPropSpec pins the
+    * equivalence). */
   private val BpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-  private val BpePatSqlLit = "'[a-z]+|[0-9]+|[^a-z0-9\\s]'"
+  private val BpePatSqlLit = s"'$BpePat'"
 
   // -------------------------------------------------------- token counting
 
@@ -269,7 +272,9 @@ object TextOps {
   }
 
   val redactSql: String = {
-    val emailSql = EmailPat.replace("\\.", "\\.")
+    // DuckDB single-quoted literals pass backslashes through verbatim,
+    // so the Scala regex string drops in unchanged
+    val emailSql = EmailPat
     val red = s"regexp_replace(regexp_replace(text, '$emailSql', '<EMAIL>', 'g'), '$NumPat', '<NUM>', 'g')"
     s"""SELECT doc_id,
        |       CAST(len(regexp_extract_all(text, '$emailSql')) AS BIGINT) AS n_emails,

@@ -8,7 +8,10 @@ import graft.etl.SparkTestSession
 
 /** Property specs: every native codegen expression must agree with the
   * built-in (interpreted HOF / regex) formulation it replaced, on
-  * generated inputs including empties, unicode, and null elements. The
+  * generated inputs including empties and unicode. (Null ELEMENTS are
+  * deliberately outside the equivalence properties — the native
+  * expressions skip them while transform maps null→null; the dedicated
+  * null-contract test at the bottom pins the native behavior.) The
   * DuckDB oracle checks the corpus; these check the algebra. Samples
   * are generated with a fixed seed and evaluated as ONE DataFrame per
   * property (zero mismatching rows = pass). */
