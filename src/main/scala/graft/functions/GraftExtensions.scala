@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashExpr(args(0), intArg(args(1), "bits"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      info("graft_tokenize",
+        "_FUNC_(str) - lowercase alphanumeric-run tokens"),
+      (args: Seq[Expression]) => {
+        arity("graft_tokenize", 1, args)
+        TokenizeExpr(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_token_hashes"),
       info("graft_token_hashes", "_FUNC_(tokens) - per-token polynomial hashes"),
       (args: Seq[Expression]) => {

@@ -59,6 +59,9 @@ object NativeExprs {
     ExpressionUtils.column(
       MinHashSigAggExpr(ExpressionUtils.expression(hs), a.toArray, b.toArray, p)
         .toAggregateExpression())
+
+  def tokenize(s: Column): Column =
+    ExpressionUtils.column(TokenizeExpr(ExpressionUtils.expression(s)))
 }
 
 /** h = fold(codepoints(s), 0, (acc, cp) => (acc*31 + cp) mod P) —
@@ -264,6 +267,48 @@ object SimHashExpr {
       b += 1
     }
     out
+  }
+}
+
+/** One-pass tokenizer: lowercase, then maximal runs of ASCII [a-z0-9]
+  * become tokens (everything else separates) — the native (codegen)
+  * form of `filter(split(trim(regexp_replace(lower(s), "[^a-z0-9]+",
+  * " ")), " "), t => t != "")`, with no regex engine, no intermediate
+  * replaced string, and no empty-element array churn. Lowercasing uses
+  * the same UTF8String.toLowerCase the built-in `lower` uses, so
+  * non-ASCII case mappings match exactly. */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    TokenizeExpr.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeExpr.tokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tokenize"
+}
+
+object TokenizeExpr {
+  def tokens(s: UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum && start < 0) start = i
+      else if (!alnum && start >= 0) {
+        out.add(UTF8String.fromString(str.substring(start, i)))
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) out.add(UTF8String.fromString(str.substring(start)))
+    new GenericArrayData(out.toArray)
   }
 }
 

@@ -27,6 +27,13 @@ class SalesEtlStreamSpec extends AnyFunSuite {
       === batchClean.collect().map(_.toString).sorted)
   }
 
+  test("an empty drain reports zero rows instead of throwing") {
+    val work = Files.createTempDirectory("etl-stream-empty").toString
+    Files.createDirectory(Paths.get(work, "in"))
+    val (c, e) = SalesEtlStream.run(spark, s"$work/in", s"$work/out")
+    assert(c === 0L && e === 0L)
+  }
+
   test("a second drain with a new file appends only the new batch") {
     val work = Files.createTempDirectory("etl-stream2").toString
     val inDir = Files.createDirectory(Paths.get(work, "in"))

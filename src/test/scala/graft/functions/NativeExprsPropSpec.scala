@@ -46,6 +46,14 @@ class NativeExprsPropSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"native != reference: ${rows.mkString("; ")}")
   }
 
+  test("TokenizeExpr == filter(split(trim(regexp_replace(lower))))") {
+    val df = sample(text, 400).map(Tuple1(_)).toDF("s")
+    assertAgree(df, NativeExprs.tokenize(col("s")),
+      filter(
+        split(trim(regexp_replace(lower(col("s")), "[^a-z0-9]+", " ")), " "),
+        t => t =!= ""))
+  }
+
   test("TokenHashesExpr == transform(polyHash)") {
     val df = sample(words, 300).map(Tuple1(_)).toDF("t")
     assertAgree(df, NativeExprs.tokenHashes(col("t")),
