@@ -121,7 +121,9 @@ object SparkEntry {
     "q68_minhash_group_sig" -> (D.minhashGroupSig _),
     "q69_binary_files"      -> ((s: SparkSession, dir: String) =>
       graft.multimodal.MultimodalOps.binaryFiles(s, dir)),
-    "q70_minhash_agg_native" -> (D.minhashGroupSigNative _)
+    "q70_minhash_agg_native" -> (D.minhashGroupSigNative _),
+    "q71_knn_int8"          -> (V.knnInt8 _),
+    "q72_dedup_clusters"    -> (D.dedupClusters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -192,6 +194,8 @@ object SparkEntry {
     "q67_stats_aggs"        -> R.statsAggsSql,
     "q68_minhash_group_sig" -> D.minhashGroupSigSql,
     "q69_binary_files"      -> graft.multimodal.MultimodalOps.binaryFilesSql,
-    "q70_minhash_agg_native" -> D.minhashGroupSigSql
+    "q70_minhash_agg_native" -> D.minhashGroupSigSql,
+    "q71_knn_int8"          -> V.knnInt8Sql,
+    "q72_dedup_clusters"    -> D.dedupClustersSql
   )
 }

@@ -221,6 +221,59 @@ object DedupOps {
        |JOIN hsets h1 ON h1.doc_id = d1
        |JOIN hsets h2 ON h2.doc_id = d2""".stripMargin
 
+  // ------------------------------------------------- dedup canonicalization
+
+  /** The FINAL step of near-dup dedup: cluster the verified LSH pairs
+    * into connected components and elect the minimum doc_id of each
+    * component as its canonical representative — every doc in a pair
+    * maps to (doc_id, rep_id); keeping rows where doc_id = rep_id
+    * implements "keep one copy per duplicate cluster".
+    *
+    * Implementation: iterative min-label propagation over the pair
+    * graph (labels start at the node id; each round takes the min of a
+    * node's label and its neighbors' labels until a fixpoint). The
+    * driver loop runs O(component diameter) rounds of small joins —
+    * near-dup components are shallow in practice, and the edge set is
+    * orders of magnitude smaller than the corpus (only verified pairs),
+    * so at 100 TB the loop runs over a tiny fraction of the data. The
+    * oracle computes the same components with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2"))
+      .localCheckpoint(true, ser)
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true, ser)
+    var labels = edges.select(col("d1").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint(true, ser)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("d2"), col("rep").as("nbr_rep")), "d2")
+        .groupBy(col("d1").as("node"))
+        .agg(min(col("nbr_rep")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
+        .localCheckpoint(true, ser)
+      changed = next.join(labels.select(col("node"), col("rep").as("old_rep")), "node")
+        .filter(col("rep") =!= col("old_rep")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+       |reach(src, node) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.node = e.d1)
+       |SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ grouped MinHash sketch
 
   /** Group-level MinHash signatures via the typed

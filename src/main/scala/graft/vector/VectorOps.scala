@@ -215,6 +215,52 @@ object VectorOps {
       s"list_dot_product($v, $w::DOUBLE[])"
     }.mkString("[", ",", "]")
 
+  /** Int8-quantized kNN: each vector is scalar-quantized to integers in
+    * [-127, 127] with a per-vector scale (q_i = round(v_i·127/max|v|)),
+    * and the search ranks by cosine over the QUANTIZED values — the
+    * memory-bandwidth trade production vector search makes (4×–8×
+    * smaller vectors, approximate scores). All quantized arithmetic is
+    * exact integer math carried in doubles, so the oracle hash-matches
+    * bit-for-bit; recall is measured against [[knnBrute]]'s exact
+    * ranks. */
+  def knnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    val mx = array_max(transform(v, x => abs(x)))
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("q", transform(v, x => round(x * lit(127.0) / mx)))
+      .withColumn("qn", sqrt(dot(col("q"), col("q"))))
+      .select(col("vec_id"), col("q"), col("qn"))
+    val probes = broadcast(e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("q").as("pq"), col("qn").as("pn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    probes.join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        dot(col("pq"), col("q")) / (col("pn") * col("qn")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KLsh)
+  }
+
+  val knnInt8Sql: String =
+    s"""WITH $vecsSql,
+       |scaled AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs),
+       |quant AS (
+       |  SELECT vec_id, list_transform(v, x -> round(x * 127.0 / mx)) AS q
+       |  FROM scaled),
+       |qn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM quant),
+       |scored AS (
+       |  SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(p.q, e.q) / (p.qn * e.qn), 4) AS cos_sim
+       |  FROM qn p JOIN qn e ON p.vec_id != e.vec_id
+       |  WHERE p.vec_id < $QueryMax)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $KLsh""".stripMargin
+
   /** IVF-style ANN: every vector is assigned to its nearest coarse cell
     * (argmax dot with [[Cells]] fixed centroids — 1-based first-max, a
     * deterministic tie-break both engines share); each query probes its

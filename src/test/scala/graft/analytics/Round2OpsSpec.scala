@@ -100,6 +100,30 @@ class Round2OpsSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("int8-quantized kNN finds mostly the same neighbors as exact kNN") {
+    val exact = graft.vector.VectorOps.knnBrute(spark, dir)
+      .filter(col("rank") <= graft.vector.VectorOps.KLsh)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.vector.VectorOps.knnInt8(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall vs exact = $recall")
+  }
+
+  test("dedup clusters: every pair co-clustered, reps are component minima") {
+    val pairs = graft.dedup.DedupOps.minhashLsh(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rep = graft.dedup.DedupOps.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both endpoints of every near-dup pair share a representative
+    pairs.foreach { case (a, b) => assert(rep(a) === rep(b), s"($a,$b)") }
+    // a representative is a member of its own cluster and is minimal
+    rep.values.toSet.foreach { (r: Long) => assert(rep(r) === r) }
+    rep.foreach { case (doc, r) => assert(r <= doc) }
+  }
+
   test("group MinHash signature == elementwise min of member signatures") {
     import graft.functions.TextExprs._
     val perDoc = graft.tables.Tables.documents(spark, dir)
