@@ -187,7 +187,8 @@ object EventOps {
       .select(col("event_id"), m.as("m"))
       .select(col("event_id"),
         size(col("m")).as("n_keys"),
-        array_sort(map_keys(col("m"))).as("keys_sorted"),
+        // serialized to a scalar: the driver's comparator can't hash ARRAY
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
         try_element_at(col("m"), lit("k")).as("k_val"),
         try_element_at(col("m"), lit("missing")).as("missing_val"))
   }
@@ -195,7 +196,7 @@ object EventOps {
   val mapFuncsSql: String =
     """SELECT event_id,
       |       len(json_keys(props)) AS n_keys,
-      |       list_sort(json_keys(props)) AS keys_sorted,
+      |       array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
       |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
       |       TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
       |FROM events""".stripMargin

@@ -712,12 +712,13 @@ object Relational {
   def collectAggs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+      // joined to a scalar: the driver's comparator can't hash ARRAY columns
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
         countDistinct(col("l_shipdate")).as("n_ship_dates"))
 
   val collectAggsSql: String =
     """SELECT l_returnflag,
-      |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
       |       count(DISTINCT l_shipdate) AS n_ship_dates
       |FROM lineitem GROUP BY 1""".stripMargin
 
@@ -728,15 +729,16 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        bool_and(col("l_quantity") > 0).as("all_qty_pos"),
-        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        // cast to int: BOOLEAN output columns break the driver's hasher
+        bool_and(col("l_quantity") > 0).cast("int").as("all_qty_pos"),
+        bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_discount"),
         count_if(col("l_tax") > 0.05).as("n_high_tax"),
         median(col("l_quantity")).as("median_qty"))
 
   val predicateAggsSql: String =
     """SELECT l_returnflag,
-      |       bool_and(l_quantity > 0) AS all_qty_pos,
-      |       bool_or(l_discount > 0.09) AS any_deep_discount,
+      |       CAST(bool_and(l_quantity > 0) AS INT) AS all_qty_pos,
+      |       CAST(bool_or(l_discount > 0.09) AS INT) AS any_deep_discount,
       |       count_if(l_tax > 0.05) AS n_high_tax,
       |       median(l_quantity) AS median_qty
       |FROM lineitem GROUP BY 1""".stripMargin

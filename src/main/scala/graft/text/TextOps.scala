@@ -375,10 +375,13 @@ object TextOps {
         size(t).as("n_tokens"),
         size(array_distinct(t)).as("n_distinct"),
         array_max(transform(t, x => length(x))).as("max_token_len"),
-        array_contains(t, "the").as("has_the"),
+        // BOOLEAN and ARRAY output columns are cast/serialized to
+        // driver-hashable scalars (int / comma-joined string) — the
+        // comparator sorts on every column and can't hash those types.
+        array_contains(t, "the").cast("int").as("has_the"),
         get(t, lit(0)).as("first_token"),
         element_at(t, -1).as("last_token"),
-        slice(sort_array(array_distinct(t)), 1, 3).as("first3_sorted"))
+        array_join(slice(sort_array(array_distinct(t)), 1, 3), ",").as("first3_sorted"))
   }
 
   val arrayFuncsSql: String = {
@@ -387,10 +390,10 @@ object TextOps {
        |       len(t) AS n_tokens,
        |       len(list_distinct(t)) AS n_distinct,
        |       list_max(list_transform(t, x -> length(x))) AS max_token_len,
-       |       list_contains(t, 'the') AS has_the,
+       |       CAST(list_contains(t, 'the') AS INT) AS has_the,
        |       t[1] AS first_token,
        |       t[-1] AS last_token,
-       |       list_sort(list_distinct(t))[1:3] AS first3_sorted
+       |       array_to_string(list_sort(list_distinct(t))[1:3], ',') AS first3_sorted
        |FROM (SELECT doc_id, $t AS t FROM documents)""".stripMargin
   }
 
