@@ -70,10 +70,10 @@ object SparkEntry {
     "q42_cube"              -> (R.cubeByStatusPriority _),
     "q43_binary_meta"       -> ((s: SparkSession, dir: String) =>
       graft.multimodal.MultimodalOps.binaryMeta(s, dir)),
-    // Sketch operators (HLL++ distinct, approx percentiles): engine-
-    // specific sketch internals → no DuckDB oracle; the exact columns
-    // emitted next to the sketch make the results self-validating and
-    // the driver records the rows-only check.
+    // Sketch operators (HLL++ distinct, approx percentiles): the sketch
+    // value itself is engine-specific, so the oracle checks the exact
+    // twin plus an integer within-bound flag — hash-green iff the
+    // sketch's error bound actually holds.
     "q44_approx_distinct"   -> (R.approxDistinct _),
     "q45_approx_percentile" -> (R.approxPercentiles _),
     // Streaming twin of q14's sessions through the NATIVE session_window
@@ -84,13 +84,15 @@ object SparkEntry {
         s, graft.streaming.EventsStream.sessionize(
           graft.streaming.EventsStream.source(s, dir)), "q46_stream_session")),
     // Arbitrary stateful streaming (mapGroupsWithState, Update mode):
-    // per-user running stats; AvailableNow over one file = one
-    // micro-batch, so each user emits exactly once.
+    // per-user running stats; the update-mode sink keeps one row per
+    // user per micro-batch, so the read keeps only each user's final
+    // state — correct for any number of files/micro-batches.
     "q47_stream_userstats"  -> ((s: SparkSession, dir: String) =>
-      graft.streaming.EventsStream.runAvailableNow(
-        s, graft.streaming.EventsStream.userStats(
-          graft.streaming.EventsStream.source(s, dir)), "q47_stream_userstats",
-        outputMode = "update")),
+      graft.streaming.EventsStream.latestUserStats(
+        graft.streaming.EventsStream.runAvailableNow(
+          s, graft.streaming.EventsStream.userStats(
+            graft.streaming.EventsStream.source(s, dir)), "q47_stream_userstats",
+          outputMode = "update"))),
     "q48_pivot"             -> (R.pivotQtyByStatus _),
     "q49_array_funcs"       -> (T.arrayFuncs _),
     "q50_rank_suite"        -> (R.rankSuite _),
@@ -123,7 +125,8 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.binaryFiles(s, dir)),
     "q70_minhash_agg_native" -> (D.minhashGroupSigNative _),
     "q71_knn_int8"          -> (V.knnInt8 _),
-    "q72_dedup_clusters"    -> (D.dedupClusters _)
+    "q72_dedup_clusters"    -> (D.dedupClusters _),
+    "q73_simhash_neardup"   -> (D.simhashNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +173,8 @@ object SparkEntry {
     "q41_semi_anti"         -> R.semiAntiCustomersSql,
     "q42_cube"              -> R.cubeByStatusPrioritySql,
     "q43_binary_meta"       -> graft.multimodal.MultimodalOps.binaryMetaSql,
+    "q44_approx_distinct"   -> R.approxDistinctSql,
+    "q45_approx_percentile" -> R.approxPercentilesSql,
     "q46_stream_session"    -> E.streamSessionizeSql,
     "q47_stream_userstats"  -> E.userStatsSql,
     "q48_pivot"             -> R.pivotQtyByStatusSql,
@@ -196,6 +201,7 @@ object SparkEntry {
     "q69_binary_files"      -> graft.multimodal.MultimodalOps.binaryFilesSql,
     "q70_minhash_agg_native" -> D.minhashGroupSigSql,
     "q71_knn_int8"          -> V.knnInt8Sql,
-    "q72_dedup_clusters"    -> D.dedupClustersSql
+    "q72_dedup_clusters"    -> D.dedupClustersSql,
+    "q73_simhash_neardup"   -> D.simhashNearDupSql
   )
 }

@@ -308,16 +308,31 @@ object Relational {
     * analyze → decorrelate): orders priced above their customer's own
     * average. Catalyst rewrites the per-row subquery into an aggregate +
     * join — the scalable plan — rather than re-executing it per row. */
-  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
-    spark.sql(
-      """SELECT o.o_custkey, count(*) AS n_above,
-        |       round(max(o.o_totalprice), 2) AS max_price
-        |FROM graft_orders o
-        |WHERE o.o_totalprice > (SELECT avg(i.o_totalprice)
-        |                        FROM graft_orders i
-        |                        WHERE i.o_custkey = o.o_custkey)
-        |GROUP BY o.o_custkey""".stripMargin)
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame =
+    withTempViews(spark, "graft_orders" -> Tables.orders(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT o.o_custkey, count(*) AS n_above,
+           |       round(max(o.o_totalprice), 2) AS max_price
+           |FROM ${v(0)} o
+           |WHERE o.o_totalprice > (SELECT avg(i.o_totalprice)
+           |                        FROM ${v(0)} i
+           |                        WHERE i.o_custkey = o.o_custkey)
+           |GROUP BY o.o_custkey""".stripMargin)
+    }
+
+  /** Registers each DataFrame under a UNIQUE per-call temp-view name,
+    * runs `body` with the generated names, then drops the views —
+    * `spark.sql` resolves views eagerly during analysis, so dropping
+    * after the DataFrame is built is safe, and concurrent callers can
+    * no longer clobber each other's session-global view state. */
+  private def withTempViews(spark: SparkSession, dfs: (String, DataFrame)*)(
+      body: IndexedSeq[String] => DataFrame): DataFrame = {
+    val names = dfs.toIndexedSeq.map { case (prefix, df) =>
+      val n = s"${prefix}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      df.createOrReplaceTempView(n)
+      n
+    }
+    try body(names) finally names.foreach(spark.catalog.dropTempView)
   }
 
   val aboveAvgOrdersSql: String =
@@ -368,20 +383,34 @@ object Relational {
       |       round(sum(o_totalprice), 2) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
-  /** HLL++ approximate COUNT(DISTINCT) next to the exact value, with
-    * the relative error in integer basis points. The sketch is the
-    * 100 TB path: fixed-size state, one-pass, mergeable across
-    * partitions — no oracle (DuckDB's approx sketch differs), so the
-    * driver records the weaker rows-only check; the exact column and
-    * the bounded `err_bp` make the result self-validating. */
+  /** Configured HLL++ relative standard deviation and the hard error
+    * bound the oracle checks (2.5× the rsd — the sketch is deterministic
+    * per dataset; measured error at sf0.001/0.01/0.1 is well inside). */
+  val ApproxNdRsd    = 0.02
+  val ApproxNdMaxErr = 0.05
+
+  /** HLL++ approximate COUNT(DISTINCT) checked against the exact value.
+    * The sketch is the 100 TB path: fixed-size state, one-pass,
+    * mergeable across partitions. Sketch internals are engine-specific,
+    * so DuckDB cannot reproduce `approx_nd` itself — instead the query
+    * emits the exact value plus an integer `within_bound` flag
+    * (relative error ≤ [[ApproxNdMaxErr]]) and the oracle emits the
+    * same exact value plus literal 1: the hash matches iff the sketch's
+    * error bound actually holds — a checked invariant, not theater. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_nd"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"))
-      .withColumn("err_bp",
-        floor(abs(col("approx_nd") - col("exact_nd")) * lit(10000L) / col("exact_nd"))
-          .cast("long"))
+        approx_count_distinct(col("l_orderkey"), ApproxNdRsd).as("approx_nd"))
+      .select(col("l_returnflag"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd"))
+          <= col("exact_nd") * ApproxNdMaxErr).cast("int").as("within_bound"))
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS exact_nd,
+      |       CAST(1 AS INT) AS within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** PIVOT: wide-format grouped aggregate — one row per return flag,
     * one column per line status. Spark's pivot with explicit values
@@ -494,17 +523,17 @@ object Relational {
     * form of rollup/cube (q11/q42): three chosen sets in one Expand +
     * hash-agg pass, expressed through `spark.sql` (the E3 lifecycle)
     * with syntax both engines share verbatim. */
-  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
-    spark.sql(
-      """SELECT o_orderstatus, o_orderpriority,
-        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
-        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-        |       count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS sum_price
-        |FROM graft_orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
-  }
+  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame =
+    withTempViews(spark, "graft_orders_gs" -> Tables.orders(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           |       count(*) AS n_orders,
+           |       round(sum(o_totalprice), 2) AS sum_price
+           |FROM ${v(0)}
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }
 
   val groupingSetsTotalsSql: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -657,15 +686,16 @@ object Relational {
   /** Scalar subquery in the SELECT clause (vs. q27's WHERE-clause
     * form): Catalyst decorrelates it into a left outer join against the
     * grouped aggregate — per-row subquery execution never happens. */
-  def selectScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("graft_cust_ss")
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_ord_ss")
-    spark.sql(
-      """SELECT c_custkey,
-        |       (SELECT round(max(o_totalprice), 2) FROM graft_ord_ss
-        |        WHERE o_custkey = c_custkey) AS max_order
-        |FROM graft_cust_ss""".stripMargin)
-  }
+  def selectScalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    withTempViews(spark,
+      "graft_cust_ss" -> Tables.customer(spark, dir),
+      "graft_ord_ss"  -> Tables.orders(spark, dir)) { v =>
+      spark.sql(
+        s"""SELECT c_custkey,
+           |       (SELECT round(max(o_totalprice), 2) FROM ${v(1)}
+           |        WHERE o_custkey = c_custkey) AS max_order
+           |FROM ${v(0)}""".stripMargin)
+    }
 
   val selectScalarSubquerySql: String =
     """SELECT c_custkey,
@@ -729,17 +759,20 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        // cast to int: BOOLEAN output columns break the driver's hasher
+        // cast to int: aligns the output type across engines (DuckDB
+        // BOOLEAN vs Spark boolean hash differently in the comparator)
         bool_and(col("l_quantity") > 0).cast("int").as("all_qty_pos"),
         bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_discount"),
         count_if(col("l_tax") > 0.05).as("n_high_tax"),
         median(col("l_quantity")).as("median_qty"))
 
+  // count_if is CAST to BIGINT: DuckDB returns HUGEINT, which pandas
+  // loads as float64 (6172.0) and hash-mismatches Spark's bigint 6172.
   val predicateAggsSql: String =
     """SELECT l_returnflag,
       |       CAST(bool_and(l_quantity > 0) AS INT) AS all_qty_pos,
       |       CAST(bool_or(l_discount > 0.09) AS INT) AS any_deep_discount,
-      |       count_if(l_tax > 0.05) AS n_high_tax,
+      |       CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
       |       median(l_quantity) AS median_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
@@ -763,10 +796,17 @@ object Relational {
       |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
       |FROM lineitem GROUP BY 1""".stripMargin
 
-  /** KLL/GK-sketch approximate percentiles next to the exact
-    * percentile_disc values (q33's scale path). No oracle — sketch
-    * internals are engine-specific; self-validating via the exact
-    * columns. */
+  /** Hard relative-error bound the q45 oracle checks (accuracy=1000 ⇒
+    * rank error ≤ 0.1%; the VALUE error that implies depends on the
+    * local density — 2% absorbs it comfortably on this distribution). */
+  val ApproxPctMaxErr = 0.02
+
+  /** GK-sketch approximate percentiles (q33's scale path: bounded-state
+    * mergeable sketch instead of a per-group sort) checked against the
+    * exact percentile_disc values, same contract as [[approxDistinct]]:
+    * the query emits the exact values plus a `within_bound` flag, the
+    * oracle emits the exact values plus literal 1 — green iff the
+    * sketch's error bound holds on both quantiles. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -775,4 +815,20 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
         expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p95"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        ((abs(col("approx_p50") - col("exact_p50"))
+            <= col("exact_p50") * ApproxPctMaxErr) &&
+         (abs(col("approx_p95") - col("exact_p95"))
+            <= col("exact_p95") * ApproxPctMaxErr)).cast("int").as("within_bound"))
+
+  val approxPercentilesSql: String =
+    """SELECT l_returnflag,
+      |       min(CASE WHEN cd >= 0.5 THEN x END) AS exact_p50,
+      |       min(CASE WHEN cd >= 0.95 THEN x END) AS exact_p95,
+      |       CAST(1 AS INT) AS within_bound
+      |FROM (SELECT l_returnflag, l_extendedprice AS x,
+      |             cume_dist() OVER (PARTITION BY l_returnflag
+      |                               ORDER BY l_extendedprice) AS cd
+      |      FROM lineitem)
+      |GROUP BY 1""".stripMargin
 }

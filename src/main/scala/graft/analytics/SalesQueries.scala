@@ -49,20 +49,31 @@ object SalesQueries {
 /** E2 orchestration as a sequential driver program, replacing the
   * Airflow DAG (composer/sales_etl_dag.py:42-106, O1–O4): input check →
   * ETL → quality gate (throws, ≡ BigQueryCheckOperator failing the DAG)
-  * → summary report. */
+  * → summary report. O5 failure alerting: the DAG's EmailOperator with
+  * `trigger_rule='one_failed'` (sales_etl_dag.py:109-115,119) fires
+  * when ANY upstream task fails — here, `onFailure` is invoked with the
+  * failing stage's exception before it propagates (the alert transport
+  * — email, pager, log — is the caller's choice, as in Airflow). */
 object SalesPipeline {
   final case class Result(cleanRows: Long, errorRows: Long, report: Array[org.apache.spark.sql.Row])
 
-  def run(spark: SparkSession, input: String, outDir: String): Result = {
-    // O1: input-existence gate (GCSObjectExistenceSensor analog).
-    require(new java.io.File(input).exists(), s"input not found: $input")
-    // O2: the ETL job.
-    val (nClean, nErr) = graft.etl.SalesEtl.runPipeline(spark, input, outDir)
-    val clean = spark.read.parquet(s"$outDir/clean")
-    // O3: quality gate — abort on failure like BigQueryCheckOperator.
-    require(SalesQueries.validateQuality(clean).count() == 1,
-      "data quality check failed")
-    // O4: summary report.
-    Result(nClean, nErr, SalesQueries.summaryReport(clean).collect())
-  }
+  def run(spark: SparkSession, input: String, outDir: String,
+          onFailure: Throwable => Unit = _ => ()): Result =
+    try {
+      // O1: input-existence gate (GCSObjectExistenceSensor analog).
+      require(new java.io.File(input).exists(), s"input not found: $input")
+      // O2: the ETL job.
+      val (nClean, nErr) = graft.etl.SalesEtl.runPipeline(spark, input, outDir)
+      val clean = spark.read.parquet(s"$outDir/clean")
+      // O3: quality gate — abort on failure like BigQueryCheckOperator.
+      require(SalesQueries.validateQuality(clean).count() == 1,
+        "data quality check failed")
+      // O4: summary report.
+      Result(nClean, nErr, SalesQueries.summaryReport(clean).collect())
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // O5: one_failed fan-in — alert, then still fail the run.
+        onFailure(e)
+        throw e
+    }
 }

@@ -290,7 +290,10 @@ object DedupOps {
           .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
       .filter(size(col("hs")) > 0)
     val groupSig = udaf(graft.functions.MinHashSigAggregator)
-    hsets.groupBy(col("lang")).agg(groupSig(col("hs")).as("sig"))
+    hsets.groupBy(col("lang"))
+      // serialized to a joined string: the driver's pandas comparator
+      // can't hash ARRAY columns (same technique as q49/q54/q65)
+      .agg(array_join(groupSig(col("hs")).cast("array<string>"), ",").as("sig"))
   }
 
   val minhashGroupSigSql: String = {
@@ -305,7 +308,7 @@ object DedupOps {
        |  SELECT lang, i, min(($pairs[i][1] * h + $pairs[i][2]) % $P) AS m
        |  FROM ex CROSS JOIN (SELECT unnest(range(1, ${MinhashK + 1})) AS i) ix
        |  GROUP BY 1, 2)
-       |SELECT lang, list(m ORDER BY i) AS sig FROM mins GROUP BY lang""".stripMargin
+       |SELECT lang, array_to_string(list(m ORDER BY i), ',') AS sig FROM mins GROUP BY lang""".stripMargin
   }
 
   /** q68's semantics through the NATIVE TypedImperativeAggregate
@@ -319,8 +322,10 @@ object DedupOps {
           .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
       .filter(size(col("hs")) > 0)
     hsets.groupBy(col("lang"))
-      .agg(graft.functions.NativeExprs
-        .minhashSigAgg(col("hs"), minhashA, minhashB, P).as("sig"))
+      // serialized like q68 — ARRAY output crashes the driver comparator
+      .agg(array_join(graft.functions.NativeExprs
+        .minhashSigAgg(col("hs"), minhashA, minhashB, P).cast("array<string>"), ",")
+        .as("sig"))
   }
 
   // --------------------------------------------------------------- SimHash
@@ -331,7 +336,7 @@ object DedupOps {
   /** 32-bit SimHash over the token multiset: bit b is set iff the sum of
     * (±1 by bit b of each token hash) is positive. Verified value-exactly
     * by the oracle; near-dup pairing at scale = hamming-band join on the
-    * signature (not materialized here). */
+    * signature — materialized as [[simhashNearDup]] (q73). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // native per-token hashing — the transform(…, polyHash) HOF lambda
     // evaluates interpreted per element
@@ -353,4 +358,71 @@ object DedupOps {
        |SELECT doc_id,
        |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- SimHash hamming-band near-dup
+
+  /** Banding shape for [[simhashNearDup]]: the 32-bit signature split
+    * into 4 bands of 8 bits; pairs are near-dups at hamming distance ≤
+    * HammingMax = bands − 1. */
+  val SimhashBands    = 4
+  val SimhashBandBits = 8
+  val HammingMax      = SimhashBands - 1
+
+  /** SimHash near-dup join — the scale path for [[simhash]]'s
+    * signatures: band the signature, equi-join same-(band, key) docs
+    * for candidates, verify candidates by exact hamming distance
+    * (one xor + popcount per pair).
+    *
+    * The banding is EXHAUSTIVE, not approximate: a pair within hamming
+    * distance HammingMax differs in ≤ bands−1 bit positions, which can
+    * touch at most bands−1 of the bands, so at least one band matches
+    * exactly (pigeonhole) and the equi-join finds every qualifying
+    * pair. The DuckDB oracle re-derives the pairs quadratically, so a
+    * missed candidate would hash-mismatch. At 100 TB the shuffle is
+    * O(docs × bands) band keys — never the quadratic pair space —
+    * and widening the threshold is a banding change (more/narrower
+    * bands), not an algorithm change. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
+    // eager, lineage-truncating materialization — see ngramJaccard note
+    val sigs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.simHash(hs, SimhashBits).as("sig"))
+      .localCheckpoint(true, ser)
+    val bands = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .select(col("doc_id"), col("b"),
+        expr(s"shiftright(sig, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1}")
+          .as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("hd", expr("CAST(bit_count(sig1 ^ sig2) AS INT)"))
+      .filter(col("hd") <= HammingMax)
+      .select(col("d1"), col("d2"), col("hd"))
+  }
+
+  val simhashNearDupSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |hashes AS (SELECT doc_id, list_transform(t, s -> ${polyHashSql("s")}) AS hs FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |                     (acc, h) -> acc + ((h >> b) & 1) * 2 - 1) AS s
+       |  FROM hashes CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS b) bs),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hd
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax""".stripMargin
 }

@@ -146,26 +146,26 @@ object MultimodalOps {
   /** Real media-bucket ingestion path: `spark.read.format("binaryFile")`
     * over a directory of opaque files — (path, length, content) per
     * file, metadata + digest extracted without the payload ever
-    * entering a shuffle. The oracle is DuckDB's read_blob over the SAME
-    * fixed directory (sf0.001, so the oracle SQL can carry a static
-    * path; file ingestion is scale-factor-independent). The digest is
-    * md5(hex(content)) because DuckDB's md5 only takes VARCHAR — both
-    * engines emit identical uppercase hex, verified byte-identical. */
+    * entering a shuffle. Reads the SAME `dir` every other query
+    * receives, so bench times track the scale factor; the oracle is
+    * DuckDB's read_blob over the same directory (the `{SF_DIR}` token
+    * is substituted with the run's actual dir by graft.Verify when it
+    * dumps oracle_sql.json). The digest is md5(hex(content)) because
+    * DuckDB's md5 only takes VARCHAR — both engines emit identical
+    * uppercase hex, verified byte-identical. */
   def binaryFiles(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile")
-      .load(s"$BinaryFilesDir/*.parquet")
+      .load(s"$dir/*.parquet")
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
         col("length").as("n_bytes"),
         md5(hex(col("content"))).as("digest"))
 
-  val BinaryFilesDir = "/root/testdata/sf0.001"
-
   val binaryFilesSql: String =
     s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
        |       CAST(size AS BIGINT) AS n_bytes,
        |       md5(hex(content)) AS digest
-       |FROM read_blob('$BinaryFilesDir/*.parquet')""".stripMargin
+       |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin
 
   val binaryMetaSql: String =
     """SELECT doc_id,

@@ -130,6 +130,21 @@ object EventsStream {
       .withColumn("last_s", date_trunc("second", col("last_s")))
   }
 
+  /** Collapse an UPDATE-mode sink of [[userStats]] rows to the final
+    * state per user. The memory sink accumulates one row per user per
+    * micro-batch, so a multi-file drain (maxFilesPerTrigger, or several
+    * files in the events dir) leaves stale intermediate rows behind the
+    * latest one. A user's `n_events` is strictly increasing across its
+    * emitted rows (mapGroupsWithState only re-emits a key when new rows
+    * arrive), so the max-n_events row IS the final state — ties are
+    * impossible. */
+  def latestUserStats(sink: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    sink.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1).drop("graft_rn")
+  }
+
   /** Run a streaming aggregate to completion over the files currently in
     * `dir` (Trigger.AvailableNow — the "sense, drain, stop" loop) and
     * return the final result from the in-memory sink.

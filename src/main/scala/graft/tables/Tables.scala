@@ -62,6 +62,10 @@ object Tables {
     * unlocks all cores. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // File count proxies the scan's parallelism without compiling a
+    // second physical plan the way df.rdd would (inputFiles only walks
+    // the logical plan's file index). A deployment reading >= cores
+    // files — any production table — skips the repartition entirely.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }

@@ -228,6 +228,9 @@ object VectorOps {
     val mx = array_max(transform(v, x => abs(x)))
     val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // all-zero vectors have no direction: max|v| = 0 would quantize to
+      // NaN and poison the cosine ranks — excluded as probe AND corpus
+      .filter(mx > 0)
       .withColumn("q", transform(v, x => round(x * lit(127.0) / mx)))
       .withColumn("qn", sqrt(dot(col("q"), col("q"))))
       .select(col("vec_id"), col("q"), col("qn"))
@@ -248,7 +251,7 @@ object VectorOps {
        |scaled AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs),
        |quant AS (
        |  SELECT vec_id, list_transform(v, x -> round(x * 127.0 / mx)) AS q
-       |  FROM scaled),
+       |  FROM scaled WHERE mx > 0),
        |qn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM quant),
        |scored AS (
        |  SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,

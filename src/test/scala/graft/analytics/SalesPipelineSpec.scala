@@ -17,6 +17,22 @@ class SalesPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("input not found"))
   }
 
+  test("failure alerting fires the onFailure callback and still aborts (O5)") {
+    // An input whose every row fails validation leaves the clean table
+    // empty, so the O3 gate (count == 1) trips — the induced failure.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_o5_")
+    val input = tmp.resolve("bad.csv")
+    java.nio.file.Files.writeString(input,
+      "id,product,price,quantity,sale_date\nx1,Widget,-5,0,not-a-date\n")
+    var alerted: Option[Throwable] = None
+    val e = intercept[IllegalArgumentException] {
+      SalesPipeline.run(spark, input.toString, tmp.resolve("out").toString,
+        onFailure = t => alerted = Some(t))
+    }
+    assert(e.getMessage.contains("data quality check failed"))
+    assert(alerted.exists(_ eq e), "onFailure must receive the failing exception")
+  }
+
   test("quality gate rejects a table with duplicate ids / broken totals (O3)") {
     import spark.implicits._
     val bad = Seq(

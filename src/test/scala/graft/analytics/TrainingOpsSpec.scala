@@ -67,6 +67,41 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r1.except(mx).count() === 0)
   }
 
+  test("int8 kNN excludes zero vectors instead of emitting NaN ranks (q71)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knn0_").toString
+    val src = spark.read.parquet(s"$dir/embeddings.parquet")
+    // inject an all-zero PROBE (id 5 < QueryMax) and an all-zero CORPUS
+    // vector (id 9999): both must vanish, none may poison the ranks
+    val zeros = Seq((5L, Array.fill(VectorOps.Dim)(0.0f), 0),
+                    (9999L, Array.fill(VectorOps.Dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding"), col("label").cast("int"))
+    src.filter(col("vec_id") =!= 5).unionByName(zeros)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = VectorOps.knnInt8(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getLong(0) == 5L), "zero vector must not be a probe")
+    assert(!rows.exists(r => r.getLong(1) == 5L || r.getLong(1) == 9999L),
+      "zero vectors must not appear as neighbors")
+    assert(rows.forall(!_.getDouble(2).isNaN), "no NaN cos_sim")
+  }
+
+  test("simhash hamming-band join finds exactly the quadratic near-dup pairs (q73)") {
+    val banded = DedupOps.simhashNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sim = DedupOps.simhash(spark, dir)
+    val s1 = sim.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val s2 = sim.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val quad = s1.join(s2, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(bit_count(h1 ^ h2) AS INT)").as("hd"))
+      .filter(col("hd") <= DedupOps.HammingMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === quad)
+    assert(banded.nonEmpty)
+  }
+
   test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
     val ann = VectorOps.annLsh(spark, dir)
     val brute = VectorOps.knnBrute(spark, dir)

@@ -36,6 +36,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("update-mode user stats survive a multi-file, multi-batch drain") {
+    import org.apache.spark.sql.functions._
+    // Split the events across TWO parquet files and force one file per
+    // micro-batch: users now emit intermediate rows into the update-mode
+    // sink, and only the keep-latest read makes the result correct.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev2_").toString
+    val ev = graft.tables.Tables.events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val sink = EventsStream.runAvailableNow(
+      spark, EventsStream.userStats(stream), "stream_userstats_2files",
+      outputMode = "update")
+    // the sink really did accumulate stale rows across batches
+    assert(sink.count() > sink.select("user_id").distinct().count())
+    val streamed = EventsStream.latestUserStats(sink)
+    val batch = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        date_trunc("second", min("ts")).as("first_s"),
+        date_trunc("second", max("ts")).as("last_s"))
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.runAvailableNow(
       spark, EventsStream.intervalJoin(
