@@ -126,7 +126,16 @@ object SparkEntry {
     "q70_minhash_agg_native" -> (D.minhashGroupSigNative _),
     "q71_knn_int8"          -> (V.knnInt8 _),
     "q72_dedup_clusters"    -> (D.dedupClusters _),
-    "q73_simhash_neardup"   -> (D.simhashNearDup _)
+    "q73_simhash_neardup"   -> (D.simhashNearDup _),
+    // Streaming stateful dedup (ingest-side drop-seen-keys): only the
+    // key set is emitted, so the intra-batch row race can't leak into
+    // the compare; oracle = batch DISTINCT over the same keys.
+    "q74_stream_dedup"      -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.dedupKeys(
+          graft.streaming.EventsStream.source(s, dir)), "q74_stream_dedup",
+        outputMode = "append")),
+    "q75_contamination"     -> (D.contamination _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -202,6 +211,8 @@ object SparkEntry {
     "q70_minhash_agg_native" -> D.minhashGroupSigSql,
     "q71_knn_int8"          -> V.knnInt8Sql,
     "q72_dedup_clusters"    -> D.dedupClustersSql,
-    "q73_simhash_neardup"   -> D.simhashNearDupSql
+    "q73_simhash_neardup"   -> D.simhashNearDupSql,
+    "q74_stream_dedup"      -> "SELECT DISTINCT user_id, event_type FROM events",
+    "q75_contamination"     -> D.contaminationSql
   )
 }

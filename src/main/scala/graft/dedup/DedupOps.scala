@@ -328,6 +328,53 @@ object DedupOps {
         .as("sig"))
   }
 
+  // -------------------------------------------------- contamination check
+
+  /** Documents with doc_id below this bound play the held-out eval set
+    * in [[contamination]]. */
+  val EvalDocMax = 25
+
+  /** Benchmark-contamination check — the decontamination pass run
+    * before training: for every corpus document, the fraction of its
+    * distinct shingles that also appear ANYWHERE in the held-out eval
+    * set (docs with doc_id < [[EvalDocMax]]), in integer basis points.
+    * A document scoring high shares verbatim n-grams with the eval set
+    * and would leak benchmark answers into training data.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT shingle set —
+    * small by construction (benchmarks are thousands of docs, the
+    * corpus is billions) — and is broadcast; the corpus side streams
+    * through one exploded equi-join + grouped count, so the corpus
+    * never shuffles its text and the pair space is never materialized.
+    * All-integer arithmetic (counts, floor-div basis points) keeps the
+    * result bit-identical to the oracle. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val evalSh = sh.filter(col("doc_id") < EvalDocMax)
+      .select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") >= EvalDocMax)
+      .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(any_value(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contam_bp", expr("(n_hit * 10000) div n_shingles"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH $shingleHashesSql,
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hsets WHERE doc_id < $EvalDocMax),
+       |ex AS (SELECT doc_id, n, unnest(hs) AS h FROM hsets WHERE doc_id >= $EvalDocMax)
+       |SELECT ex.doc_id,
+       |       CAST(any_value(ex.n) AS BIGINT) AS n_shingles,
+       |       CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST((sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+       |            // any_value(ex.n) AS BIGINT) AS contam_bp
+       |FROM ex LEFT JOIN ev ON ex.h = ev.h
+       |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash signature width (bits). */

@@ -130,6 +130,20 @@ object EventsStream {
       .withColumn("last_s", date_trunc("second", col("last_s")))
   }
 
+  /** Streaming exact dedup — the ingest-side "drop already-seen keys"
+    * operator a training-data pipeline runs in front of its corpus
+    * store. `dropDuplicates` holds one state-store entry per key,
+    * partitioned by key across executors; on an unbounded stream the
+    * production form is `dropDuplicatesWithinWatermark` (keys evicted
+    * once the watermark passes them — state bounded by the lateness
+    * window), while the bounded-drain form here keeps exact DISTINCT
+    * semantics so the batch oracle can verify it. Only the key columns
+    * are emitted: which physical row wins the intra-batch race is
+    * execution-dependent, the key SET is not. */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
   /** Collapse an UPDATE-mode sink of [[userStats]] rows to the final
     * state per user. The memory sink accumulates one row per user per
     * micro-batch, so a multi-file drain (maxFilesPerTrigger, or several

@@ -56,6 +56,22 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash band join stays an equi-join when broadcast is off (q73 at scale)") {
+    withPlanConfs(noBroadcast = true) {
+      val df = graft.dedup.DedupOps.simhashNearDup(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      // candidate generation must be a (band, key) equi-join — a
+      // nested-loop/cartesian fallback would be the quadratic pair scan
+      // the banding exists to avoid
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"band join degenerated to a pair scan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+      assert(df.count() > 0)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")

@@ -102,6 +102,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("contamination check: basis points valid, eval docs excluded (q75)") {
+    val c = DedupOps.contamination(spark, dir)
+    val rows = c.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) >= DedupOps.EvalDocMax),
+      "eval docs must not appear in the corpus audit")
+    rows.foreach { r =>
+      val (n, hit, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hit >= 0 && hit <= n, s"doc ${r.getLong(0)}: n_hit $hit of $n")
+      assert(bp >= 0 && bp <= 10000, s"doc ${r.getLong(0)}: bp $bp")
+      assert(bp === hit * 10000 / n)
+    }
+    // the planted near-dups that straddle the eval boundary must score
+    // as contaminated (their shingle sets overlap the eval set's)
+    val boundary = DedupOps.ngramJaccard(spark, dir)
+      .filter(col("d1") < DedupOps.EvalDocMax && col("d2") >= DedupOps.EvalDocMax)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    if (boundary.nonEmpty) {
+      val scored = rows.filter(r => boundary(r.getLong(0)))
+      assert(scored.forall(_.getLong(3) > 0),
+        s"near-dups of eval docs must have contam_bp > 0")
+    }
+  }
+
   test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
     val ann = VectorOps.annLsh(spark, dir)
     val brute = VectorOps.knnBrute(spark, dir)

@@ -63,6 +63,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("streaming stateful dedup emits exactly the batch-distinct key set") {
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.dedupKeys(EventsStream.source(spark, dir)),
+      "stream_dedup", outputMode = "append")
+    val batch = graft.tables.Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.runAvailableNow(
       spark, EventsStream.intervalJoin(
