@@ -135,7 +135,10 @@ object SparkEntry {
         s, graft.streaming.EventsStream.dedupKeys(
           graft.streaming.EventsStream.source(s, dir)), "q74_stream_dedup",
         outputMode = "append")),
-    "q75_contamination"     -> (D.contamination _)
+    "q75_contamination"     -> (D.contamination _),
+    "q76_seq_packing"       -> (T.seqPacking _),
+    "q77_mixture_audit"     -> (T.mixtureAudit _),
+    "q78_repetition"        -> (T.repetitionScore _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -213,6 +216,9 @@ object SparkEntry {
     "q72_dedup_clusters"    -> D.dedupClustersSql,
     "q73_simhash_neardup"   -> D.simhashNearDupSql,
     "q74_stream_dedup"      -> "SELECT DISTINCT user_id, event_type FROM events",
-    "q75_contamination"     -> D.contaminationSql
+    "q75_contamination"     -> D.contaminationSql,
+    "q76_seq_packing"       -> T.seqPackingSql,
+    "q77_mixture_audit"     -> T.mixtureAuditSql,
+    "q78_repetition"        -> T.repetitionScoreSql
   )
 }

@@ -412,4 +412,113 @@ object TextOps {
     s"""SELECT doc_id,
        |       ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
        |FROM documents""".stripMargin
+
+  // ----------------------------------------------------- sequence packing
+
+  /** Token capacity of one packed training sequence. */
+  val PackCapacity = 2048L
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated in
+    * doc_id order and cut into [[PackCapacity]]-token sequences; each
+    * doc lands in the bin where its first token falls (exclusive prefix
+    * sum div capacity — a long doc may span into following bins, the
+    * standard chunking trade). Emitted per bin: doc count, token sum,
+    * id range — the table a packing loader consumes.
+    *
+    * Scale note: the prefix sum here uses ONE global ordering (a single
+    * sort). At 100 TB packing runs per shard — partitionBy(shard) on
+    * the same window — because global token order across shards is not
+    * semantically meaningful; the per-shard form is this exact plan
+    * with a partition key added. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.countWsTokens(col("text")).cast("long").as("n_tok"))
+      .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev div $PackCapacity"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  val seqPackingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM t)
+       |SELECT CAST(prev // $PackCapacity AS BIGINT) AS bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- data-mixture audit
+
+  /** Per-(source, lang) corpus mixture table: doc count, token sum,
+    * char sum, and DISTINCT content fingerprints (n_docs − n_unique =
+    * exact duplicates inside the cell) — the table sampling weights and
+    * dedup rates are computed from before training. One hash aggregate;
+    * the text reduces to (token count, fingerprint) in the narrow map,
+    * so only small integers enter the shuffle. */
+  def mixtureAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), col("lang"), col("n_chars"),
+        graft.functions.NativeExprs.countWsTokens(col("text")).cast("long").as("n_tok"),
+        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("fp")).as("n_unique"))
+
+  val mixtureAuditSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       count(DISTINCT fp) AS n_unique
+       |FROM (SELECT source, lang, n_chars,
+       |             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+       |             ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
+       |      FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- repetition detection
+
+  /** Within-document repetition score: 1 − (distinct shingles / total
+    * shingle positions), in integer basis points — a high score means
+    * the doc repeats its own n-grams (boilerplate, template spam, decode
+    * loops), the standard cheap repetition filter. Narrow map, no
+    * shuffle; docs with fewer than [[ShingleW]] tokens have no shingle
+    * positions and drop out (same filter on both engines). */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+    toks.filter(size(col("t")) >= ShingleW)
+      .select(col("doc_id"),
+        (size(col("t")) - ShingleW + 1).cast("long").as("n_positions"),
+        size(graft.functions.NativeExprs.shingleHashes(col("t"), ShingleW, P))
+          .cast("long").as("n_distinct"))
+      .withColumn("rep_bp", expr("10000 - (n_distinct * 10000) div n_positions"))
+  }
+
+  val repetitionScoreSql: String = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |f AS (SELECT doc_id, t FROM toks WHERE len(t) >= $ShingleW),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) - ${ShingleW - 1} AS BIGINT) AS n_positions,
+       |         CAST(len(list_distinct(list_transform(${shinglesSql("t")}, s -> ${polyHashSql("s")}))) AS BIGINT) AS n_distinct
+       |  FROM f)
+       |SELECT doc_id, n_positions, n_distinct,
+       |       CAST(10000 - (n_distinct * 10000) // n_positions AS BIGINT) AS rep_bp
+       |FROM m""".stripMargin
+  }
 }

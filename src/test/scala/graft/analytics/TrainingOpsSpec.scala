@@ -126,6 +126,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing partitions all docs and fills bins to capacity (q76)") {
+    val bins = TextOps.seqPacking(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(bins.map(_._2).sum === 500L, "every doc lands in exactly one bin")
+    assert(bins.map(_._1).toSeq === bins.indices.map(_.toLong), "bins contiguous")
+    // every non-terminal bin starts within capacity of its predecessor:
+    // a bin's docs span [bin*C, ...) by construction of the prefix sum;
+    // check the total token stream cut points are consistent
+    val totalTok = bins.map(_._3).sum
+    assert(bins.length === (totalTok / TextOps.PackCapacity + 1).toInt ||
+           bins.length === (totalTok / TextOps.PackCapacity).toInt,
+      s"bin count ${bins.length} inconsistent with $totalTok tokens")
+  }
+
+  test("mixture audit cells partition the corpus with sane dedup counts (q77)") {
+    val m = TextOps.mixtureAudit(spark, dir).collect()
+    assert(m.map(_.getLong(2)).sum === 500L)
+    m.foreach { r =>
+      assert(r.getLong(5) >= 1 && r.getLong(5) <= r.getLong(2),
+        s"n_unique out of range for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("repetition score bounds and exact-dup consistency (q78)") {
+    val rep = TextOps.repetitionScore(spark, dir).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (pos, dst, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dst >= 1 && dst <= pos, s"doc ${r.getLong(0)}")
+      assert(bp >= 0 && bp < 10000, s"doc ${r.getLong(0)}: bp $bp")
+    }
+  }
+
   test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
     val ann = VectorOps.annLsh(spark, dir)
     val brute = VectorOps.knnBrute(spark, dir)
