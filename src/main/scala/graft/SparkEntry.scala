@@ -138,7 +138,8 @@ object SparkEntry {
     "q75_contamination"     -> (D.contamination _),
     "q76_seq_packing"       -> (T.seqPacking _),
     "q77_mixture_audit"     -> (T.mixtureAudit _),
-    "q78_repetition"        -> (T.repetitionScore _)
+    "q78_repetition"        -> (T.repetitionScore _),
+    "q79_knn_pq"            -> (V.knnPq _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -219,6 +220,7 @@ object SparkEntry {
     "q75_contamination"     -> D.contaminationSql,
     "q76_seq_packing"       -> T.seqPackingSql,
     "q77_mixture_audit"     -> T.mixtureAuditSql,
-    "q78_repetition"        -> T.repetitionScoreSql
+    "q78_repetition"        -> T.repetitionScoreSql,
+    "q79_knn_pq"            -> V.knnPqSql
   )
 }

@@ -264,6 +264,155 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= $KLsh""".stripMargin
 
+  // ---------------------------------------------------------------- PQ ANN
+
+  /** Product-quantization shape: Dim=64 split into M=8 subspaces of 8
+    * dims, K=16 centroids per subspace → 8 half-byte codes (4 bytes)
+    * per vector, a 128× compression of the 512-byte raw doubles. */
+  val PqM      = 8
+  val PqSubDim = Dim / PqM
+  val PqK      = 16
+
+  /** First seed vec_id for the PQ codebooks: the codebook of subspace m
+    * is the m-th subvector of corpus vectors [PqSeedMin, PqSeedMin+PqK)
+    * — deterministic sample seeding, the k-means initialization step
+    * (random synthetic centroids collapse: their norm spread dominates
+    * the ‖c‖² term of the L2 argmin, so every vector coded identically;
+    * a real codebook must come from the data). Both engines derive the
+    * codebook from the same parquet doubles, so encode/score stay
+    * bit-identical. Seeds sit outside the probe range (< QueryMax). */
+  val PqSeedMin = 20
+
+  /** Codebooks [m][k][subdim] read from the data (tiny: PqK vectors —
+    * the k-means-artifact scale that is always collected/broadcast). */
+  private def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= PqSeedMin && col("vec_id") < PqSeedMin + PqK)
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    (0 until PqM).map { m =>
+      seeds.toSeq.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+    }
+  }
+
+  /** ADC shortlist size fed to the exact re-rank stage. */
+  val PqShortlist = 10
+
+  /** Product-quantized kNN — shortlist by asymmetric distance, re-rank
+    * exactly, the two-stage shape production ANN engines run:
+    *
+    * 1. ENCODE: corpus vectors → [[PqM]] one-of-[[PqK]] codes (argmin
+    *    L2 to the subspace codebook, computed as argmin ‖c‖² − 2·v_m·c
+    *    with the v_m-constant term dropped) — 8 half-byte codes instead
+    *    of 512 raw bytes, the memory-bandwidth trade.
+    * 2. ADC SHORTLIST: score = Σ_m q_m · centroid[m][code_m] (query
+    *    exact, corpus reconstructed via M table lookups); keep the top
+    *    [[PqShortlist]] per probe.
+    * 3. RE-RANK: exact cosine on the shortlist only — the full vectors
+    *    are fetched for PqShortlist rows per query, not the corpus.
+    *
+    * At 100 TB the scan side carries only (vec_id, codes); the
+    * codebooks are a broadcast constant. Probe set matches [[knnBrute]]
+    * so recall against the exact ranks is measurable (misses only when
+    * the true neighbor falls outside the ADC shortlist). All arithmetic
+    * derives from the same parquet doubles on both engines. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def sub(m: Int): Column = slice(col("v"), m * PqSubDim + 1, PqSubDim)
+    // encode: per subspace, argmin_k ‖c_k‖² − 2·(v_m·c_k)  (1-based code)
+    val coded = base.select(
+      col("vec_id") +: (0 until PqM).map { m =>
+        val dists = array((0 until PqK).map { k =>
+          val c = cb(m)(k)
+          val cc = c.map(x => x * x).sum
+          lit(cc) - lit(2.0) * dot(sub(m), typedLit(c))
+        }: _*)
+        array_position(dists, array_min(dists)).as(s"code$m")
+      }: _*)
+    val probes = broadcast(base.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id") +:
+        (0 until PqM).map(m => sub(m).as(s"q$m")): _*))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(desc("adc"), col("neighbor_id"))
+    val adc = (0 until PqM).map { m =>
+      dot(col(s"q$m"), element_at(typedLit(cb(m)), col(s"code$m").cast("int")))
+    }.reduce(_ + _)
+    val shortlist = probes.join(coded, col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // re-rank the shortlist exactly (full vectors touched for
+    // PqShortlist rows per probe only)
+    val withV = base.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val qv = withV.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val nv = withV.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    shortlist.join(qv, "query_id").join(nv, "neighbor_id")
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= KLsh)
+  }
+
+  val knnPqSql: String = {
+    def subExpr(v: String, m: Int): String =
+      s"$v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+    // codebook CTE: one row, cb0..cb3 = list of PqK subvectors each
+    val cbCols = (0 until PqM).map { m =>
+      s"(SELECT list(${subExpr("v", m)} ORDER BY vec_id) FROM seeds) AS cb$m"
+    }.mkString(",\n       ")
+    val codes = (0 until PqM).map { m =>
+      s"list_position(list_transform(cb$m, " +
+        s"c -> list_dot_product(c, c) - 2 * list_dot_product(${subExpr("v", m)}, c)), " +
+        s"list_min(list_transform(cb$m, " +
+        s"c -> list_dot_product(c, c) - 2 * list_dot_product(${subExpr("v", m)}, c)))) AS code$m"
+    }.mkString(",\n       ")
+    val adc = (0 until PqM).map { m =>
+      s"list_dot_product(${subExpr("q.v", m)}, cb.cb$m[e.code$m])"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (SELECT vec_id, v FROM base
+       |          WHERE vec_id >= $PqSeedMin AND vec_id < ${PqSeedMin + PqK}),
+       |cb AS (SELECT
+       |       $cbCols),
+       |coded AS (
+       |  SELECT vec_id,
+       |       $codes
+       |  FROM base CROSS JOIN cb),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         $adc AS adc
+       |  FROM base q CROSS JOIN cb JOIN coded e ON q.vec_id != e.vec_id
+       |  WHERE q.vec_id < $QueryMax),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc DESC, neighbor_id) AS srank
+       |    FROM adc)
+       |  WHERE srank <= $PqShortlist),
+       |nrms AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN nrms q ON q.vec_id = s.query_id
+       |  JOIN nrms n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |WHERE rank <= $KLsh""".stripMargin
+  }
+
   /** IVF-style ANN: every vector is assigned to its nearest coarse cell
     * (argmax dot with [[Cells]] fixed centroids — 1-based first-max, a
     * deterministic tie-break both engines share); each query probes its

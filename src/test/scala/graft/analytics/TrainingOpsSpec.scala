@@ -159,6 +159,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ kNN returns K ranked neighbors per probe with nonzero recall (q79)") {
+    val pq = VectorOps.knnPq(spark, dir)
+    val perQuery = pq.groupBy("query_id").count().collect()
+    assert(perQuery.length === VectorOps.QueryMax)
+    assert(perQuery.forall(_.getLong(1) === VectorOps.KLsh))
+    // ADC is approximate: require meaningful agreement with the exact
+    // top-K, not identity (recall@KLsh against knnBrute's K=5 list)
+    val brute = VectorOps.knnBrute(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    val recall = hits.toDouble / (VectorOps.QueryMax * VectorOps.KLsh)
+    assert(recall >= 0.3, s"PQ recall vs exact = $recall")
+  }
+
   test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
     val ann = VectorOps.annLsh(spark, dir)
     val brute = VectorOps.knnBrute(spark, dir)
