@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator plan: GroupedTopK logical node → streaming-rank exec
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // optimizer rule: group-key filters commute with per-group top-k —
+    // pushed below the node they reach the scan via the built-in rules
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughGroupedTopK)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "_FUNC_(str) - polynomial rolling hash mod 1e9+7"),

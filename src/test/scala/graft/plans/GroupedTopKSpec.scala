@@ -29,6 +29,43 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(r1 === Seq(6L, 5L))  // max x per parity group
   }
 
+  test("group-key filters are pushed below GroupedTopK (optimizer rule)") {
+    val top = Relational.topOrdersPerPriorityCustom(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val optimized = top.queryExecution.optimizedPlan
+    // after PushFilterThroughGroupedTopK, no Filter sits ABOVE the node
+    // (the predicate should reach the scan), and the node is still there
+    var aboveFilter = false
+    var seenTopK = false
+    optimized.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        if (!seenTopK) aboveFilter = true
+      case g: GroupedTopK => seenTopK = true
+      case _ =>
+    }
+    assert(seenTopK, optimized.toString)
+    assert(!aboveFilter, s"filter not pushed below GroupedTopK:\n$optimized")
+    // the predicate must reach the parquet scan as a pushed filter
+    val physical = top.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]")
+      || physical.contains("EqualTo(o_orderpriority,1-URGENT)"), physical)
+    // semantics unchanged: equals filter-after-rank on the window form
+    val expected = Relational.topOrdersPerPriority(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    assert(top.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(top).count() === 0)
+  }
+
+  test("rank/order filters are NOT pushed (they don't commute)") {
+    val top = Relational.topOrdersPerPriorityCustom(spark, dir)
+      .filter(col("rank") <= 2 && col("o_orderpriority") === "1-URGENT")
+    // still correct: rank filter applied above, group filter pushed
+    val expected = Relational.topOrdersPerPriority(spark, dir)
+      .filter(col("rank") <= 2 && col("o_orderpriority") === "1-URGENT")
+    assert(top.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(top).count() === 0)
+  }
+
   test("plan contains the custom exec node and one exchange") {
     val top = Relational.topOrdersPerPriorityCustom(spark, dir)
     // SparkPlan.nodeName strips the "Exec" suffix in plan rendering
