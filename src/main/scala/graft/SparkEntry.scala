@@ -139,7 +139,8 @@ object SparkEntry {
     "q76_seq_packing"       -> (T.seqPacking _),
     "q77_mixture_audit"     -> (T.mixtureAudit _),
     "q78_repetition"        -> (T.repetitionScore _),
-    "q79_knn_pq"            -> (V.knnPq _)
+    "q79_knn_pq"            -> (V.knnPq _),
+    "q80_kmeans"            -> (V.kmeansFit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -221,6 +222,7 @@ object SparkEntry {
     "q76_seq_packing"       -> T.seqPackingSql,
     "q77_mixture_audit"     -> T.mixtureAuditSql,
     "q78_repetition"        -> T.repetitionScoreSql,
-    "q79_knn_pq"            -> V.knnPqSql
+    "q79_knn_pq"            -> V.knnPqSql,
+    "q80_kmeans"            -> V.kmeansFitSql
   )
 }

@@ -413,6 +413,106 @@ object VectorOps {
        |WHERE rank <= $KLsh""".stripMargin
   }
 
+  // ------------------------------------------------------------- k-means fit
+
+  /** k-means shape: [[KmK]] clusters, [[KmIters]] Lloyd iterations,
+    * initialized from corpus vectors [KmSeedMin, KmSeedMin+KmK). */
+  val KmK       = 8
+  val KmIters   = 2
+  val KmSeedMin = 40
+
+  /** Distributed k-means fit (Lloyd's algorithm) — the training step
+    * behind the IVF coarse quantizer (q35) and the PQ codebooks (q79):
+    * each iteration ASSIGNS every vector to its nearest centroid (argmin
+    * ‖v−c‖² via the ‖c‖² − 2·v·c form; centroids are a broadcast
+    * literal, the scan is embarrassingly parallel) and UPDATES centroids
+    * as per-dimension means (posexplode → partial+final avg keyed by
+    * (cluster, dim) — q31's map-side-combined pattern, so the shuffle
+    * carries k×dim partial sums per partition, never vectors). The
+    * k×dim centroid table is collected to the driver between iterations
+    * — the k-means driver artifact every distributed implementation
+    * (incl. Spark MLlib) round-trips.
+    *
+    * Cross-engine determinism: centroids are rounded to 6 dp at every
+    * iteration boundary, so the 1-ulp summation-order differences
+    * between engines collapse before they can flip the next argmin —
+    * the quantize-at-iteration-boundaries trick for reproducible
+    * iterative fitting. Empty clusters keep their previous centroid on
+    * both sides. Output: final centroids long-form + the size of each
+    * cluster under the final assignment. */
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cents: Seq[Seq[Double]] = base
+      .filter(col("vec_id") >= KmSeedMin && col("vec_id") < KmSeedMin + KmK)
+      .orderBy("vec_id").select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def assign(c: Seq[Seq[Double]]): Column = {
+      val dists = array(c.map { cv =>
+        val cc = cv.map(x => x * x).sum
+        lit(cc) - lit(2.0) * dot(col("v"), typedLit(cv))
+      }: _*)
+      array_position(dists, array_min(dists))
+    }
+    var lastAssigned: DataFrame = null
+    for (_ <- 1 to KmIters) {
+      val assigned = base.withColumn("cluster", assign(cents))
+      lastAssigned = assigned
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(round(avg("x"), 6).as("m"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cl, rows) =>
+          cl.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = (1 to KmK).map(cl => means.getOrElse(cl, cents(cl - 1)))
+    }
+    val centDf = (for { cl <- 1 to KmK; d <- 0 until Dim }
+      yield (cl, d, cents(cl - 1)(d))).toDF("cluster", "dim", "centroid")
+    val counts = lastAssigned
+      .groupBy(col("cluster").cast("int").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+    centDf.join(counts, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+  }
+
+  val kmeansFitSql: String = {
+    // one unrolled Lloyd iteration: assignment aN from centroid list
+    // lPrev, per-dim means, empty-cluster carry-over, next list lN
+    def iteration(n: Int, lPrev: String): String = {
+      val dists = s"list_transform((SELECT cs FROM $lPrev), " +
+        "c -> list_dot_product(c, c) - 2 * list_dot_product(v, c))"
+      s"""a$n AS (
+         |  SELECT vec_id, v, list_position($dists, list_min($dists)) AS cluster
+         |  FROM base),
+         |m$n AS (
+         |  SELECT cluster, list(m ORDER BY dim) AS v
+         |  FROM (SELECT cluster, CAST(dim AS INT) AS dim, round(avg(x), 6) AS m
+         |        FROM (SELECT cluster, unnest(v) AS x,
+         |                     unnest(range(len(v))) AS dim FROM a$n)
+         |        GROUP BY 1, 2)
+         |  GROUP BY cluster),
+         |c$n AS (
+         |  SELECT r.cl + 1 AS cluster,
+         |         coalesce(m$n.v, (SELECT cs FROM $lPrev)[r.cl + 1]) AS v
+         |  FROM (SELECT unnest(range($KmK)) AS cl) r
+         |  LEFT JOIN m$n ON m$n.cluster = r.cl + 1),
+         |l$n AS (SELECT list(v ORDER BY cluster) AS cs FROM c$n)""".stripMargin
+    }
+    val iters = (1 to KmIters).map(n => iteration(n, if (n == 1) "l0" else s"l${n - 1}"))
+      .mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |l0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM base
+       |       WHERE vec_id >= $KmSeedMin AND vec_id < ${KmSeedMin + KmK}),
+       |$iters,
+       |counts AS (SELECT cluster, count(*) AS n FROM a$KmIters GROUP BY 1)
+       |SELECT CAST(c.cluster AS INT) AS cluster, d.dim AS dim,
+       |       c.v[d.dim + 1] AS centroid,
+       |       CAST(coalesce(counts.n, 0) AS BIGINT) AS n_vecs
+       |FROM c$KmIters c
+       |CROSS JOIN (SELECT CAST(unnest(range($Dim)) AS INT) AS dim) d
+       |LEFT JOIN counts ON counts.cluster = c.cluster""".stripMargin
+  }
+
   /** IVF-style ANN: every vector is assigned to its nearest coarse cell
     * (argmax dot with [[Cells]] fixed centroids — 1-based first-max, a
     * deterministic tie-break both engines share); each query probes its

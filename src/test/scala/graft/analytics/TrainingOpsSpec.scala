@@ -175,6 +175,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall vs exact = $recall")
   }
 
+  test("k-means fit: clusters partition the corpus, centroids in data range (q80)") {
+    val km = VectorOps.kmeansFit(spark, dir)
+    val rows = km.collect()
+    assert(rows.length === VectorOps.KmK * VectorOps.Dim)
+    // cluster sizes (constant across a cluster's dims) sum to the corpus
+    val sizes = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(sizes.values.sum === 500L)
+    // centroids must stay inside the data's convex hull (per-dim ±0.5)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 0.5))
+    // Lloyd update must change the seed centroids (data isn't degenerate)
+    val seeds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === VectorOps.KmSeedMin)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val c1 = rows.filter(_.getInt(0) == 1).sortBy(_.getInt(1)).map(_.getDouble(2))
+    assert(!c1.zip(seeds).forall { case (a, b) => a == b })
+  }
+
   test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
     val ann = VectorOps.annLsh(spark, dir)
     val brute = VectorOps.knnBrute(spark, dir)
