@@ -72,8 +72,11 @@ object SalesPipeline {
       Result(nClean, nErr, SalesQueries.summaryReport(clean).collect())
     } catch {
       case scala.util.control.NonFatal(e) =>
-        // O5: one_failed fan-in — alert, then still fail the run.
-        onFailure(e)
+        // O5: one_failed fan-in — alert, then still fail the run. A
+        // broken alert transport must not mask the root cause (Airflow
+        // likewise fails the DAG on the task error, not the email error).
+        try onFailure(e)
+        catch { case scala.util.control.NonFatal(t) => e.addSuppressed(t) }
         throw e
     }
 }

@@ -61,11 +61,19 @@ object Tables {
     * parallelism. At 100 TB this is a no-op; on a laptop-sized file it
     * unlocks all cores. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // File count proxies the scan's parallelism without compiling a
-    // second physical plan the way df.rdd would (inputFiles only walks
-    // the logical plan's file index). A deployment reading >= cores
-    // files — any production table — skips the repartition entirely.
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Repartition ONLY when the scan provably cannot reach `target`
+    // partitions on its own: fewer files than cores AND total bytes
+    // below cores × maxPartitionBytes (file splitting would not create
+    // enough partitions either). Both signals come from the file index
+    // / logical stats — no second physical-plan compile (the df.rdd
+    // probe this replaces) — and a single LARGE splittable file no
+    // longer triggers a pointless full shuffle.
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    lazy val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (df.inputFiles.length < target && bytes < BigInt(maxPart) * target)
+      df.repartition(target)
+    else df
   }
 }

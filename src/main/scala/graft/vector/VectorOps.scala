@@ -309,10 +309,14 @@ object VectorOps {
     * 2. ADC SHORTLIST: score = Σ_m q_m · centroid[m][code_m] (query
     *    exact, corpus reconstructed via M table lookups); keep the top
     *    [[PqShortlist]] per probe.
-    * 3. RE-RANK: exact cosine on the shortlist only — the full vectors
-    *    are fetched for PqShortlist rows per query, not the corpus.
+    * 3. RE-RANK: exact cosine on the shortlist only. In this plan the
+    *    shortlist ids are BROADCAST against a second corpus scan (a
+    *    broadcast join: the corpus re-read emits only shortlist matches
+    *    and never shuffles); a serving deployment replaces that scan
+    *    with point lookups of the ~PqShortlist×probes ids in a vector
+    *    store.
     *
-    * At 100 TB the scan side carries only (vec_id, codes); the
+    * At 100 TB the ADC scan side carries only (vec_id, codes); the
     * codebooks are a broadcast constant. Probe set matches [[knnBrute]]
     * so recall against the exact ranks is measurable (misses only when
     * the true neighbor falls outside the ADC shortlist). All arithmetic
@@ -321,6 +325,10 @@ object VectorOps {
     val cb = pqCodebooks(spark, dir)
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // zero vectors have no direction: the exact re-rank's cosine would
+      // be 0/0 = NaN, which sorts ABOVE every real score — same guard as
+      // knnInt8, mirrored in the oracle's base CTE
+      .filter(graft.functions.NativeExprs.dotProduct(col("v"), col("v")) > 0)
     def sub(m: Int): Column = slice(col("v"), m * PqSubDim + 1, PqSubDim)
     // encode: per subspace, argmin_k ‖c_k‖² − 2·(v_m·c_k)  (1-based code)
     val coded = base.select(
@@ -355,7 +363,10 @@ object VectorOps {
       col("nrm").as("nn"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
-    shortlist.join(qv, "query_id").join(nv, "neighbor_id")
+    // broadcast the tiny shortlist (≤ probes × PqShortlist rows) so the
+    // corpus-side vector fetch is a broadcast join off the scan — no
+    // corpus shuffle in the re-rank stage
+    nv.join(broadcast(shortlist.join(qv, "query_id")), "neighbor_id")
       .withColumn("cos_sim", round(
         dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
@@ -379,7 +390,8 @@ object VectorOps {
     val adc = (0 until PqM).map { m =>
       s"list_dot_product(${subExpr("q.v", m)}, cb.cb$m[e.code$m])"
     }.mkString(" + ")
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |              WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
        |seeds AS (SELECT vec_id, v FROM base
        |          WHERE vec_id >= $PqSeedMin AND vec_id < ${PqSeedMin + PqK}),
        |cb AS (SELECT

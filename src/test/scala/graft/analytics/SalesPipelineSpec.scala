@@ -33,6 +33,15 @@ class SalesPipelineSpec extends AnyFunSuite {
     assert(alerted.exists(_ eq e), "onFailure must receive the failing exception")
   }
 
+  test("a throwing alert transport cannot mask the pipeline's root cause (O5)") {
+    val e = intercept[IllegalArgumentException] {
+      SalesPipeline.run(spark, "/nonexistent/input.csv", "/tmp/graft_o5_mask",
+        onFailure = _ => throw new RuntimeException("smtp down"))
+    }
+    assert(e.getMessage.contains("input not found"))
+    assert(e.getSuppressed.exists(_.getMessage == "smtp down"))
+  }
+
   test("quality gate rejects a table with duplicate ids / broken totals (O3)") {
     import spark.implicits._
     val bad = Seq(

@@ -175,6 +175,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall vs exact = $recall")
   }
 
+  test("PQ kNN excludes zero vectors from probes, shortlist, and re-rank (q79)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq0_").toString
+    val src = spark.read.parquet(s"$dir/embeddings.parquet")
+    val zeros = Seq((7L, Array.fill(VectorOps.Dim)(0.0f), 0),
+                    (9999L, Array.fill(VectorOps.Dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding"), col("label").cast("int"))
+    src.filter(col("vec_id") =!= 7).unionByName(zeros)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = VectorOps.knnPq(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getLong(0) == 7L))
+    assert(!rows.exists(r => r.getLong(1) == 7L || r.getLong(1) == 9999L))
+    assert(rows.forall(!_.getDouble(2).isNaN))
+  }
+
   test("k-means fit: clusters partition the corpus, centroids in data range (q80)") {
     val km = VectorOps.kmeansFit(spark, dir)
     val rows = km.collect()
