@@ -72,6 +72,47 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key holding ~90% of the fact side — the shape that stalls
+    // a static plan on one straggler task at 100 TB
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val fact = spark.range(200000).toDF("i")
+        .withColumn("k", when(col("i") % 10 =!= 0, lit(7L)).otherwise(col("i") % 97))
+        .withColumn("payload", col("i") * 31)
+      val dim = spark.range(97).toDF("k").withColumn("name", col("k") * 2)
+      val joined = fact.join(dim, "k")
+      // execute THIS Dataset's own QueryExecution (count() would build a
+      // separate one and leave this adaptive plan un-finalized)
+      assert(joined.collect().length === 200000)
+      // after execution the adaptive plan must have split the hot
+      // partition: the SMJ is marked skew=true
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
