@@ -140,7 +140,8 @@ object SparkEntry {
     "q77_mixture_audit"     -> (T.mixtureAudit _),
     "q78_repetition"        -> (T.repetitionScore _),
     "q79_knn_pq"            -> (V.knnPq _),
-    "q80_kmeans"            -> (V.kmeansFit _)
+    "q80_kmeans"            -> (V.kmeansFit _),
+    "q81_ivf_trained"       -> (V.annIvfTrained _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -223,6 +224,7 @@ object SparkEntry {
     "q77_mixture_audit"     -> T.mixtureAuditSql,
     "q78_repetition"        -> T.repetitionScoreSql,
     "q79_knn_pq"            -> V.knnPqSql,
-    "q80_kmeans"            -> V.kmeansFitSql
+    "q80_kmeans"            -> V.kmeansFitSql,
+    "q81_ivf_trained"       -> V.annIvfTrainedSql
   )
 }

@@ -452,23 +452,28 @@ object VectorOps {
     * iterative fitting. Empty clusters keep their previous centroid on
     * both sides. Output: final centroids long-form + the size of each
     * cluster under the final assignment. */
-  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** Nearest-centroid assignment column: 1-based argmin of
+    * ‖c‖² − 2·v·c over the (broadcast-literal) centroid list. */
+  private def assignCol(c: Seq[Seq[Double]]): Column = {
+    val dists = array(c.map { cv =>
+      val cc = cv.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dot(col("v"), typedLit(cv))
+    }: _*)
+    array_position(dists, array_min(dists))
+  }
+
+  /** Lloyd's loop shared by [[kmeansFit]] and [[annIvfTrained]]:
+    * returns (final centroids, the assignment DataFrame of the LAST
+    * iteration — i.e. under the pre-update centroids that produced the
+    * final means, matching the unrolled oracle's aN CTE). */
+  private def lloyd(base: DataFrame, k: Int, iters: Int, seedMin: Int)
+      : (Seq[Seq[Double]], DataFrame) = {
     var cents: Seq[Seq[Double]] = base
-      .filter(col("vec_id") >= KmSeedMin && col("vec_id") < KmSeedMin + KmK)
+      .filter(col("vec_id") >= seedMin && col("vec_id") < seedMin + k)
       .orderBy("vec_id").select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
-    def assign(c: Seq[Seq[Double]]): Column = {
-      val dists = array(c.map { cv =>
-        val cc = cv.map(x => x * x).sum
-        lit(cc) - lit(2.0) * dot(col("v"), typedLit(cv))
-      }: _*)
-      array_position(dists, array_min(dists))
-    }
     var lastAssigned: DataFrame = null
-    for (_ <- 1 to KmIters) {
-      val assigned = base.withColumn("cluster", assign(cents))
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cluster", assignCol(cents))
       lastAssigned = assigned
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -476,8 +481,16 @@ object VectorOps {
         .collect().groupBy(_.getLong(0))
         .map { case (cl, rows) =>
           cl.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
-      cents = (1 to KmK).map(cl => means.getOrElse(cl, cents(cl - 1)))
+      cents = (1 to k).map(cl => means.getOrElse(cl, cents(cl - 1)))
     }
+    (cents, lastAssigned)
+  }
+
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (cents, lastAssigned) = lloyd(base, KmK, KmIters, KmSeedMin)
     val centDf = (for { cl <- 1 to KmK; d <- 0 until Dim }
       yield (cl, d, cents(cl - 1)(d))).toDF("cluster", "dim", "centroid")
     val counts = lastAssigned
@@ -487,9 +500,10 @@ object VectorOps {
       .na.fill(0L, Seq("n_vecs"))
   }
 
-  val kmeansFitSql: String = {
-    // one unrolled Lloyd iteration: assignment aN from centroid list
-    // lPrev, per-dim means, empty-cluster carry-over, next list lN
+  /** Unrolled Lloyd CTE chain shared by the q80/q81 oracles: seeds →
+    * (assignment aN, per-dim means mN, carry-over centroids cN, list
+    * lN) × iters. Expects a `base(vec_id, v)` CTE in scope. */
+  private def lloydSql(k: Int, iters: Int, seedMin: Int): String = {
     def iteration(n: Int, lPrev: String): String = {
       val dists = s"list_transform((SELECT cs FROM $lPrev), " +
         "c -> list_dot_product(c, c) - 2 * list_dot_product(v, c))"
@@ -506,16 +520,20 @@ object VectorOps {
          |c$n AS (
          |  SELECT r.cl + 1 AS cluster,
          |         coalesce(m$n.v, (SELECT cs FROM $lPrev)[r.cl + 1]) AS v
-         |  FROM (SELECT unnest(range($KmK)) AS cl) r
+         |  FROM (SELECT unnest(range($k)) AS cl) r
          |  LEFT JOIN m$n ON m$n.cluster = r.cl + 1),
          |l$n AS (SELECT list(v ORDER BY cluster) AS cs FROM c$n)""".stripMargin
     }
-    val iters = (1 to KmIters).map(n => iteration(n, if (n == 1) "l0" else s"l${n - 1}"))
+    val chain = (1 to iters).map(n => iteration(n, if (n == 1) "l0" else s"l${n - 1}"))
       .mkString(",\n")
+    s"""l0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM base
+       |       WHERE vec_id >= $seedMin AND vec_id < ${seedMin + k}),
+       |$chain""".stripMargin
+  }
+
+  val kmeansFitSql: String =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |l0 AS (SELECT list(v ORDER BY vec_id) AS cs FROM base
-       |       WHERE vec_id >= $KmSeedMin AND vec_id < ${KmSeedMin + KmK}),
-       |$iters,
+       |${lloydSql(KmK, KmIters, KmSeedMin)},
        |counts AS (SELECT cluster, count(*) AS n FROM a$KmIters GROUP BY 1)
        |SELECT CAST(c.cluster AS INT) AS cluster, d.dim AS dim,
        |       c.v[d.dim + 1] AS centroid,
@@ -523,6 +541,82 @@ object VectorOps {
        |FROM c$KmIters c
        |CROSS JOIN (SELECT CAST(unnest(range($Dim)) AS INT) AS dim) d
        |LEFT JOIN counts ON counts.cluster = c.cluster""".stripMargin
+
+  /** Cell count for the TRAINED IVF index (q81). */
+  val IvfTK = 16
+
+  /** IVF over a TRAINED coarse quantizer — the train → index → search
+    * composition: centroids come from [[lloyd]] (same 2-iteration fit
+    * as q80, k = [[IvfTK]]), every vector is assigned to its nearest
+    * centroid by L2 (proper IVF assignment, vs. q35's fixed synthetic
+    * centroids), and each probe searches its [[NProbe]] best cells with
+    * exact cosine ranking. Same candidate structure as q35 — the cell
+    * equi-join is the scale path — but the learned cells follow the
+    * data's density, which is what lifts recall at equal probe cost
+    * (measured against [[knnBrute]]; see PERF.md). The oracle re-derives
+    * the training AND the search from the same parquet doubles. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (cents, _) = lloyd(base, IvfTK, KmIters, KmSeedMin)
+    val dists = array(cents.map { cv =>
+      val cc = cv.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dot(col("v"), typedLit(cv))
+    }: _*)
+    val e = base
+      .withColumn("d", dists)
+      .withColumn("cell", array_position(col("d"), array_min(col("d"))))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // second-best cell: mask the argmin slot, take the argmin again
+    val masked = transform(sequence(lit(1L), lit(IvfTK.toLong)),
+      i => when(i === col("cell"), lit(1e18))
+        .otherwise(element_at(col("d"), i.cast("int"))))
+    val q = broadcast(e.filter(col("vec_id") < QueryMax)
+      .withColumn("m", masked)
+      .withColumn("cell2", array_position(col("m"), array_min(col("m"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(array(col("cell"), col("cell2"))).as("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KLsh)
+  }
+
+  val annIvfTrainedSql: String = {
+    val lastL = s"l$KmIters"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${lloydSql(IvfTK, KmIters, KmSeedMin)},
+       |dots AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |         list_transform((SELECT cs FROM $lastL),
+       |           c -> list_dot_product(c, c) - 2 * list_dot_product(v, c)) AS d
+       |  FROM base),
+       |cells AS (SELECT vec_id, v, nrm, d, list_position(d, list_min(d)) AS cell FROM dots),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |         list_transform(range(1, ${IvfTK + 1}),
+       |           i -> CASE WHEN i = cell THEN 1e18 ELSE d[i] END) AS m
+       |  FROM cells WHERE vec_id < $QueryMax),
+       |qcells AS (
+       |  SELECT vec_id, v, nrm, unnest([cell, list_position(m, list_min(m))]) AS cell
+       |  FROM probes),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
+       |  FROM qcells q JOIN cells e
+       |    ON q.cell = e.cell AND q.vec_id != e.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $KLsh""".stripMargin
   }
 
   /** IVF-style ANN: every vector is assigned to its nearest coarse cell

@@ -209,6 +209,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!c1.zip(seeds).forall { case (a, b) => a == b })
   }
 
+  test("trained IVF returns K exact-scored neighbors per probe (q81)") {
+    val ann = VectorOps.annIvfTrained(spark, dir)
+    val perQuery = ann.groupBy("query_id").count().collect()
+    assert(perQuery.length === VectorOps.QueryMax)
+    assert(perQuery.forall(_.getLong(1) === VectorOps.KLsh))
+    // every reported score must equal the brute-force score for that pair
+    val brute = VectorOps.knnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c2"))
+    val joined = ann.select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c1"))
+      .join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
+  }
+
   test("LSH ANN neighbors are a subset of each query's bucket with exact ranks") {
     val ann = VectorOps.annLsh(spark, dir)
     val brute = VectorOps.knnBrute(spark, dir)
