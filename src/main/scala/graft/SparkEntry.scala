@@ -141,7 +141,10 @@ object SparkEntry {
     "q78_repetition"        -> (T.repetitionScore _),
     "q79_knn_pq"            -> (V.knnPq _),
     "q80_kmeans"            -> (V.kmeansFit _),
-    "q81_ivf_trained"       -> (V.annIvfTrained _)
+    "q81_ivf_trained"       -> (V.annIvfTrained _),
+    "q82_frame_sample"      -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.frameSamples(s, dir)),
+    "q83_random_projection" -> (V.randomProjection _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -225,6 +228,8 @@ object SparkEntry {
     "q78_repetition"        -> T.repetitionScoreSql,
     "q79_knn_pq"            -> V.knnPqSql,
     "q80_kmeans"            -> V.kmeansFitSql,
-    "q81_ivf_trained"       -> V.annIvfTrainedSql
+    "q81_ivf_trained"       -> V.annIvfTrainedSql,
+    "q82_frame_sample"      -> graft.multimodal.MultimodalOps.frameSamplesSql,
+    "q83_random_projection" -> V.randomProjectionSql
   )
 }

@@ -63,21 +63,26 @@ object MultimodalOps {
     buf.array()
   }
 
+  /** The deterministic asset generator: header fields are pure
+    * arithmetic on the id (so an oracle can re-derive them without
+    * decoding), payload is an LCG stream of `payloadLen` bytes. */
+  private[multimodal] def makeAsset(id: Long, payloadLen: Int): Asset = {
+    val isImage = id % 3 != 0
+    val w = if (isImage) (64 + (id % 8) * 32).toInt else 0
+    val h = if (isImage) (64 + (id % 5) * 48).toInt else 0
+    val sr = if (isImage) 0 else 8000 * (1 + (id % 3)).toInt
+    val frames = if (isImage) 1 else (100 + id % 50).toInt
+    Asset(id, if (isImage) "image" else "audio",
+      fakeAssetBytes(id, w, h, sr, frames, payloadLen),
+      s"bucket/part-${id % 16}")
+  }
+
   /** Deterministic synthetic asset table (no codecs in the container —
     * stands in for `spark.read.format("binaryFile")` over a media
     * bucket). */
   def synthesizeAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
-    spark.range(n).as[Long].map { id =>
-      val isImage = id % 3 != 0
-      val w = if (isImage) (64 + (id % 8) * 32).toInt else 0
-      val h = if (isImage) (64 + (id % 5) * 48).toInt else 0
-      val sr = if (isImage) 0 else 8000 * (1 + (id % 3)).toInt
-      val frames = if (isImage) 1 else (100 + id % 50).toInt
-      Asset(id, if (isImage) "image" else "audio",
-        fakeAssetBytes(id, w, h, sr, frames, payloadLen = (id % 4096).toInt),
-        s"bucket/part-${id % 16}")
-    }
+    spark.range(n).as[Long].map(id => makeAsset(id, payloadLen = (id % 4096).toInt))
   }
 
   /** Decode the binary column into typed features — per-partition batch
@@ -123,6 +128,36 @@ object MultimodalOps {
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** The full multimodal pipeline as an oracle-gated query (q82):
+    * corpus rows become synthetic assets (one per document, payload
+    * sized by `n_chars`), round-trip through the binary header encode →
+    * `mapPartitions` decode, then frame-sample every 7th frame of each
+    * multi-frame (audio) asset. The DuckDB oracle re-derives the
+    * expected frame indices from the generator arithmetic ALONE — it
+    * never sees the bytes — so a green hash certifies the header
+    * encode/decode round trip and the sampling lattice end to end.
+    * Scale shape: payload bytes live only inside the narrow
+    * synthesize→decode map (never shuffled); the output is the small
+    * (asset_id, frame_idx) relation, and the asset count tracks the
+    * corpus so bench times follow the scale factor. */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    val assets = docs.map { case (id, nc) =>
+      makeAsset(id, payloadLen = (nc % 1024).toInt) }
+    frameSample(decode(assets), stride = 7)
+  }
+
+  /** Oracle: audio assets are doc_id ≡ 0 (mod 3) with
+    * n_frames = 100 + doc_id % 50; DuckDB range() is stop-exclusive
+    * where Spark sequence() is stop-inclusive, so range(0, n, 7) ≡
+    * sequence(0, n-1, 7). */
+  val frameSamplesSql: String =
+    """SELECT doc_id AS asset_id,
+      |       CAST(unnest(range(0, 100 + doc_id % 50, 7)) AS INT) AS frame_idx
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
   /** Binary-column metadata extraction with a cross-engine oracle: the
     * documents' text bytes stand in for an opaque media payload (this

@@ -677,4 +677,51 @@ object VectorOps {
        |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= $KLsh""".stripMargin
+
+  // -------------------------------------------------- JL random projection
+
+  /** Output dimensionality of the random projection (q83). */
+  val RpK = 16
+
+  /** Deterministic ±1 entry of the RpK×Dim sign matrix. The hash squares
+    * a mixed index before taking a mid bit: a separable pattern (e.g.
+    * parity of d+j, which is what any LSB-of-linear-combination scheme
+    * degenerates to) would make the rows linearly dependent and collapse
+    * the projection. */
+  private def rpSign(j: Int, d: Int): Double = {
+    val h = (d * 131 + j + 1).toLong
+    if (((h * h * 2654435761L) >> 13) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** The sign matrix rows; the oracle SQL embeds these same literals
+    * (the IVF/PQ-codebook pattern — constants generated once, shared by
+    * both engines). */
+  private lazy val rpMatrix: Seq[Seq[Double]] =
+    (0 until RpK).map(j => (0 until Dim).map(d => rpSign(j, d)))
+
+  /** Johnson–Lindenstrauss random projection: Dim→RpK with a dense ±1
+    * matrix, scaled 1/√RpK so expected squared norm is preserved. The
+    * compressive step ahead of any ANN index — at 100 TB it is a narrow
+    * map (RpK dot products per row against broadcast-literal rows, all
+    * codegen'd), shrinking every downstream shuffle/index by Dim/RpK =
+    * 4× while approximately preserving pairwise geometry. Output is
+    * long-form (vec_id, rp_dim, value) so the oracle hash covers every
+    * coordinate. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = array(rpMatrix.map(r =>
+      round(dot(col("v"), typedLit(r)) / math.sqrt(RpK), 4)): _*)
+    base.select(col("vec_id"), posexplode(proj).as(Seq("rp_dim", "value")))
+  }
+
+  val randomProjectionSql: String = {
+    val mat = rpMatrix.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mat AS (SELECT $mat AS m)
+       |SELECT vec_id, CAST(d.j AS INT) AS rp_dim,
+       |       round(list_dot_product(v, (SELECT m FROM mat)[d.j + 1])
+       |             / sqrt(${RpK}.0), 4) AS value
+       |FROM base CROSS JOIN (SELECT unnest(range($RpK)) AS j) d""".stripMargin
+  }
 }

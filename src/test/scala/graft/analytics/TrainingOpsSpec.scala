@@ -231,4 +231,22 @@ class TrainingOpsSpec extends AnyFunSuite {
         Seq("query_id", "neighbor_id"))
     assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
   }
+
+  test("random projection preserves norms in expectation and is non-degenerate (q83)") {
+    val proj = VectorOps.randomProjection(spark, dir).cache()
+    assert(proj.count() === 500L * VectorOps.RpK)
+    // the embeddings are unit-norm, so E[Σ value²] = 1 per vector (JL);
+    // with RpK=16 the per-vector variance is large but the corpus mean
+    // concentrates tightly
+    val meanSq = proj.groupBy("vec_id")
+      .agg(sum(col("value") * col("value")).as("sq"))
+      .agg(avg("sq")).head().getDouble(0)
+    assert(meanSq > 0.85 && meanSq < 1.15, s"mean squared norm $meanSq")
+    // a degenerate (separable) sign matrix collapses output dims onto
+    // each other: every projected coordinate must vary across vectors
+    val constDims = proj.groupBy("rp_dim")
+      .agg(stddev("value").as("sd")).filter(col("sd") < 1e-9).count()
+    assert(constDims === 0)
+    proj.unpersist()
+  }
 }

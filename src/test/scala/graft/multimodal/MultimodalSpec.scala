@@ -38,6 +38,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-derived frame-sample query matches the generator arithmetic (q82)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalOps.frameSamples(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // re-derive expected indices from the generator spec alone
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = for {
+      id <- docIds if id % 3 == 0
+      f  <- 0 until (100 + (id % 50)).toInt by 7
+    } yield (id, f)
+    assert(out.sorted.toSeq === expected.sorted.toSeq)
+  }
+
   test("frame sampling emits every stride-th frame index") {
     val sampled = MultimodalOps.frameSample(decoded, stride = 10)
     val perAsset = sampled.groupBy("asset_id").count()
