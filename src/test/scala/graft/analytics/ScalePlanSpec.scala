@@ -113,6 +113,44 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // at 100 TB the big win on fact ⋈ filtered-dim is semi-join
+    // reduction: a bloom filter built from the filtered dim keys is
+    // pushed into the fact scan, dropping non-matching rows BEFORE the
+    // shuffle. The size thresholds exist for real clusters; lower them
+    // so the testdata qualifies, then assert the filter was injected.
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li  = graft.tables.Tables.lineitem(spark, dir)
+      val ord = graft.tables.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // value correctness against the un-filtered plan shape
+      val expected = graft.tables.Tables.lineitem(spark, dir).join(
+        graft.tables.Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.head().getLong(0) === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
