@@ -144,7 +144,8 @@ object SparkEntry {
     "q81_ivf_trained"       -> (V.annIvfTrained _),
     "q82_frame_sample"      -> ((s: SparkSession, dir: String) =>
       graft.multimodal.MultimodalOps.frameSamples(s, dir)),
-    "q83_random_projection" -> (V.randomProjection _)
+    "q83_random_projection" -> (V.randomProjection _),
+    "q84_knn_rp"            -> (V.knnRp _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -230,6 +231,7 @@ object SparkEntry {
     "q80_kmeans"            -> V.kmeansFitSql,
     "q81_ivf_trained"       -> V.annIvfTrainedSql,
     "q82_frame_sample"      -> graft.multimodal.MultimodalOps.frameSamplesSql,
-    "q83_random_projection" -> V.randomProjectionSql
+    "q83_random_projection" -> V.randomProjectionSql,
+    "q84_knn_rp"            -> V.knnRpSql
   )
 }

@@ -680,8 +680,11 @@ object VectorOps {
 
   // -------------------------------------------------- JL random projection
 
-  /** Output dimensionality of the random projection (q83). */
-  val RpK = 16
+  /** Output dimensionality of the random projection (q83/q84).
+    * Measured trade-off on this corpus (TrainingOpsSpec, recall@3 of
+    * the q84 shortlist): RpK=16 → 0.27, RpK=32 → 0.43 at a 20-row
+    * shortlist — 32 matches PQ's recall with no training step. */
+  val RpK = 32
 
   /** Deterministic ±1 entry of the RpK×Dim sign matrix. The hash squares
     * a mixed index before taking a mid bit: a separable pattern (e.g.
@@ -703,8 +706,8 @@ object VectorOps {
     * matrix, scaled 1/√RpK so expected squared norm is preserved. The
     * compressive step ahead of any ANN index — at 100 TB it is a narrow
     * map (RpK dot products per row against broadcast-literal rows, all
-    * codegen'd), shrinking every downstream shuffle/index by Dim/RpK =
-    * 4× while approximately preserving pairwise geometry. Output is
+    * codegen'd), shrinking every downstream shuffle/index by Dim/RpK
+    * while approximately preserving pairwise geometry. Output is
     * long-form (vec_id, rp_dim, value) so the oracle hash covers every
     * coordinate. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
@@ -715,13 +718,81 @@ object VectorOps {
     base.select(col("vec_id"), posexplode(proj).as(Seq("rp_dim", "value")))
   }
 
-  val randomProjectionSql: String = {
-    val mat = rpMatrix.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  private lazy val rpMatSqlLit: String =
+    rpMatrix.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  val randomProjectionSql: String =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |mat AS (SELECT $mat AS m)
+       |mat AS (SELECT $rpMatSqlLit AS m)
        |SELECT vec_id, CAST(d.j AS INT) AS rp_dim,
        |       round(list_dot_product(v, (SELECT m FROM mat)[d.j + 1])
        |             / sqrt(${RpK}.0), 4) AS value
        |FROM base CROSS JOIN (SELECT unnest(range($RpK)) AS j) d""".stripMargin
+
+  /** Shortlist size for the RP-ANN two-stage search (q84). */
+  val RpShortlist = 20
+
+  /** The projection column: RpK rounded coordinates of v·R/√RpK. */
+  private def rpProjCol: Column = array(rpMatrix.map(r =>
+    round(dot(col("v"), typedLit(r)) / math.sqrt(RpK), 4)): _*)
+
+  /** ANN via random projection — the sketch-compression member of the
+    * family (vs q25 LSH buckets, q35/q81 IVF cells, q79 PQ codes):
+    * shortlist candidates by similarity in the 16-dim projected space
+    * (the scan side carries RpK doubles instead of Dim — Dim/RpK less
+    * data and fewer multiplies per pair), then re-rank the top
+    * [[RpShortlist]] exactly in the original space. Two-stage
+    * shortlist+re-rank is the production shape; recall vs cost is set
+    * by RpK and the shortlist size (measured in TrainingOpsSpec /
+    * PERF.md). Rounded projections make the cross-engine shortlist
+    * deterministic (ties broken by neighbor_id on both sides). */
+  def knnRp(spark: SparkSession, dir: String): DataFrame = {
+    val projected = vecs(spark, dir).withColumn("p", rpProjCol)
+    val q = broadcast(projected.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("p").as("qp")))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rp_sim"), col("neighbor_id"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    q.join(projected.select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("p")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("rp_sim", round(dot(col("qp"), col("p")), 4))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= RpShortlist)
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= KLsh)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
+
+  val knnRpSql: String =
+    s"""WITH $vecsSql,
+       |mat AS (SELECT $rpMatSqlLit AS m),
+       |proj AS (
+       |  SELECT vec_id, v, nrm,
+       |         list_transform((SELECT m FROM mat),
+       |           r -> round(list_dot_product(v, r) / sqrt(${RpK}.0), 4)) AS p
+       |  FROM vecs),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         q.v AS qv, q.nrm AS qn, e.v AS ev, e.nrm AS en,
+       |         round(list_dot_product(q.p, e.p), 4) AS rp_sim
+       |  FROM proj q JOIN proj e
+       |    ON q.vec_id < $QueryMax AND q.vec_id != e.vec_id),
+       |short AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rp_sim DESC, neighbor_id) AS srank
+       |  FROM pairs),
+       |rer AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_dot_product(qv, ev) / (qn * en), 4) AS cos_sim
+       |  FROM short WHERE srank <= $RpShortlist)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= $KLsh""".stripMargin
 }

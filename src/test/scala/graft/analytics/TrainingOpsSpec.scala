@@ -232,6 +232,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
   }
 
+  test("RP-ANN re-ranks with exact scores; projected shortlist recall measured (q84)") {
+    val ann = VectorOps.knnRp(spark, dir).cache()
+    val brute = VectorOps.knnBrute(spark, dir)
+      .filter(col("rank") <= VectorOps.KLsh).cache()
+    // every reported score must equal the brute-force score (re-rank
+    // runs in the ORIGINAL space — compression only picks candidates)
+    val joined = ann.select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c1"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c2")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
+    // recall@3 of the 16-dim shortlist vs the exact top-3 (threshold
+    // from the measured value minus margin; see PERF.md ladder)
+    val hits = joined.count().toDouble
+    val recall = hits / brute.count()
+    info(f"RP-ANN recall@3 = $recall%.2f")
+    assert(recall >= 0.4, f"recall collapsed: $recall%.2f")
+    ann.unpersist(); brute.unpersist()
+  }
+
   test("random projection preserves norms in expectation and is non-degenerate (q83)") {
     val proj = VectorOps.randomProjection(spark, dir).cache()
     assert(proj.count() === 500L * VectorOps.RpK)
