@@ -145,7 +145,12 @@ object SparkEntry {
     "q82_frame_sample"      -> ((s: SparkSession, dir: String) =>
       graft.multimodal.MultimodalOps.frameSamples(s, dir)),
     "q83_random_projection" -> (V.randomProjection _),
-    "q84_knn_rp"            -> (V.knnRp _)
+    "q84_knn_rp"            -> (V.knnRp _),
+    "q85_stream_chunks"     -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.chunkEvents(
+          graft.streaming.EventsStream.source(s, dir)), "q85_stream_chunks",
+        outputMode = "append"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -232,6 +237,7 @@ object SparkEntry {
     "q81_ivf_trained"       -> V.annIvfTrainedSql,
     "q82_frame_sample"      -> graft.multimodal.MultimodalOps.frameSamplesSql,
     "q83_random_projection" -> V.randomProjectionSql,
-    "q84_knn_rp"            -> V.knnRpSql
+    "q84_knn_rp"            -> V.knnRpSql,
+    "q85_stream_chunks"     -> graft.streaming.EventsStream.chunkEventsSql
   )
 }

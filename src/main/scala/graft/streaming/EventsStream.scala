@@ -14,6 +14,16 @@ case class UserAgg(
     user_id: Long, n_events: Long, sum_value: Double,
     first_ms: Long, last_ms: Long)
 
+/** Running chunk accumulator for [[EventsStream.chunkEvents]]: index of
+  * the chunk being filled, rows so far, its first-event ms, value sum. */
+case class ChunkState(
+    chunk_idx: Int, n: Int, first_ms: Long, sum_value: Double)
+
+/** A completed fixed-size chunk of one user's event stream. */
+case class EventChunk(
+    user_id: Long, chunk_id: Int, first_ms: Long, last_ms: Long,
+    sum_value: Double)
+
 /** Structured Streaming forms of the event-stream operators
   * (SURVEY.md §1: the reference's Airflow sensor→process loop
   * (`composer/sales_etl_dag.py:42-48`) maps onto Spark's file source +
@@ -129,6 +139,71 @@ object EventsStream {
       .withColumn("first_s", date_trunc("second", col("first_s")))
       .withColumn("last_s", date_trunc("second", col("last_s")))
   }
+
+  /** Fixed-size event chunking via `flatMapGroupsWithState` — the
+    * MULTI-ROW arbitrary-state API (vs [[userStats]]'s one-row-per-key
+    * `mapGroupsWithState`): each user's stream is cut into chunks of
+    * `chunkSize` events; every COMPLETED chunk is emitted exactly once
+    * (Append mode — a finished chunk never changes, so no stale-row
+    * collapse is needed at the sink), the partial chunk rides in the
+    * state store until its last event arrives. The sequence-packing
+    * shape (q76) on a live stream. State is one small accumulator per
+    * user, key-partitioned across executors. Rows are sorted by
+    * (ms, event_id) inside each group iterator (Spark does not order
+    * them); chunk identity across multi-batch drains assumes batches
+    * arrive in time order, the file-source default. */
+  def chunkEvents(events: DataFrame, chunkSize: Int = 10): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val ds = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[ChunkState, EventChunk](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[ChunkState]) =>
+          var s = state.getOption.getOrElse(ChunkState(0, 0, 0L, 0.0))
+          val out = Seq.newBuilder[EventChunk]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _, v) =>
+            val first = if (s.n == 0) ms else s.first_ms
+            val n = s.n + 1
+            val sum = s.sum_value + v
+            if (n == chunkSize) {
+              out += EventChunk(uid, s.chunk_idx, first, ms, sum)
+              s = ChunkState(s.chunk_idx + 1, 0, 0L, 0.0)
+            } else s = ChunkState(s.chunk_idx, n, first, sum)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+      .toDF()
+      .select(col("user_id"), col("chunk_id"),
+        date_trunc("second", timestamp_millis(col("first_ms"))).as("first_s"),
+        date_trunc("second", timestamp_millis(col("last_ms"))).as("last_s"),
+        round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  /** Batch oracle for [[chunkEvents]]: chunk membership from the global
+    * (ts, event_id) order per user, keeping only complete chunks —
+    * exactly the rows the Append-mode stream emits. (`events.ts` is
+    * second-aligned, so the stream's ms ordering and this ts ordering
+    * agree.) */
+  val chunkEventsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) - 1 AS idx
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, CAST(idx // 10 AS INT) AS chunk_id,
+      |         date_trunc('second', min(ts)) AS first_s,
+      |         date_trunc('second', max(ts)) AS last_s,
+      |         round(sum(value), 2) AS sum_value, count(*) AS n
+      |  FROM ordered GROUP BY 1, 2)
+      |SELECT user_id, chunk_id, first_s, last_s, sum_value
+      |FROM g WHERE n = 10""".stripMargin
 
   /** Streaming exact dedup — the ingest-side "drop already-seen keys"
     * operator a training-data pipeline runs in front of its corpus

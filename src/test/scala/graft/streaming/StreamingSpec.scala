@@ -36,6 +36,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("flatMapGroupsWithState chunker emits exactly the complete batch chunks") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.chunkEvents(EventsStream.source(spark, dir)),
+      "stream_chunks", outputMode = "append")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = graft.tables.Tables.events(spark, dir)
+      .withColumn("idx", row_number().over(w) - 1)
+      .withColumn("chunk_id", (col("idx") / 10).cast("int"))
+      .groupBy("user_id", "chunk_id")
+      .agg(date_trunc("second", min("ts")).as("first_s"),
+        date_trunc("second", max("ts")).as("last_s"),
+        round(sum("value"), 2).as("sum_value"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 10).drop("n")
+    assert(streamed.count() > 0)
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
   test("update-mode user stats survive a multi-file, multi-batch drain") {
     import org.apache.spark.sql.functions._
     // Split the events across TWO parquet files and force one file per
