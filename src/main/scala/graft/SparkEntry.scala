@@ -150,7 +150,8 @@ object SparkEntry {
       graft.streaming.EventsStream.runAvailableNow(
         s, graft.streaming.EventsStream.chunkEvents(
           graft.streaming.EventsStream.source(s, dir)), "q85_stream_chunks",
-        outputMode = "append"))
+        outputMode = "append")),
+    "q86_upsert"            -> (R.upsertCustomers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,6 +239,7 @@ object SparkEntry {
     "q82_frame_sample"      -> graft.multimodal.MultimodalOps.frameSamplesSql,
     "q83_random_projection" -> V.randomProjectionSql,
     "q84_knn_rp"            -> V.knnRpSql,
-    "q85_stream_chunks"     -> graft.streaming.EventsStream.chunkEventsSql
+    "q85_stream_chunks"     -> graft.streaming.EventsStream.chunkEventsSql,
+    "q86_upsert"            -> R.upsertCustomersSql
   )
 }

@@ -831,4 +831,51 @@ object Relational {
       |                               ORDER BY l_extendedprice) AS cd
       |      FROM lineitem)
       |GROUP BY 1""".stripMargin
+
+  /** MERGE / upsert (SCD type 1) — the incremental-maintenance shape
+    * that replaces the reference's WRITE_TRUNCATE full rewrite
+    * (`dataflow_transform.py:157`) at scale: a change set is applied to
+    * a base snapshot with update / insert / keep semantics via ONE
+    * full-outer join on the key (shuffle both sides on custkey, no
+    * driver loop, no full-table rewrite of untouched rows — paired with
+    * dynamic partition overwrite on the write side, ScalePlanSpec).
+    * Changes are derived deterministically from orders: existing
+    * customers with orders get their balance replaced by their order
+    * total (update); synthetic keys (custkey+200000 for every 97th
+    * custkey) model late-arriving new customers (insert); order-less
+    * customers pass through (keep). */
+  def upsertCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val fromOrders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("new_bal"))
+    val changes = fromOrders
+      .select(col("o_custkey").as("key"), col("new_bal"))
+      .unionAll(fromOrders.filter(col("o_custkey") % 97 === 0)
+        .select((col("o_custkey") + 200000).as("key"), col("new_bal")))
+    base.join(changes, col("c_custkey") === col("key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("custkey"),
+        coalesce(col("c_name"), lit("NEW")).as("name"),
+        round(coalesce(col("new_bal"), col("c_acctbal")), 2).as("acctbal"),
+        when(col("c_custkey").isNull, "I")
+          .when(col("new_bal").isNull, "K").otherwise("U").as("op"))
+  }
+
+  val upsertCustomersSql: String =
+    """WITH fo AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal
+      |  FROM orders GROUP BY 1),
+      |changes AS (
+      |  SELECT o_custkey AS key, new_bal FROM fo
+      |  UNION ALL
+      |  SELECT o_custkey + 200000 AS key, new_bal FROM fo
+      |  WHERE o_custkey % 97 = 0)
+      |SELECT coalesce(c.c_custkey, g.key) AS custkey,
+      |       coalesce(c.c_name, 'NEW') AS name,
+      |       round(coalesce(g.new_bal, c.c_acctbal), 2) AS acctbal,
+      |       CASE WHEN c.c_custkey IS NULL THEN 'I'
+      |            WHEN g.new_bal IS NULL THEN 'K' ELSE 'U' END AS op
+      |FROM customer c FULL JOIN changes g ON c.c_custkey = g.key""".stripMargin
 }

@@ -157,4 +157,16 @@ class Round2OpsSpec extends AnyFunSuite {
     val p = graft.analytics.Relational.approxPercentiles(spark, dir)
     assert(p.filter(col("within_bound") =!= 1).count() === 0)
   }
+
+  test("upsert covers the keyspace: updates+keeps = base, inserts are new keys (q86)") {
+    val merged = graft.analytics.Relational.upsertCustomers(spark, dir).cache()
+    val base = graft.tables.Tables.customer(spark, dir)
+    val nBase = base.count()
+    assert(merged.filter(col("op").isin("U", "K")).count() === nBase)
+    // inserts carry synthetic keys only, and every row has a balance
+    assert(merged.filter(col("op") === "I")
+      .filter(col("custkey") < 200000).count() === 0)
+    assert(merged.filter(col("acctbal").isNull).count() === 0)
+    merged.unpersist()
+  }
 }

@@ -151,6 +151,42 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    // the sink half of the q86 merge story: WRITE_TRUNCATE (reference
+    // D14) rewrites everything; at 100 TB an incremental run must
+    // replace only the partitions it produced rows for
+    val out = Files.createTempDirectory("dyn-overwrite").toString
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    try {
+      val orders = graft.tables.Tables.orders(spark, dir)
+      orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+      def filesIn(p: String): Set[String] =
+        spark.read.parquet(out).inputFiles.filter(_.contains(p)).toSet
+      val untouchedBefore = filesIn("o_orderpriority=3-MEDIUM")
+      assert(untouchedBefore.nonEmpty)
+
+      spark.conf.set(key, "dynamic")
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+        .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+
+      // untouched partition: identical file set (static mode would have
+      // dropped it); touched partition: new files, doubled values
+      assert(filesIn("o_orderpriority=3-MEDIUM") === untouchedBefore)
+      val expectUrgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .agg(round(sum(col("o_totalprice")) * 2, 2)).head().getDouble(0)
+      val gotUrgent = spark.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(round(sum(col("o_totalprice")), 2)).head().getDouble(0)
+      assert(math.abs(gotUrgent - expectUrgent) < 0.01)
+      assert(spark.read.parquet(out).count() === orders.count())
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
