@@ -151,7 +151,8 @@ object SparkEntry {
         s, graft.streaming.EventsStream.chunkEvents(
           graft.streaming.EventsStream.source(s, dir)), "q85_stream_chunks",
         outputMode = "append")),
-    "q86_upsert"            -> (R.upsertCustomers _)
+    "q86_upsert"            -> (R.upsertCustomers _),
+    "q87_scd2"              -> (E.scd2History _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -240,6 +241,7 @@ object SparkEntry {
     "q83_random_projection" -> V.randomProjectionSql,
     "q84_knn_rp"            -> V.knnRpSql,
     "q85_stream_chunks"     -> graft.streaming.EventsStream.chunkEventsSql,
-    "q86_upsert"            -> R.upsertCustomersSql
+    "q86_upsert"            -> R.upsertCustomersSql,
+    "q87_scd2"              -> E.scd2HistorySql
   )
 }

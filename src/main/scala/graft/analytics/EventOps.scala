@@ -254,4 +254,39 @@ object EventOps {
       |       date_trunc('second', max(ts)) AS session_end,
       |       round(sum(value), 2) AS sum_value
       |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  /** SCD type-2 history build (q87) — the versioned-dimension companion
+    * of the q86 type-1 merge: every (user, event) becomes a version row
+    * with an effective range [valid_from, valid_to) and a current flag;
+    * valid_to of the latest version is the standard far-future sentinel
+    * (2200-01-01 — chosen inside pandas' datetime64[ns] range rather
+    * than 9999-12-31, which the driver's comparator cannot represent).
+    * One window pass per user partition — no self-join; at scale this
+    * shuffles once on the dimension key, which is the minimum for any
+    * ordered-versioning operator. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).as("valid_from"),
+        date_trunc("second",
+          coalesce(col("next_ts"), lit("2200-01-01 00:00:00").cast("timestamp")))
+          .as("valid_to"),
+        round(col("value"), 2).as("value"),
+        when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  val scd2HistorySql: String =
+    """SELECT user_id,
+      |       date_trunc('second', ts) AS valid_from,
+      |       date_trunc('second',
+      |         coalesce(lead(ts) OVER (PARTITION BY user_id
+      |                                 ORDER BY ts, event_id),
+      |                  TIMESTAMP '2200-01-01 00:00:00')) AS valid_to,
+      |       round(value, 2) AS value,
+      |       CASE WHEN lead(ts) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) IS NULL
+      |            THEN 1 ELSE 0 END AS is_current
+      |FROM events""".stripMargin
 }

@@ -169,4 +169,20 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(merged.filter(col("acctbal").isNull).count() === 0)
     merged.unpersist()
   }
+
+  test("SCD2 history: one current row per user, contiguous ranges (q87)") {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.analytics.EventOps.scd2History(spark, dir).cache()
+    val users = graft.tables.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(h.filter(col("is_current") === 1).count() === users)
+    // each non-current version ends exactly where its successor starts
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("valid_to"))
+    val gaps = h.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(gaps.count() === 0)
+    h.unpersist()
+  }
 }
