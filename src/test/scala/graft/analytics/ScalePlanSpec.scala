@@ -151,6 +151,39 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("range-sorted file layout lets parquet stats skip row groups") {
+    // the clustering lever for non-partition keys: writing each file
+    // sorted on the filter column gives every row group a tight
+    // min/max band, so a selective range predicate decodes only the
+    // groups that can match. Small block size → many row groups even
+    // on testdata; the same rows shuffled destroy the bands.
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    def writeAndMeasure(df: org.apache.spark.sql.DataFrame): Long = {
+      val out = Files.createTempDirectory("rg-prune").toString
+      df.coalesce(1).write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(out)
+      val scan = spark.read.parquet(out)
+        .filter(col("l_orderkey") >= 100 && col("l_orderkey") < 200)
+        .agg(sum("l_quantity"))
+      scan.collect()
+      scan.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    // AQE off so the scan node (and its metrics) sit in the plan tree
+    val (sortedRows, shuffledRows) = withPlanConfs(noBroadcast = false) {
+      (writeAndMeasure(li.sortWithinPartitions("l_orderkey")),
+       writeAndMeasure(li.sortWithinPartitions("l_extendedprice"))) // same data, wrong order
+    }
+    assert(sortedRows > 0)
+    // measured on this data: 2729 vs 6000 decoded rows (the gap widens
+    // with file count — every extra file is another tight band)
+    assert(sortedRows * 2 <= shuffledRows,
+      s"sorted layout decoded $sortedRows rows vs $shuffledRows unsorted — no row-group skipping")
+  }
+
   test("dynamic partition overwrite rewrites only the touched partitions") {
     // the sink half of the q86 merge story: WRITE_TRUNCATE (reference
     // D14) rewrites everything; at 100 TB an incremental run must
