@@ -152,7 +152,8 @@ object SparkEntry {
           graft.streaming.EventsStream.source(s, dir)), "q85_stream_chunks",
         outputMode = "append")),
     "q86_upsert"            -> (R.upsertCustomers _),
-    "q87_scd2"              -> (E.scd2History _)
+    "q87_scd2"              -> (E.scd2History _),
+    "q88_ingest_dedup"      -> (D.ingestDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,6 +243,7 @@ object SparkEntry {
     "q84_knn_rp"            -> V.knnRpSql,
     "q85_stream_chunks"     -> graft.streaming.EventsStream.chunkEventsSql,
     "q86_upsert"            -> R.upsertCustomersSql,
-    "q87_scd2"              -> E.scd2HistorySql
+    "q87_scd2"              -> E.scd2HistorySql,
+    "q88_ingest_dedup"      -> D.ingestDedupSql
   )
 }

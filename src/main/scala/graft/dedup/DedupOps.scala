@@ -472,4 +472,86 @@ object DedupOps {
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hd
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax""".stripMargin
+
+  // ------------------------------------------------- incremental ingest dedup
+
+  /** Every doc_id ≡ IngestMod-1 (mod IngestMod) plays the ARRIVING
+    * batch; the rest is the standing corpus (scale-proportional split
+    * at any sf). */
+  val IngestMod = 5
+
+  /** Incremental ingest near-dup gate (q88) — the daily-pipeline form
+    * of q21: the standing corpus's band index already exists, so only
+    * the arriving batch is shingled/minhashed and its bands PROBE the
+    * corpus index (new×corpus equi-join — candidates never include
+    * corpus×corpus or batch×batch pairs). Verified candidates pick each
+    * new doc's best corpus match (max Jaccard, min doc_id tie-break);
+    * docs with no match ≥ threshold pass the gate as `new`. At 100 TB
+    * the corpus side is a stored index keyed by (band, key): per-run
+    * shuffle volume is O(batch × Bands), independent of corpus size. */
+  def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hsets = shingleHashes(spark, dir).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val isNew = col("doc_id") % IngestMod === IngestMod - 1
+    val bands = hsets
+      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
+      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
+    val cand = bands.filter(isNew).as("a")
+      .join(bands.filter(!isNew).as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("nid"), col("b.doc_id").as("cid"))
+      .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val verified = cand
+      .join(hsets.select(col("doc_id").as("nid"), col("hs").as("hs1"), col("n").as("n1")), "nid")
+      .join(hsets.select(col("doc_id").as("cid"), col("hs").as("hs2"), col("n").as("n2")), "cid")
+      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val best = verified
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("nid"))
+          .orderBy(desc("jaccard"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("cid"), col("jaccard"))
+    hsets.filter(isNew).select(col("doc_id"))
+      .join(best, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        when(col("cid").isNull, "new").otherwise("dup").as("verdict"),
+        coalesce(col("cid"), lit(-1L)).as("dup_of"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
+  val ingestDedupSql: String =
+    s"""WITH $shingleHashesSql,
+       |sigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS (
+       |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+       |  WHERE a.doc_id % $IngestMod = ${IngestMod - 1}
+       |    AND b.doc_id % $IngestMod != ${IngestMod - 1}),
+       |verified AS (
+       |  SELECT nid, cid,
+       |         round(len(list_intersect(h1.hs, h2.hs))::DOUBLE /
+       |               (h1.n + h2.n - len(list_intersect(h1.hs, h2.hs))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN hsets h1 ON h1.doc_id = nid
+       |  JOIN hsets h2 ON h2.doc_id = cid),
+       |best AS (
+       |  SELECT nid, cid, jaccard FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nid
+       |                                 ORDER BY jaccard DESC, cid) AS rn
+       |    FROM verified WHERE jaccard >= $JaccardThreshold)
+       |  WHERE rn = 1)
+       |SELECT h.doc_id,
+       |       CASE WHEN best.cid IS NULL THEN 'new' ELSE 'dup' END AS verdict,
+       |       coalesce(best.cid, -1) AS dup_of,
+       |       coalesce(best.jaccard, 0.0) AS jaccard
+       |FROM hsets h LEFT JOIN best ON h.doc_id = best.nid
+       |WHERE h.doc_id % $IngestMod = ${IngestMod - 1}""".stripMargin
 }

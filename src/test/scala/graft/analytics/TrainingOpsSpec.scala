@@ -251,6 +251,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     ann.unpersist(); brute.unpersist()
   }
 
+  test("ingest dedup gate agrees with the global near-dup pair set (q88)") {
+    val gate = DedupOps.ingestDedup(spark, dir).cache()
+    val global = DedupOps.minhashLsh(spark, dir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isNew = (id: Long) => id % DedupOps.IngestMod == DedupOps.IngestMod - 1
+    // every dup verdict is a real global near-dup pair with a corpus doc
+    val dups = gate.filter(col("verdict") === "dup")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.nonEmpty)
+    dups.foreach { case (nid, cid) =>
+      assert(isNew(nid) && !isNew(cid))
+      assert(global.contains((math.min(nid, cid), math.max(nid, cid))))
+    }
+    // every global pair straddling the split convicts its new-side doc
+    val straddling = global.collect {
+      case (a, b) if isNew(a) ^ isNew(b) => if (isNew(a)) a else b
+    }
+    val convicted = dups.map(_._1).toSet
+    straddling.foreach(nid => assert(convicted.contains(nid)))
+    gate.unpersist()
+  }
+
   test("random projection preserves norms in expectation and is non-degenerate (q83)") {
     val proj = VectorOps.randomProjection(spark, dir).cache()
     assert(proj.count() === 500L * VectorOps.RpK)
