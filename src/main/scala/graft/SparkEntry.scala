@@ -153,7 +153,8 @@ object SparkEntry {
         outputMode = "append")),
     "q86_upsert"            -> (R.upsertCustomers _),
     "q87_scd2"              -> (E.scd2History _),
-    "q88_ingest_dedup"      -> (D.ingestDedup _)
+    "q88_ingest_dedup"      -> (D.ingestDedup _),
+    "q89_mixture_sample"    -> (T.mixtureSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -244,6 +245,7 @@ object SparkEntry {
     "q85_stream_chunks"     -> graft.streaming.EventsStream.chunkEventsSql,
     "q86_upsert"            -> R.upsertCustomersSql,
     "q87_scd2"              -> E.scd2HistorySql,
-    "q88_ingest_dedup"      -> D.ingestDedupSql
+    "q88_ingest_dedup"      -> D.ingestDedupSql,
+    "q89_mixture_sample"    -> T.mixtureSampleSql
   )
 }

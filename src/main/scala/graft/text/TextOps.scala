@@ -521,4 +521,72 @@ object TextOps {
        |       CAST(10000 - (n_distinct * 10000) // n_positions AS BIGINT) AS rep_bp
        |FROM m""".stripMargin
   }
+
+  // -------------------------------------------- mixture sampling under budget
+
+  /** Per-(source, lang) token budget for [[mixtureSample]]. */
+  val TokenBudget = 2000L
+
+  /** Mixture construction under a token budget (q89) — the selection
+    * step that q77's audit informs: within each (source, lang) stratum,
+    * docs are ranked by quality (q17's integer basis-point score,
+    * doc_id tie-break) and kept while the budget is unfilled — a doc is
+    * admitted iff the tokens BEFORE it total under [[TokenBudget]]
+    * (window prefix sum, so the budget may overflow by one doc —
+    * deterministic fill semantics on both engines). One shuffle on the
+    * stratum key; all-integer arithmetic, bit-exact cross-engine. At
+    * 100 TB the same window runs per stratum partition — no global
+    * sort, no driver-side selection loop. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.functions.NativeExprs.countWsTokens(col("text")).cast("long").as("n_tok"))
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("quality_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy(desc("quality_bp"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.join(quality, "doc_id")
+      .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("prev") < TokenBudget)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("kept_tokens"),
+        min(col("quality_bp")).as("cutoff_quality"))
+  }
+
+  val mixtureSampleSql: String = {
+    val t = tokensSql("text")
+    val stop = markerScoreSql("t", markers.flatMap(_._2))
+    s"""WITH toks AS (SELECT doc_id, source, lang, text, $t AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id, source, lang,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+       |         len(t) AS n_tokens,
+       |         $stop AS n_stop,
+       |         len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_punct,
+       |         length(text) AS n_cp
+       |  FROM toks),
+       |feat AS (
+       |  SELECT doc_id, source, lang, n_tok,
+       |         CAST(CASE WHEN n_cp > 0 THEN n_punct * 10000 // n_cp ELSE 0 END AS BIGINT) AS punct_bp,
+       |         CAST(CASE WHEN n_tokens > 0 THEN n_stop * 10000 // n_tokens ELSE 0 END AS BIGINT) AS stop_bp,
+       |         CAST(least(n_tokens, 50) * 200 AS BIGINT) AS len_bp
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, source, lang, n_tok,
+       |         CAST((len_bp * 5 + (10000 - punct_bp) * 2 + stop_bp * 3) // 10 AS BIGINT) AS quality_bp
+       |  FROM feat),
+       |ranked AS (
+       |  SELECT *, coalesce(sum(n_tok) OVER (
+       |           PARTITION BY source, lang
+       |           ORDER BY quality_bp DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM scored)
+       |SELECT source, lang, count(*) AS n_kept,
+       |       CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+       |       min(quality_bp) AS cutoff_quality
+       |FROM ranked WHERE prev < $TokenBudget
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -275,6 +275,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     gate.unpersist()
   }
 
+  test("mixture sampling fills each stratum to its token budget (q89)") {
+    val sample = TextOps.mixtureSample(spark, dir).cache()
+    val audit = TextOps.mixtureAudit(spark, dir)
+      .select(col("source"), col("lang"),
+        col("n_docs"), col("n_tokens").as("all_tokens"))
+    val j = sample.join(audit, Seq("source", "lang")).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val kept = r.getAs[Long]("kept_tokens")
+      val nKept = r.getAs[Long]("n_kept")
+      val allTok = r.getAs[Long]("all_tokens")
+      val nDocs = r.getAs[Long]("n_docs")
+      // either the budget is (over)filled, or the whole stratum was kept
+      assert(kept >= TextOps.TokenBudget || nKept === nDocs,
+        s"stratum under budget with docs left: $r")
+      // never keeps more than the budget plus one overflowing doc's worth
+      assert(nKept <= nDocs && kept <= allTok)
+    }
+    sample.unpersist()
+  }
+
   test("random projection preserves norms in expectation and is non-degenerate (q83)") {
     val proj = VectorOps.randomProjection(spark, dir).cache()
     assert(proj.count() === 500L * VectorOps.RpK)
