@@ -154,7 +154,12 @@ object SparkEntry {
     "q86_upsert"            -> (R.upsertCustomers _),
     "q87_scd2"              -> (E.scd2History _),
     "q88_ingest_dedup"      -> (D.ingestDedup _),
-    "q89_mixture_sample"    -> (T.mixtureSample _)
+    "q89_mixture_sample"    -> (T.mixtureSample _),
+    "q90_sliding_window"    -> (E.slidingCounts _),
+    "q91_stream_sliding"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.slidingCounts(
+          graft.streaming.EventsStream.source(s, dir)), "q91_stream_sliding"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,6 +251,8 @@ object SparkEntry {
     "q86_upsert"            -> R.upsertCustomersSql,
     "q87_scd2"              -> E.scd2HistorySql,
     "q88_ingest_dedup"      -> D.ingestDedupSql,
-    "q89_mixture_sample"    -> T.mixtureSampleSql
+    "q89_mixture_sample"    -> T.mixtureSampleSql,
+    "q90_sliding_window"    -> E.slidingCountsSql,
+    "q91_stream_sliding"    -> E.slidingCountsSql
   )
 }

@@ -51,6 +51,30 @@ object EventOps {
       |       count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** SLIDING (hopping) windows — 2-hour duration, 1-hour slide: every
+    * event lands in exactly two overlapping windows (the one starting
+    * at its hour and the one starting an hour before). Spark's `window`
+    * expands each row to its windows BEFORE the hash aggregate — one
+    * Expand + one shuffle, the same cost shape as a tumbling window ×
+    * overlap factor; the oracle re-derives membership by unnesting the
+    * two epoch-aligned starts. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  val slidingCountsSql: String =
+    """SELECT window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM (SELECT unnest([date_trunc('hour', ts),
+      |                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+      |             event_type, value
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity gap): lag to detect
     * session starts, running sum to assign session ids, then per-session
     * aggregate. Two window passes + one groupBy, all partitioned by

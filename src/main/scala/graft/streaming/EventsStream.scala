@@ -70,6 +70,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) 2-hour/1-hour windows with a 1-hour watermark —
+    * the streaming twin of EventOps.slidingCounts. Each event updates
+    * two window states; the watermark closes a window once event time
+    * passes its end plus the lateness bound. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Native session windows (30-minute gap) per user — the streaming
     * twin of EventOps.sessionize (which assigns session ids with lag +
     * running sum; same (user, session) partitioning of events). */

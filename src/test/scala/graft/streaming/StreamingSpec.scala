@@ -36,6 +36,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("streaming sliding windows equal the batch result") {
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.slidingCounts(EventsStream.source(spark, dir)),
+      "stream_sliding")
+    val batch = EventOps.slidingCounts(spark, dir)
+    assert(streamed.count() > batch.select("window_start").distinct().count())
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
   test("flatMapGroupsWithState chunker emits exactly the complete batch chunks") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
