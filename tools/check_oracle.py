@@ -1,17 +1,27 @@
 #!/usr/bin/env python3
 """Dev-loop oracle checker mirroring the driver's t2 correctness gate:
 for each query output written by graft.Verify, run the corresponding
-oracle SQL in DuckDB over the same testdata tables and compare
-(schema-insensitive: columns sorted by name, rows sorted, values
-compared with a tiny float tolerance).
+oracle SQL in DuckDB over the same testdata tables and compare twice:
+
+1. tolerant: columns sorted by name, rows sorted, values compared with
+   a tiny float tolerance (catches semantic differences);
+2. strict: the driver's actual pandas hash compare
+   (pd.util.hash_pandas_object over column- and row-sorted frames).
+   This is dtype-sensitive for int-vs-float — the DuckDB HUGEINT class
+   of bug (sum/count_if of integers) that the tolerant compare misses —
+   but, matching observed driver behavior, datetime columns are
+   normalized to a common unit first (ns-vs-us differences pass the
+   real driver; q13/q47 precedent).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
+import glob as globmod
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,6 +49,35 @@ def values_eq(a, b):
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
+
+
+def strict_hash_eq(spark_glob, want_df):
+    """The driver's compare: sort columns by name, sort rows, hash."""
+    got_df = pd.concat([pd.read_parquet(f) for f in globmod.glob(spark_glob)],
+                       ignore_index=True)
+
+    def norm(df):
+        import datetime
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[us]")
+            elif df[c].dtype == object:
+                v = df[c].dropna()
+                # Spark DATE columns arrive as datetime.date objects;
+                # DuckDB DATE arrives as midnight datetime64 — align
+                # (the real driver passes such queries, q52 precedent)
+                if len(v) and isinstance(v.iloc[0], datetime.date) \
+                        and not isinstance(v.iloc[0], datetime.datetime):
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    g, w = norm(got_df), norm(want_df)
+    if list(g.columns) != list(w.columns) or len(g) != len(w):
+        return False
+    hg = pd.util.hash_pandas_object(g, index=False).sum()
+    hw = pd.util.hash_pandas_object(w, index=False).sum()
+    return hg == hw
 
 
 def main(sf_dir, out_dir):
@@ -73,6 +112,18 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]}\n  got  {bad[1]}\n  want {bad[2]}")
+            n_fail += 1
+            continue
+        try:
+            strict = strict_hash_eq(f"{out_dir}/{name}/*.parquet",
+                                    con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: strict-hash exception {e}")
+            n_fail += 1
+            continue
+        if not strict:
+            print(f"FAIL {name}: values equal but pandas hash differs "
+                  "(dtype mismatch — check HUGEINT casts / serialization)")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got_rows)} rows)")
