@@ -850,10 +850,14 @@ object Relational {
     val fromOrders = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("new_bal"))
-    val changes = fromOrders
-      .select(col("o_custkey").as("key"), col("new_bal"))
-      .unionAll(fromOrders.filter(col("o_custkey") % 97 === 0)
-        .select((col("o_custkey") + 200000).as("key"), col("new_bal")))
+    // one Generate instead of a union of two branches — Catalyst does
+    // not CSE a unioned aggregate, and at scale the orders agg is the
+    // expensive half of the merge
+    val changes = fromOrders.select(
+      explode(when(col("o_custkey") % 97 === 0,
+        array(col("o_custkey"), col("o_custkey") + 200000))
+        .otherwise(array(col("o_custkey")))).as("key"),
+      col("new_bal"))
     base.join(changes, col("c_custkey") === col("key"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("key")).as("custkey"),
