@@ -159,7 +159,22 @@ object SparkEntry {
     "q91_stream_sliding"    -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventsStream.runAvailableNow(
         s, graft.streaming.EventsStream.slidingCounts(
-          graft.streaming.EventsStream.source(s, dir)), "q91_stream_sliding"))
+          graft.streaming.EventsStream.source(s, dir)), "q91_stream_sliding")),
+    "q92_resize_plan"       -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.resizePlans(s, dir)),
+    // Production streaming dedup: dropDuplicatesWithinWatermark (state
+    // bounded by the dedup window); delay covers the testdata span, so
+    // the bounded drain is exact DISTINCT and the batch oracle applies.
+    "q93_stream_dedup_wm"   -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.dedupKeysWithinWatermark(
+          graft.streaming.EventsStream.source(s, dir)), "q93_stream_dedup_wm",
+        outputMode = "append")),
+    "q94_decontaminate"     -> (D.decontaminate _),
+    "q95_jsonl_roundtrip"   -> (graft.sources.FormatRoundtrip.jsonlRoundtrip _),
+    "q96_orc_roundtrip"     -> (graft.sources.FormatRoundtrip.orcRoundtrip _),
+    "q97_hash_split"        -> (T.hashSplit _),
+    "q98_consensus_neardup" -> (D.consensusNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -253,6 +268,13 @@ object SparkEntry {
     "q88_ingest_dedup"      -> D.ingestDedupSql,
     "q89_mixture_sample"    -> T.mixtureSampleSql,
     "q90_sliding_window"    -> E.slidingCountsSql,
-    "q91_stream_sliding"    -> E.slidingCountsSql
+    "q91_stream_sliding"    -> E.slidingCountsSql,
+    "q92_resize_plan"       -> graft.multimodal.MultimodalOps.resizePlansSql,
+    "q93_stream_dedup_wm"   -> "SELECT DISTINCT user_id, event_type FROM events",
+    "q94_decontaminate"     -> D.decontaminateSql,
+    "q95_jsonl_roundtrip"   -> graft.sources.FormatRoundtrip.jsonlRoundtripSql,
+    "q96_orc_roundtrip"     -> graft.sources.FormatRoundtrip.orcRoundtripSql,
+    "q97_hash_split"        -> T.hashSplitSql,
+    "q98_consensus_neardup" -> D.consensusNearDupSql
   )
 }

@@ -375,6 +375,57 @@ object DedupOps {
        |FROM ex LEFT JOIN ev ON ex.h = ev.h
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- decontamination
+
+  /** Corpus docs at or above this contamination level (basis points of
+    * shingles shared with the eval set) are dropped by [[decontaminate]]. */
+  val ContamMaxBp = 1500L
+
+  /** The decontamination GATE that [[contamination]]'s score feeds — the
+    * step that actually decides what enters the training mix: corpus
+    * docs scoring ≥ [[ContamMaxBp]] are dropped, and the per-language
+    * keep/drop ledger (docs and surviving tokens) is emitted for the
+    * mixture audit. Docs too short to shingle carry score 0 (nothing to
+    * leak). Scale shape: [[contamination]]'s broadcast-eval join plus
+    * one map-side-combined aggregate on `lang` — the corpus text never
+    * shuffles, only (doc_id, lang, n_tokens, bp) rows do. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val contam = contamination(spark, dir).select(col("doc_id"), col("contam_bp"))
+    val corpus = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("doc_id") >= EvalDocMax)
+      .select(col("doc_id"), col("lang"),
+        size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+    corpus.join(contam, Seq("doc_id"), "left")
+      .withColumn("bp", coalesce(col("contam_bp"), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(
+        count(when(col("bp") < ContamMaxBp, 1)).as("n_kept"),
+        count(when(col("bp") >= ContamMaxBp, 1)).as("n_dropped"),
+        sum(when(col("bp") < ContamMaxBp, col("n_tokens"))
+          .otherwise(lit(0L))).as("tokens_kept"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $shingleHashesSql,
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hsets WHERE doc_id < $EvalDocMax),
+       |ex AS (SELECT doc_id, n, unnest(hs) AS h FROM hsets WHERE doc_id >= $EvalDocMax),
+       |scored AS (
+       |  SELECT ex.doc_id,
+       |         (sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+       |           // any_value(ex.n) AS bp
+       |  FROM ex LEFT JOIN ev ON ex.h = ev.h
+       |  GROUP BY 1),
+       |corpus AS (
+       |  SELECT d.doc_id, d.lang, len(${tokensSql("d.text")}) AS n_tokens,
+       |         coalesce(s.bp, 0) AS bp
+       |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |  WHERE d.doc_id >= $EvalDocMax)
+       |SELECT lang,
+       |       CAST(count(*) FILTER (bp < $ContamMaxBp) AS BIGINT) AS n_kept,
+       |       CAST(count(*) FILTER (bp >= $ContamMaxBp) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN bp < $ContamMaxBp THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM corpus GROUP BY lang""".stripMargin
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash signature width (bits). */
@@ -472,6 +523,74 @@ object DedupOps {
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hd
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax""".stripMargin
+
+  // ------------------------------------------------- cross-signal consensus
+
+  /** Cross-signal near-dup consensus — the adjudication step a real
+    * dedup pipeline runs before deleting anything: the shingle-set
+    * signal ([[minhashLsh]], verified Jaccard) and the token-multiset
+    * signal ([[simhashNearDup]], hamming distance) vote on every pair
+    * either surfaces. Pairs tagged `both` are safe auto-drops;
+    * single-signal pairs go to review (Jaccard catches reordered
+    * near-dups SimHash misses, SimHash catches multiset-similar docs
+    * whose shingles diverge). Scale shape: both inputs are already
+    * bucketed band joins, and the consensus join itself runs on the
+    * verified PAIR sets — orders of magnitude smaller than the corpus. */
+  def consensusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashLsh(spark, dir).select(col("d1"), col("d2"), col("jaccard"))
+    val sh = simhashNearDup(spark, dir).select(col("d1"), col("d2"), col("hd"))
+    mh.join(sh, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        when(col("jaccard").isNotNull && col("hd").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "minhash")
+          .otherwise("simhash").as("signal"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        coalesce(col("hd"), lit(-1)).as("hd"))
+  }
+
+  val consensusNearDupSql: String =
+    s"""WITH $shingleHashesSql,
+       |msigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS (
+       |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
+       |  FROM msigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |mhv AS (
+       |  SELECT d1, d2, len(list_intersect(h1.hs, h2.hs)) AS shared,
+       |         h1.n AS n1, h2.n AS n2
+       |  FROM cand
+       |  JOIN hsets h1 ON h1.doc_id = d1
+       |  JOIN hsets h2 ON h2.doc_id = d2),
+       |mh AS (
+       |  SELECT d1, d2, round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard
+       |  FROM mhv
+       |  WHERE round(shared::DOUBLE / (n1 + n2 - shared), 4) >= $JaccardThreshold),
+       |hashes AS (SELECT doc_id, list_transform(t, s -> ${polyHashSql("s")}) AS hs FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |                     (acc, h) -> acc + ((h >> b) & 1) * 2 - 1) AS s
+       |  FROM hashes CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS b) bs),
+       |ssigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1),
+       |sh2 AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hd
+       |  FROM ssigs a JOIN ssigs b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax)
+       |SELECT coalesce(mh.d1, sh2.d1) AS d1,
+       |       coalesce(mh.d2, sh2.d2) AS d2,
+       |       CASE WHEN mh.d1 IS NOT NULL AND sh2.d1 IS NOT NULL THEN 'both'
+       |            WHEN mh.d1 IS NOT NULL THEN 'minhash'
+       |            ELSE 'simhash' END AS signal,
+       |       coalesce(mh.jaccard, 0.0) AS jaccard,
+       |       CAST(coalesce(sh2.hd, -1) AS INT) AS hd
+       |FROM mh FULL OUTER JOIN sh2 ON mh.d1 = sh2.d1 AND mh.d2 = sh2.d2""".stripMargin
 
   // ------------------------------------------------- incremental ingest dedup
 

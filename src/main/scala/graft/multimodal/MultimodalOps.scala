@@ -159,6 +159,42 @@ object MultimodalOps {
       |       CAST(unnest(range(0, 100 + doc_id % 50, 7)) AS INT) AS frame_idx
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  /** Resize box for [[resizePlans]]. */
+  val MaxSide = 128
+
+  /** The resize step as an oracle-gated query (q92): synthetic assets
+    * from the corpus (same generator as [[frameSamples]]) round-trip
+    * through encode → `mapPartitions` decode, then every image whose
+    * longest side exceeds [[MaxSide]] gets its aspect-preserving target
+    * box. The pixel transform itself is the documented STUB (no codecs
+    * in this container) — what the oracle certifies is the decode round
+    * trip plus the box arithmetic, re-derived from the generator
+    * formulas alone (width = 64 + (id%8)*32, height = 64 + (id%5)*48,
+    * image iff id % 3 != 0). Narrow map end to end: payloads never
+    * shuffle, output is the small per-asset plan row. */
+  def resizePlans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+    val assets = docs.map { case (id, nc) =>
+      makeAsset(id, payloadLen = (nc % 1024).toInt) }
+    resizePlan(decode(assets), maxSide = MaxSide)
+  }
+
+  /** Oracle: generator arithmetic only (never sees the bytes); the
+    * scale factor is computed before the multiply in both engines so
+    * the double rounding is bit-identical. */
+  val resizePlansSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS asset_id,
+       |         CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+       |         CAST(64 + (doc_id % 5) * 48 AS INT) AS height
+       |  FROM documents WHERE doc_id % 3 != 0)
+       |SELECT asset_id, width, height,
+       |       CAST(floor(width * ($MaxSide / greatest(width, height))) AS INT) AS new_width,
+       |       CAST(floor(height * ($MaxSide / greatest(width, height))) AS INT) AS new_height
+       |FROM dims WHERE greatest(width, height) > $MaxSide""".stripMargin
+
   /** Binary-column metadata extraction with a cross-engine oracle: the
     * documents' text bytes stand in for an opaque media payload (this
     * container ships no real media), and the query exercises the binary

@@ -232,6 +232,22 @@ object EventsStream {
     events.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
 
+  /** The PRODUCTION form of [[dedupKeys]]: `dropDuplicatesWithinWatermark`
+    * holds a key's state only until the event-time watermark passes it
+    * plus the lateness bound — on an unbounded stream, state is bounded
+    * by the dedup window instead of growing with the key universe (the
+    * reason plain `dropDuplicates` can't run forever). The testdata
+    * spans 30 days and the delay here is 60, so a bounded drain keeps
+    * every key's state to the end and the semantics collapse to exact
+    * DISTINCT — which is what makes the batch oracle able to verify the
+    * operator. Only the key columns are emitted (which physical row
+    * wins the intra-batch race is execution-dependent, the key set is
+    * not). */
+  def dedupKeysWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Collapse an UPDATE-mode sink of [[userStats]] rows to the final
     * state per user. The memory sink accumulates one row per user per
     * micro-batch, so a multi-file drain (maxFilesPerTrigger, or several

@@ -413,6 +413,39 @@ object TextOps {
        |       ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
        |FROM documents""".stripMargin
 
+  /** Percent of docs routed to train / train+val by [[hashSplit]]. */
+  val TrainPct = 80L
+  val ValPct   = 90L
+
+  /** Deterministic train/val/test assignment — the split step every
+    * training pipeline runs before packing: bucket = stable hash of
+    * (source, doc_id) mod 100, split by fixed percent bands. Hashing a
+    * stable document key (never a random()) means the assignment is
+    * reproducible run-over-run and machine-over-machine, docs keep
+    * their split when the corpus regrows, and adding data never moves
+    * an old doc across the train/eval boundary (the leak this op
+    * exists to prevent). Pure narrow map, zero shuffles. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        (polyHashCol(concat_ws(":", col("source"), col("doc_id"))) % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < ValPct, "val")
+          .otherwise("test"))
+
+  val hashSplitSql: String =
+    s"""SELECT doc_id, bucket,
+       |       CASE WHEN bucket < $TrainPct THEN 'train'
+       |            WHEN bucket < $ValPct THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |             ${polyHashSql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+       |      FROM documents)""".stripMargin
+
   // ----------------------------------------------------- sequence packing
 
   /** Token capacity of one packed training sequence. */

@@ -313,4 +313,58 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(constDims === 0)
     proj.unpersist()
   }
+
+  test("hash split is a deterministic partition with correct band routing (q97)") {
+    val s1 = TextOps.hashSplit(spark, dir).cache()
+    assert(s1.count() === 500L)
+    // routing: split name follows the bucket bands exactly
+    val misrouted = s1.filter(
+      (col("bucket") < TextOps.TrainPct && col("split") =!= "train") ||
+      (col("bucket") >= TextOps.TrainPct && col("bucket") < TextOps.ValPct
+        && col("split") =!= "val") ||
+      (col("bucket") >= TextOps.ValPct && col("split") =!= "test")).count()
+    assert(misrouted === 0)
+    assert(s1.filter(col("bucket") < 0 || col("bucket") >= 100).count() === 0)
+    // deterministic: a second independent plan assigns identical splits
+    val s2 = TextOps.hashSplit(spark, dir)
+    assert(s1.join(s2, Seq("doc_id"))
+      .filter(s1("split") =!= s2("split")).count() === 0)
+    // all three splits are populated at 500 docs with ~80/10/10 routing
+    assert(s1.select("split").distinct().count() === 3)
+    s1.unpersist()
+  }
+
+  test("decontamination gate ledger partitions the corpus (q94)") {
+    val led = DedupOps.decontaminate(spark, dir).cache()
+    // every corpus (non-eval) doc is either kept or dropped, none lost
+    val total = led.agg(sum(col("n_kept") + col("n_dropped"))).head().getLong(0)
+    assert(total === 500L - DedupOps.EvalDocMax)
+    // the gate actually fires both ways on the testdata
+    assert(led.agg(sum("n_dropped")).head().getLong(0) > 0)
+    assert(led.agg(sum("n_kept")).head().getLong(0) > 0)
+    // surviving tokens never exceed the corpus total
+    val allTokens = graft.tables.Tables.documents(spark, dir)
+      .filter(col("doc_id") >= DedupOps.EvalDocMax)
+      .agg(sum(size(graft.functions.TextExprs.tokensCol(col("text")))))
+      .head().getLong(0)
+    assert(led.agg(sum("tokens_kept")).head().getLong(0) <= allTokens)
+    led.unpersist()
+  }
+
+  test("consensus adjudication is the exact overlay of both signals (q98)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = pairs(DedupOps.minhashLsh(spark, dir))
+    val sh = pairs(DedupOps.simhashNearDup(spark, dir))
+    val cons = DedupOps.consensusNearDup(spark, dir).cache()
+    assert(pairs(cons.filter(col("signal") === "both")) === (mh intersect sh))
+    assert(pairs(cons.filter(col("signal") === "minhash")) === (mh diff sh))
+    assert(pairs(cons.filter(col("signal") === "simhash")) === (sh diff mh))
+    // sentinel scores only where the signal is absent
+    assert(cons.filter(col("signal") === "simhash")
+      .filter(col("jaccard") =!= 0.0).count() === 0)
+    assert(cons.filter(col("signal") === "minhash")
+      .filter(col("hd") =!= -1).count() === 0)
+    cons.unpersist()
+  }
 }

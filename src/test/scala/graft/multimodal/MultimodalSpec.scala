@@ -52,6 +52,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.sorted.toSeq === expected.sorted.toSeq)
   }
 
+  test("corpus-derived resize query matches the generator arithmetic (q92)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalOps.resizePlans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = (for {
+      id <- docIds if id % 3 != 0
+      w = (64 + (id % 8) * 32).toInt
+      h = (64 + (id % 5) * 48).toInt
+      if math.max(w, h) > MultimodalOps.MaxSide
+      scale = MultimodalOps.MaxSide.toDouble / math.max(w, h)
+    } yield (id, math.floor(w * scale).toInt, math.floor(h * scale).toInt)).toSet
+    assert(out === expected)
+    // the plan never upsizes and always fits the box
+    out.foreach { case (_, nw, nh) =>
+      assert(nw <= MultimodalOps.MaxSide && nh <= MultimodalOps.MaxSide)
+    }
+  }
+
   test("frame sampling emits every stride-th frame index") {
     val sampled = MultimodalOps.frameSample(decoded, stride = 10)
     val perAsset = sampled.groupBy("asset_id").count()

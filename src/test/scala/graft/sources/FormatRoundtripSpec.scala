@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+import graft.tables.Tables
+
+/** The round-trip queries must equal the same aggregate computed
+  * directly over the source parquet — any row loss, value corruption,
+  * or type coercion in the write→read cycle breaks the equality. */
+class FormatRoundtripSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("JSONL round trip preserves every row and byte of the corpus (q95)") {
+    val direct = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(graft.functions.TextExprs.polyHashCol(col("text"))).as("content_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+    assert(asSet(FormatRoundtrip.jsonlRoundtrip(spark, dir)) === asSet(direct))
+  }
+
+  test("ORC round trip preserves the lineitem aggregate bit-exactly (q96)") {
+    val direct = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    assert(asSet(FormatRoundtrip.orcRoundtrip(spark, dir)) === asSet(direct))
+  }
+}

@@ -119,4 +119,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.select("user_id", "session_start", "n_events", "sum_value")
       .collect().toSeq) === asSet(batch.collect().toSeq))
   }
+
+  test("dropDuplicatesWithinWatermark dedup equals batch distinct on a bounded drain") {
+    // delay (60 d) covers the testdata span (30 d), so no key's state is
+    // evicted mid-drain and the watermarked form must equal exact DISTINCT
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.dedupKeysWithinWatermark(EventsStream.source(spark, dir)),
+      "stream_dedup_wm", outputMode = "append")
+    val batch = graft.tables.Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
 }
