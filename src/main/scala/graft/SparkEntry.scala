@@ -174,7 +174,13 @@ object SparkEntry {
     "q95_jsonl_roundtrip"   -> (graft.sources.FormatRoundtrip.jsonlRoundtrip _),
     "q96_orc_roundtrip"     -> (graft.sources.FormatRoundtrip.orcRoundtrip _),
     "q97_hash_split"        -> (T.hashSplit _),
-    "q98_consensus_neardup" -> (D.consensusNearDup _)
+    "q98_consensus_neardup" -> (D.consensusNearDup _),
+    // Bucketed-storage join: executes with AQE+broadcast pinned off and
+    // REQUIREs a zero-Exchange plan — the co-located join path is
+    // value-verified AND self-asserting.
+    "q99_bucketed_join"     -> (graft.sources.Bucketing.bucketedJoin _),
+    "q100_foreachbatch_sink" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.foreachBatchSink(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -275,6 +281,8 @@ object SparkEntry {
     "q95_jsonl_roundtrip"   -> graft.sources.FormatRoundtrip.jsonlRoundtripSql,
     "q96_orc_roundtrip"     -> graft.sources.FormatRoundtrip.orcRoundtripSql,
     "q97_hash_split"        -> T.hashSplitSql,
-    "q98_consensus_neardup" -> D.consensusNearDupSql
+    "q98_consensus_neardup" -> D.consensusNearDupSql,
+    "q99_bucketed_join"     -> graft.sources.Bucketing.bucketedJoinSql,
+    "q100_foreachbatch_sink" -> graft.streaming.EventsStream.foreachBatchSinkSql
   )
 }

@@ -263,6 +263,44 @@ object EventsStream {
       .filter(col("graft_rn") === 1).drop("graft_rn")
   }
 
+  /** `foreachBatch` parquet sink — the PRODUCTION sink API (memory sinks
+    * are test fixtures): each micro-batch lands under `batch=<id>` with
+    * mode("overwrite"), so a retried batch replaces itself instead of
+    * double-writing — idempotent exactly-once on top of the sink's
+    * at-least-once contract, the standard pattern for sinks without
+    * transactional commit. Returns the per-user purchase rollup READ
+    * BACK from the files the stream wrote, so the oracle verifies the
+    * whole write path, not the in-memory stream state.
+    *
+    * Scale notes: the foreachBatch writer runs distributed (it is a
+    * normal batch write per micro-batch); partition discovery prunes by
+    * `batch=` like any partitioned layout. */
+  def foreachBatchSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_fbsink")
+    out.toFile.deleteOnExit()
+    val purchases = source(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = purchases.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)          // batch=N discovered as a partition col
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Oracle for [[foreachBatchSink]] — the same rollup straight off the
+    * events table. */
+  val foreachBatchSinkSql: String =
+    """SELECT user_id, count(*) AS n_purchases,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
   /** Run a streaming aggregate to completion over the files currently in
     * `dir` (Trigger.AvailableNow — the "sense, drain, stop" loop) and
     * return the final result from the in-memory sink.

@@ -26,6 +26,23 @@ class FormatRoundtripSpec extends AnyFunSuite {
     assert(asSet(FormatRoundtrip.jsonlRoundtrip(spark, dir)) === asSet(direct))
   }
 
+  test("bucketed join is shuffle-free, correct, and re-runnable (q99)") {
+    // the op itself REQUIREs a zero-Exchange executed plan; here we pin
+    // value correctness against the plain-parquet join and exercise the
+    // per-call table naming by running it twice in one session
+    val direct = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100, 0).cast("long")).as("revenue_cents"))
+    val first = Bucketing.bucketedJoin(spark, dir)
+    assert(asSet(first) === asSet(direct))
+    val second = Bucketing.bucketedJoin(spark, dir)
+    assert(asSet(second) === asSet(direct))
+  }
+
   test("ORC round trip preserves the lineitem aggregate bit-exactly (q96)") {
     val direct = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.analytics.EventOps
 import graft.etl.SparkTestSession
@@ -118,6 +119,16 @@ class StreamingSpec extends AnyFunSuite {
       .selectExpr("user_id", "session_start", "n_events", "sum_value")
     assert(asSet(streamed.select("user_id", "session_start", "n_events", "sum_value")
       .collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
+  test("foreachBatch parquet sink round-trips the purchase rollup (q100)") {
+    val sunk = EventsStream.foreachBatchSink(spark, dir)
+    val batch = graft.tables.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("sum_value"))
+    assert(asSet(sunk.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
   test("dropDuplicatesWithinWatermark dedup equals batch distinct on a bounded drain") {
