@@ -180,7 +180,16 @@ object SparkEntry {
     // value-verified AND self-asserting.
     "q99_bucketed_join"     -> (graft.sources.Bucketing.bucketedJoin _),
     "q100_foreachbatch_sink" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.EventsStream.foreachBatchSink(s, dir))
+      graft.streaming.EventsStream.foreachBatchSink(s, dir)),
+    // Stream-static join: per-batch dimension enrich (no state store),
+    // static side broadcast — the third streaming join form beside
+    // stream-stream (q61) and the batch twins.
+    "q101_stream_static"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.streamStaticNationRollup(
+          graft.streaming.EventsStream.source(s, dir),
+          graft.tables.Tables.customer(s, dir)), "q101_stream_static")),
+    "q102_cogroup"          -> (E.cogroupReconcile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -283,6 +292,8 @@ object SparkEntry {
     "q97_hash_split"        -> T.hashSplitSql,
     "q98_consensus_neardup" -> D.consensusNearDupSql,
     "q99_bucketed_join"     -> graft.sources.Bucketing.bucketedJoinSql,
-    "q100_foreachbatch_sink" -> graft.streaming.EventsStream.foreachBatchSinkSql
+    "q100_foreachbatch_sink" -> graft.streaming.EventsStream.foreachBatchSinkSql,
+    "q101_stream_static"    -> graft.streaming.EventsStream.streamStaticNationRollupSql,
+    "q102_cogroup"          -> E.cogroupReconcileSql
   )
 }

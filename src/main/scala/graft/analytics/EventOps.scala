@@ -313,4 +313,48 @@ object EventOps {
       |                                ORDER BY ts, event_id) IS NULL
       |            THEN 1 ELSE 0 END AS is_current
       |FROM events""".stripMargin
+
+  /** Typed COGROUP (`KeyValueGroupedDataset.cogroup`) — the two-sided
+    * arbitrary per-key iteration API, the escape hatch when a
+    * reconciliation needs imperative logic over BOTH sides' rows at
+    * once (here: event activity vs order spend per user key, emitting
+    * keys present on either side). A plain full-outer join of two
+    * aggregates expresses THIS query — the declarative twin is the
+    * oracle — but cogroup is the API a sessionizer-with-lookup or a
+    * merge-by-sequence reconciler needs. Scale shape: one shuffle per
+    * side on the key (the minimum for any keyed merge), state is one
+    * accumulator per key, never the row sets. */
+  def cogroupReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    ev.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, evs, ords) =>
+      var ne = 0L; var sv = 0.0
+      evs.foreach { e => ne += 1; sv += e._2 }
+      var no = 0L; var sp = 0.0
+      ords.foreach { o => no += 1; sp += o._2 }
+      Iterator((k, ne, sv, no, sp))
+    }.toDF("user_id", "n_events", "sum_value", "n_orders", "sum_spend")
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("n_orders"), round(col("sum_spend"), 2).as("sum_spend"))
+  }
+
+  val cogroupReconcileSql: String =
+    """WITH e AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         round(sum(value), 2) AS sum_value
+      |  FROM events GROUP BY 1),
+      |o AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 2) AS sum_spend
+      |  FROM orders GROUP BY 1)
+      |SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+      |       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+      |       coalesce(e.sum_value, 0.0) AS sum_value,
+      |       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+      |       coalesce(o.sum_spend, 0.0) AS sum_spend
+      |FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey""".stripMargin
 }

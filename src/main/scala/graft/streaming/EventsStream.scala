@@ -263,6 +263,29 @@ object EventsStream {
       .filter(col("graft_rn") === 1).drop("graft_rn")
   }
 
+  /** STREAM-STATIC join — the third join form in the streaming matrix
+    * (beside stream-stream q61 and the batch twins): each micro-batch
+    * joins against the static customer dimension with no state store at
+    * all (the static side is just re-planned per batch), and the
+    * explicit `broadcast` keeps the stream side from ever shuffling for
+    * the join. The canonical enrich-then-aggregate shape for dimension
+    * lookups on a live stream. */
+  def streamStaticNationRollup(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  /** Oracle for [[streamStaticNationRollup]]: the same enrich+rollup as
+    * one batch join. */
+  val streamStaticNationRollupSql: String =
+    """SELECT c_nationkey, count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** `foreachBatch` parquet sink — the PRODUCTION sink API (memory sinks
     * are test fixtures): each micro-batch lands under `batch=<id>` with
     * mode("overwrite"), so a retried batch replaces itself instead of

@@ -121,6 +121,37 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("stream-static join rollup equals the batch join (q101)") {
+    val streamed = EventsStream.runAvailableNow(
+      spark, EventsStream.streamStaticNationRollup(
+        EventsStream.source(spark, dir),
+        graft.tables.Tables.customer(spark, dir)), "stream_static_spec")
+    val batch = graft.tables.Tables.events(spark, dir)
+      .join(graft.tables.Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
+
+  test("typed cogroup reconciliation equals the declarative full-outer twin (q102)") {
+    val cg = EventOps.cogroupReconcile(spark, dir)
+    val e = graft.tables.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+    val o = graft.tables.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_spend"))
+    val twin = e.join(o, col("user_id") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("o_custkey")).as("user_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_spend"), lit(0.0)).as("sum_spend"))
+    assert(asSet(cg.collect().toSeq) === asSet(twin.collect().toSeq))
+  }
+
   test("foreachBatch parquet sink round-trips the purchase rollup (q100)") {
     val sunk = EventsStream.foreachBatchSink(spark, dir)
     val batch = graft.tables.Tables.events(spark, dir)
