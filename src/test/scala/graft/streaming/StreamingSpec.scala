@@ -162,6 +162,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(sunk.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("persistent checkpoint: repeated AvailableNow drains process each file exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_ckpt_data").toString
+    val ckpt    = java.nio.file.Files.createTempDirectory("graft_ckpt_meta").toString
+    val outDir  = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val events = graft.tables.Tables.events(spark, dir).select("event_id", "user_id")
+    val sch = events.schema
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(dataDir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // the file source does not recurse into plain subdirs — land each
+    // arrival as a single flat file, like the testdata layout
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dataDir/$name"))
+    }
+
+    // day 1: half the events arrive, first drain picks them up
+    addFile(events.filter(col("event_id") % 2 === 0), "day1.parquet")
+    drain()
+    val afterFirst = spark.read.parquet(outDir)
+    assert(afterFirst.count() === events.filter(col("event_id") % 2 === 0).count())
+
+    // day 2: the rest arrives; the SAME checkpoint resumes and must
+    // process only the new file — every event exactly once, no re-reads
+    addFile(events.filter(col("event_id") % 2 === 1), "day2.parquet")
+    drain()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === events.count())
+    assert(all.select("event_id").distinct().count() === events.count())
+  }
+
   test("dropDuplicatesWithinWatermark dedup equals batch distinct on a bounded drain") {
     // delay (60 d) covers the testdata span (30 d), so no key's state is
     // evicted mid-drain and the watermarked form must equal exact DISTINCT
