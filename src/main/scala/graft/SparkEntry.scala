@@ -189,7 +189,8 @@ object SparkEntry {
         s, graft.streaming.EventsStream.streamStaticNationRollup(
           graft.streaming.EventsStream.source(s, dir),
           graft.tables.Tables.customer(s, dir)), "q101_stream_static")),
-    "q102_cogroup"          -> (E.cogroupReconcile _)
+    "q102_cogroup"          -> (E.cogroupReconcile _),
+    "q103_csv_roundtrip"    -> (graft.sources.FormatRoundtrip.csvRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,6 +295,7 @@ object SparkEntry {
     "q99_bucketed_join"     -> graft.sources.Bucketing.bucketedJoinSql,
     "q100_foreachbatch_sink" -> graft.streaming.EventsStream.foreachBatchSinkSql,
     "q101_stream_static"    -> graft.streaming.EventsStream.streamStaticNationRollupSql,
-    "q102_cogroup"          -> E.cogroupReconcileSql
+    "q102_cogroup"          -> E.cogroupReconcileSql,
+    "q103_csv_roundtrip"    -> graft.sources.FormatRoundtrip.csvRoundtripSql
   )
 }

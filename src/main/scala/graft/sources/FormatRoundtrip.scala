@@ -59,6 +59,39 @@ object FormatRoundtrip {
        |       max(doc_id) AS max_id
        |FROM documents GROUP BY lang""".stripMargin
 
+  /** documents → CSV → read back, with a column BUILT to stress the
+    * quoting machinery: embedded commas, double quotes, and a newline,
+    * so the round trip proves escaping + multiLine parsing, not just
+    * happy-path text (the reference's own ETL bug class — its naive
+    * split corrupts quoted commas — is what a correct CSV sink/source
+    * must not reproduce). The content hash covers the constructed
+    * column, so one mangled byte anywhere flips the oracle hash. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        concat(lit("v,\""), col("lang"), lit("\"\n"), col("text")).as("tricky"))
+    val out = tmpDir("graft_csv")
+    docs.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(docs.schema)
+      .option("header", "true").option("multiLine", "true").csv(out)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(polyHashCol(col("tricky"))).as("content_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
+  /** Oracle constructs the same tricky column straight from parquet —
+    * chr(10) mirrors the embedded newline. */
+  val csvRoundtripSql: String =
+    s"""SELECT lang,
+       |       count(*) AS n_docs,
+       |       CAST(sum(${polyHashSql("concat('v,\"', lang, '\"', chr(10), text)")}) AS BIGINT) AS content_sum,
+       |       min(doc_id) AS min_id,
+       |       max(doc_id) AS max_id
+       |FROM documents GROUP BY lang""".stripMargin
+
   /** lineitem → ORC → read back → the q02-shaped revenue rollup; the
     * doubles round-trip bit-exactly (ORC stores IEEE doubles), so the
     * same rounding convention as the rest of the suite holds. */

@@ -26,6 +26,18 @@ class FormatRoundtripSpec extends AnyFunSuite {
     assert(asSet(FormatRoundtrip.jsonlRoundtrip(spark, dir)) === asSet(direct))
   }
 
+  test("CSV round trip survives embedded commas, quotes, and newlines (q103)") {
+    val direct = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        concat(lit("v,\""), col("lang"), lit("\"\n"), col("text")).as("tricky"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextExprs.polyHashCol(col("tricky"))).as("content_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+    assert(asSet(FormatRoundtrip.csvRoundtrip(spark, dir)) === asSet(direct))
+  }
+
   test("bucketed join is shuffle-free, correct, and re-runnable (q99)") {
     // the op itself REQUIREs a zero-Exchange executed plan; here we pin
     // value correctness against the plain-parquet join and exercise the
