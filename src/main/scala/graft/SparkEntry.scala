@@ -190,7 +190,11 @@ object SparkEntry {
           graft.streaming.EventsStream.source(s, dir),
           graft.tables.Tables.customer(s, dir)), "q101_stream_static")),
     "q102_cogroup"          -> (E.cogroupReconcile _),
-    "q103_csv_roundtrip"    -> (graft.sources.FormatRoundtrip.csvRoundtrip _)
+    "q103_csv_roundtrip"    -> (graft.sources.FormatRoundtrip.csvRoundtrip _),
+    // The graft_* SQL function registry surface, driven from SQL text
+    // (registerInto installs the codegen'd expressions into the
+    // harness-owned session).
+    "q104_sql_functions"    -> (T.sqlSurface _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -296,6 +300,7 @@ object SparkEntry {
     "q100_foreachbatch_sink" -> graft.streaming.EventsStream.foreachBatchSinkSql,
     "q101_stream_static"    -> graft.streaming.EventsStream.streamStaticNationRollupSql,
     "q102_cogroup"          -> E.cogroupReconcileSql,
-    "q103_csv_roundtrip"    -> graft.sources.FormatRoundtrip.csvRoundtripSql
+    "q103_csv_roundtrip"    -> graft.sources.FormatRoundtrip.csvRoundtripSql,
+    "q104_sql_functions"    -> T.sqlSurfaceSql
   )
 }

@@ -413,6 +413,44 @@ object TextOps {
        |       ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
        |FROM documents""".stripMargin
 
+  /** The graft_* SQL function surface driven END TO END from SQL text
+    * (q104): the whole fingerprint family — tokenize → token hashes →
+    * simhash, BPE-ish token count, rolling-hash fingerprint — resolved
+    * through the session's function registry instead of the Column API.
+    * [[graft.functions.GraftExtensions.registerInto]] installs the
+    * functions imperatively (the driver's harness owns the session, so
+    * the `withExtensions` construction path isn't available), proving a
+    * SQL-only user of the library gets the same native codegen'd
+    * expressions — and the same oracle-verified values — as the Scala
+    * API. */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.registerInto(spark)
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
+      .selectExpr(
+        "doc_id",
+        s"graft_simhash(graft_token_hashes(graft_tokenize(text)), ${graft.dedup.DedupOps.SimhashBits}) AS simhash",
+        "graft_count_bpe_tokens(lower(text)) AS n_bpe_tokens",
+        "graft_poly_hash(array_join(graft_tokenize(text), ' ')) AS fp")
+  }
+
+  val sqlSurfaceSql: String =
+    s"""WITH toks AS (SELECT doc_id, text, ${tokensSql("text")} AS t FROM documents),
+       |hashes AS (SELECT doc_id, list_transform(t, s -> ${polyHashSql("s")}) AS hs FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |                     (acc, h) -> acc + ((h >> b) & 1) * 2 - 1) AS s
+       |  FROM hashes CROSS JOIN (SELECT unnest(range(0, ${graft.dedup.DedupOps.SimhashBits})) AS b) bs),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1)
+       |SELECT t.doc_id, s.simhash,
+       |       len(regexp_extract_all(lower(t.text), $BpePatSqlLit)) AS n_bpe_tokens,
+       |       ${polyHashSql("array_to_string(t.t, ' ')")} AS fp
+       |FROM toks t JOIN sigs s ON t.doc_id = s.doc_id""".stripMargin
+
   /** Percent of docs routed to train / train+val by [[hashSplit]]. */
   val TrainPct = 80L
   val ValPct   = 90L

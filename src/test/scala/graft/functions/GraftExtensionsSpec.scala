@@ -26,6 +26,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     s
   }
 
+  test("registerInto installs the SQL surface on a session built WITHOUT extensions") {
+    val plain = graft.etl.SparkTestSession.get  // no withExtensions
+    GraftExtensions.registerInto(plain)
+    assert(plain.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0) === 96354L)
+    assert(plain.sql("SELECT graft_count_bpe_tokens('ab 12 !') AS n").head().getInt(0) === 3)
+    // idempotent: a second registration must not throw or change values
+    GraftExtensions.registerInto(plain)
+    assert(plain.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0) === 96354L)
+  }
+
   test("graft_poly_hash matches the reference fold") {
     val got = spark.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0)
     // ((0*31+97)%P *31 + 98)%P *31 + 99 = 96354
