@@ -56,6 +56,26 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("predicate pushdown and column pruning reach the parquet scan") {
+    withPlanConfs(noBroadcast = false) {
+      val q = graft.tables.Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, q.queryExecution.executedPlan.toString)
+      // the row filter must be pushed to the parquet reader...
+      assert(scans.exists(_.metadata("PushedFilters")
+        .contains("GreaterThan(l_quantity,45.0)")),
+        scans.map(_.metadata("PushedFilters")).mkString("\n"))
+      // ...and the scan must decode ONLY the two referenced columns —
+      // a scan reading all 11 for a 2-column projection is wrong
+      assert(scans.head.requiredSchema.fieldNames.toSet ===
+        Set("l_orderkey", "l_quantity"))
+    }
+  }
+
   test("simhash band join stays an equi-join when broadcast is off (q73 at scale)") {
     withPlanConfs(noBroadcast = true) {
       val df = graft.dedup.DedupOps.simhashNearDup(spark, dir)
