@@ -45,7 +45,10 @@ object Verify {
     } + "\""
     // {SF_DIR} lets path-reading oracles (q69 read_blob) track the same
     // scale-factor dir the Spark queries received.
-    val json = SparkEntry.oracleSql
+    // filtered runs dump a matching filtered oracle map — otherwise a
+    // compare over outDir would pair fresh oracle SQL with stale parquet
+    // from an earlier full run and report green for un-rerun queries
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

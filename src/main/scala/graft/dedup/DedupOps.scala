@@ -405,19 +405,13 @@ object DedupOps {
           .otherwise(lit(0L))).as("tokens_kept"))
   }
 
+  /** Composes [[contaminationSql]] verbatim as a nested CTE, so the
+    * gate's oracle can never diverge from the score it consumes. */
   val decontaminateSql: String =
-    s"""WITH $shingleHashesSql,
-       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hsets WHERE doc_id < $EvalDocMax),
-       |ex AS (SELECT doc_id, n, unnest(hs) AS h FROM hsets WHERE doc_id >= $EvalDocMax),
-       |scored AS (
-       |  SELECT ex.doc_id,
-       |         (sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) * 10000)
-       |           // any_value(ex.n) AS bp
-       |  FROM ex LEFT JOIN ev ON ex.h = ev.h
-       |  GROUP BY 1),
+    s"""WITH scored AS ($contaminationSql),
        |corpus AS (
        |  SELECT d.doc_id, d.lang, len(${tokensSql("d.text")}) AS n_tokens,
-       |         coalesce(s.bp, 0) AS bp
+       |         coalesce(s.contam_bp, 0) AS bp
        |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |  WHERE d.doc_id >= $EvalDocMax)
        |SELECT lang,
@@ -548,41 +542,11 @@ object DedupOps {
         coalesce(col("hd"), lit(-1)).as("hd"))
   }
 
+  /** Composes the two signal oracles VERBATIM as nested CTEs — the
+    * overlay can never diverge from the pair sets q21/q73 verify. */
   val consensusNearDupSql: String =
-    s"""WITH $shingleHashesSql,
-       |msigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
-       |bands AS (
-       |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
-       |  FROM msigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |mhv AS (
-       |  SELECT d1, d2, len(list_intersect(h1.hs, h2.hs)) AS shared,
-       |         h1.n AS n1, h2.n AS n2
-       |  FROM cand
-       |  JOIN hsets h1 ON h1.doc_id = d1
-       |  JOIN hsets h2 ON h2.doc_id = d2),
-       |mh AS (
-       |  SELECT d1, d2, round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard
-       |  FROM mhv
-       |  WHERE round(shared::DOUBLE / (n1 + n2 - shared), 4) >= $JaccardThreshold),
-       |hashes AS (SELECT doc_id, list_transform(t, s -> ${polyHashSql("s")}) AS hs FROM toks),
-       |bits AS (
-       |  SELECT doc_id, b,
-       |         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-       |                     (acc, h) -> acc + ((h >> b) & 1) * 2 - 1) AS s
-       |  FROM hashes CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS b) bs),
-       |ssigs AS (
-       |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM bits GROUP BY 1),
-       |sh2 AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hd
-       |  FROM ssigs a JOIN ssigs b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax)
+    s"""WITH mh AS ($minhashLshSql),
+       |sh2 AS ($simhashNearDupSql)
        |SELECT coalesce(mh.d1, sh2.d1) AS d1,
        |       coalesce(mh.d2, sh2.d2) AS d2,
        |       CASE WHEN mh.d1 IS NOT NULL AND sh2.d1 IS NOT NULL THEN 'both'

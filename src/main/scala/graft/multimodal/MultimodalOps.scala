@@ -141,13 +141,17 @@ object MultimodalOps {
     * synthesize→decode map (never shuffled); the output is the small
     * (asset_id, frame_idx) relation, and the asset count tracks the
     * corpus so bench times follow the scale factor. */
-  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    frameSample(decode(corpusAssets(spark, dir)), stride = 7)
+
+  /** One asset per corpus document, payload sized by `n_chars` — the
+    * SINGLE derivation both q82 and q92 (and their oracles' generator
+    * arithmetic) depend on. */
+  private def corpusAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    val docs = graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
+    graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-    val assets = docs.map { case (id, nc) =>
-      makeAsset(id, payloadLen = (nc % 1024).toInt) }
-    frameSample(decode(assets), stride = 7)
+      .map { case (id, nc) => makeAsset(id, payloadLen = (nc % 1024).toInt) }
   }
 
   /** Oracle: audio assets are doc_id ≡ 0 (mod 3) with
@@ -172,14 +176,8 @@ object MultimodalOps {
     * formulas alone (width = 64 + (id%8)*32, height = 64 + (id%5)*48,
     * image iff id % 3 != 0). Narrow map end to end: payloads never
     * shuffle, output is the small per-asset plan row. */
-  def resizePlans(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
-      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-    val assets = docs.map { case (id, nc) =>
-      makeAsset(id, payloadLen = (nc % 1024).toInt) }
-    resizePlan(decode(assets), maxSide = MaxSide)
-  }
+  def resizePlans(spark: SparkSession, dir: String): DataFrame =
+    resizePlan(decode(corpusAssets(spark, dir)), maxSide = MaxSide)
 
   /** Oracle: generator arithmetic only (never sees the bytes); the
     * scale factor is computed before the multiply in both engines so

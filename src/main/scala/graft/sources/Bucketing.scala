@@ -54,12 +54,11 @@ object Bucketing {
     * same join over the raw parquet. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val n = callSeq.incrementAndGet()
-    // catalog names are per-call (no cross-call or cross-user clobber);
-    // the previous call's tables are dropped once its result can no
-    // longer be recomputed (we hand back a materialized checkpoint)
+    // catalog names are per-call (no cross-call or cross-user clobber)
+    // and per-JVM (a crashed run's leftover warehouse directory can't
+    // collide); both tables are dropped below once the result is
+    // materialized, so nothing outlives the call on a clean exit
     val (liT, ordT) = (s"graft_q99_li_${runTag}_$n", s"graft_q99_ord_${runTag}_$n")
-    if (n > 1) Seq(s"graft_q99_li_${runTag}_${n - 1}", s"graft_q99_ord_${runTag}_${n - 1}")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
@@ -83,6 +82,9 @@ object Bucketing {
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),
         s"bucketed join must be shuffle-free, got:\n$plan")
+      // the checkpoint no longer depends on the catalog — reclaim the
+      // bucketed copies immediately
+      Seq(liT, ordT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       out
     }
   }

@@ -26,7 +26,7 @@ object FormatRoundtrip {
 
   private def tmpDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    d.toFile.deleteOnExit()
+    TempDirs.deleteOnExit(d)
     d.toString
   }
 
@@ -71,7 +71,13 @@ object FormatRoundtrip {
       .select(col("doc_id"), col("lang"),
         concat(lit("v,\""), col("lang"), lit("\"\n"), col("text")).as("tricky"))
     val out = tmpDir("graft_csv")
-    docs.write.mode("overwrite").option("header", "true").csv(out)
+    docs.write.mode("overwrite").option("header", "true")
+      // the writer TRIMS value-edge whitespace by default — that would
+      // silently break the byte-identical contract on any doc whose
+      // text starts/ends with whitespace
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
     spark.read.schema(docs.schema)
       .option("header", "true").option("multiLine", "true").csv(out)
       .groupBy(col("lang"))

@@ -300,7 +300,7 @@ object EventsStream {
     * `batch=` like any partitioned layout. */
   def foreachBatchSink(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_fbsink")
-    out.toFile.deleteOnExit()
+    graft.sources.TempDirs.deleteOnExit(out)
     val purchases = source(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
