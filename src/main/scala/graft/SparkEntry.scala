@@ -194,7 +194,8 @@ object SparkEntry {
     // The graft_* SQL function registry surface, driven from SQL text
     // (registerInto installs the codegen'd expressions into the
     // harness-owned session).
-    "q104_sql_functions"    -> (T.sqlSurface _)
+    "q104_sql_functions"    -> (T.sqlSurface _),
+    "q105_dedup_keep_best"  -> (D.dedupKeepBest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,6 +302,7 @@ object SparkEntry {
     "q101_stream_static"    -> graft.streaming.EventsStream.streamStaticNationRollupSql,
     "q102_cogroup"          -> E.cogroupReconcileSql,
     "q103_csv_roundtrip"    -> graft.sources.FormatRoundtrip.csvRoundtripSql,
-    "q104_sql_functions"    -> T.sqlSurfaceSql
+    "q104_sql_functions"    -> T.sqlSurfaceSql,
+    "q105_dedup_keep_best"  -> D.dedupKeepBestSql
   )
 }

@@ -69,6 +69,47 @@ object DedupOps {
        |      FROM documents)
        |GROUP BY fp""".stripMargin
 
+  /** Exact dedup with the KEEP-BEST policy (q105) — the other standard
+    * retention rule beside [[exactDedup]]'s first-wins: within each
+    * content-fingerprint cluster keep the copy with the most tokens
+    * (tie → smallest doc_id). Real corpora carry truncated/mirrored
+    * variants of the same document, and "keep the longest" retains the
+    * most complete copy; the policy is one window spec, everything else
+    * is shared with first-wins. Same scale shape: one shuffle on the
+    * 64-bit fingerprint, text never shuffles. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(desc("n_tokens"), col("doc_id"))
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"),
+        size(tokensCol(col("text"))).as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"),
+        col("n_tokens").cast("long").as("n_tokens"), col("n_copies"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |         ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp,
+       |         len(${tokensSql("text")}) AS n_tokens
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT fp, doc_id, n_tokens,
+       |         row_number() OVER (PARTITION BY fp
+       |                            ORDER BY n_tokens DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY fp) AS n_copies
+       |  FROM scored)
+       |SELECT fp, doc_id AS keep_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_copies AS BIGINT) AS n_copies
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Jaccard threshold shared by the exact and LSH variants. */

@@ -19,6 +19,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(d.agg(sum("n_copies")).head().getLong(0) === 500L)
   }
 
+  test("keep-best dedup agrees with first-wins on clusters, differs only in policy (q105)") {
+    val best  = DedupOps.dedupKeepBest(spark, dir).cache()
+    val first = DedupOps.exactDedup(spark, dir)
+    // identical cluster structure: same fingerprints, same copy counts
+    val b = best.select("fp", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val f = first.select("fp", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b === f)
+    // the kept doc has the cluster's max token count
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextExprs.tokensCol(col("text"))).as("nt"))
+    val viol = best.join(docs, best("keep_id") === docs("doc_id"))
+      .filter(col("nt") =!= col("n_tokens")).count()
+    assert(viol === 0)
+    best.unpersist()
+  }
+
   test("minhash LSH finds the same near-dup pairs as exact n-gram Jaccard") {
     // With 8 bands × 4 rows, P(candidate) at j=0.5 per band = j^4; the
     // planted dups sit at j≈0.97 so recall is ~1; precision is exact
