@@ -195,7 +195,17 @@ object SparkEntry {
     // (registerInto installs the codegen'd expressions into the
     // harness-owned session).
     "q104_sql_functions"    -> (T.sqlSurface _),
-    "q105_dedup_keep_best"  -> (D.dedupKeepBest _)
+    "q105_dedup_keep_best"  -> (D.dedupKeepBest _),
+    // The "no silent caps" ledger: per-band bucket stats in rep space
+    // for both banded near-dup families — the aggregate a production
+    // run reads before the pair join to size the job.
+    "q106_band_bucket_ledger" -> (D.bandBucketLedger _),
+    // Substring-level dedup ledger: cross-doc repeated W-token spans
+    // inside otherwise-distinct docs (posting-list election, no pairs).
+    "q107_substring_dedup"  -> (D.substringDedup _),
+    // SemDeDup: k-means clusters bound the cosine pair space; keep-first
+    // election within each similarity neighborhood.
+    "q108_semdedup"         -> (V.semDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -303,6 +313,9 @@ object SparkEntry {
     "q102_cogroup"          -> E.cogroupReconcileSql,
     "q103_csv_roundtrip"    -> graft.sources.FormatRoundtrip.csvRoundtripSql,
     "q104_sql_functions"    -> T.sqlSurfaceSql,
-    "q105_dedup_keep_best"  -> D.dedupKeepBestSql
+    "q105_dedup_keep_best"  -> D.dedupKeepBestSql,
+    "q106_band_bucket_ledger" -> D.bandBucketLedgerSql,
+    "q107_substring_dedup"  -> D.substringDedupSql,
+    "q108_semdedup"         -> V.semDedupSql
   )
 }

@@ -28,6 +28,127 @@ import graft.functions.TextExprs._
   */
 object DedupOps {
 
+  /** Eager lineage-truncating materialization used between the stages of
+    * the multi-self-join dedup pipelines (band index, candidate set):
+    * each stage is small (O(docs·Bands) fixed-width rows) and truncating
+    * lineage keeps the self-join + verify joins from replanning or
+    * recomputing the upstream tokenize→hash pipeline (cache substitution
+    * on self-joined subtrees proved unreliable).
+    *
+    * NOT fault-tolerant: `localCheckpoint` pins the materialized blocks
+    * to executors, so losing an executor kills the job instead of
+    * recomputing. Right trade for the single-JVM bench; on a real
+    * cluster set `graft.dedup.eagerMaterialize=false` and either let
+    * lineage stand or use reliable `checkpoint()` with a DFS checkpoint
+    * dir. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.dedup.eagerMaterialize", "true") == "true")
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df
+
+  // ------------------------------------------------ capped bucket pair join
+
+  /** Max rows of one LSH/hamming band bucket a single join task may
+    * pair-scan. Buckets larger than this are split into a
+    * ⌈m/Cap⌉ × ⌈m/Cap⌉ grid of cap-bounded cells (fragment-replicate),
+    * so the full pair set is still produced — the split is EXACT, not
+    * lossy — but no single task materializes more than Cap² pairs. A
+    * hot bucket (templated boilerplate, near-empty docs hashing alike)
+    * becomes many bounded tasks instead of one quadratic straggler. */
+  val BucketCap = 64
+
+  /** Exact bucket-capped self-join: every (r1 < r2) pair of `id`s that
+    * share `keys`, with per-task pair work bounded by [[BucketCap]]².
+    *
+    * Rows are chunked within each bucket (`row_number` ordered by id →
+    * chunk c of size ≤ cap, nc = ⌈m/cap⌉ chunks). Side A replicates a
+    * row of chunk c to grid cells (c, j) for j ∈ [c, nc); side B to
+    * cells (i, c) for i ∈ [0, c]; the equi-join on (keys, gx, gy) then
+    * meets every pair exactly in the cell addressed by their two chunk
+    * ids — chunks are id-ordered, so the (r1 < r2) orientation always
+    * lands in a populated cell. Normal buckets (m ≤ cap) degenerate to
+    * nc = 1 and a single un-replicated copy per side — the plain bucket
+    * equi-join, no overhead. Replication for an oversized bucket is
+    * nc+1 copies per row, i.e. O(m²/cap) total — the same order as the
+    * pair output such a bucket already implies.
+    *
+    * `carry` columns (per-id payload, e.g. the signature) ride along as
+    * `<name>1`/`<name>2` so callers can verify pairs without a join
+    * back to the id table. */
+  private[graft] def cappedPairJoin(rows: DataFrame, keys: Seq[String],
+      id: String, carry: Seq[String], cap: Int = BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sized = rows
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col(id))))
+      .withColumn("c", expr(s"CAST((rn - 1) div $cap AS INT)"))
+      .withColumn("nc", expr(s"CAST(((m - 1) div $cap) + 1 AS INT)"))
+    val a = sized.select(keys.map(col) ++ Seq(col(id).as("r1")) ++
+      carry.map(c0 => col(c0).as(c0 + "1")) ++
+      Seq(col("c").as("gx"), explode(sequence(col("c"), col("nc") - 1)).as("gy")): _*)
+    val b = sized.select(keys.map(col) ++ Seq(col(id).as("r2")) ++
+      carry.map(c0 => col(c0).as(c0 + "2")) ++
+      Seq(explode(sequence(lit(0), col("c"))).as("gx"), col("c").as("gy")): _*)
+    a.join(b, keys ++ Seq("gx", "gy"))
+      .filter(col("r1") < col("r2"))
+      .select((Seq("r1", "r2") ++ carry.map(_ + "1") ++ carry.map(_ + "2")).map(col): _*)
+      .distinct()
+  }
+
+  // ------------------------------------- identical-content collapse / expand
+
+  /** Collapse docs with IDENTICAL shingle sets to one representative row
+    * (rep = min doc_id, members = sorted doc_id list). Exact duplicates
+    * are the #1 cause of hot LSH buckets — a million copies of one page
+    * share every band key — and after collapse the candidate join is
+    * quadratic in DISTINCT contents, not documents; verified pairs are
+    * expanded back to member pairs at the end ([[expandPairs]]), which
+    * is output-proportional work.
+    *
+    * Grouping key: two independent 64-bit xxhash64 fingerprints of the
+    * sorted hash set (+ implicit set size via the hashes) — collision
+    * probability ≈ C(n,2)·2⁻¹²⁸, ~10⁻²¹ even at 10⁹ docs, and the
+    * shuffle carries 16-byte fingerprints instead of the sets. */
+  private[graft] def collapseShingleSets(hsets: DataFrame): DataFrame =
+    hsets
+      .withColumn("fpA", xxhash64(array_sort(col("hs"))))
+      .withColumn("fpB", xxhash64(array_sort(col("hs")), lit(-7046029254386353131L)))
+      .groupBy(col("fpA"), col("fpB"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).cast("int").as("gsize"),
+        any_value(col("hs")).as("hs"),
+        any_value(col("n")).as("n"))
+      .drop("fpA", "fpB")
+
+  /** Expand verified representative pairs (r1, r2, carry…) back to all
+    * member doc pairs (d1 < d2, carry…). Similarity is a function of
+    * the content, so every member pair inherits the rep pair's verdict
+    * exactly. Output-proportional: the expansion emits precisely the
+    * pairs the un-collapsed pipeline would have verified one by one. */
+  private[graft] def expandPairs(repPairs: DataFrame, groups: DataFrame,
+      carry: Seq[String]): DataFrame =
+    repPairs
+      .join(groups.select(col("rep").as("r1"), col("members").as("m1")), "r1")
+      .join(groups.select(col("rep").as("r2"), col("members").as("m2")), "r2")
+      .select(carry.map(col) ++ Seq(explode(col("m1")).as("ma"), col("m2")): _*)
+      .select(carry.map(col) ++ Seq(col("ma"), explode(col("m2")).as("mb")): _*)
+      .select(Seq(least(col("ma"), col("mb")).as("d1"),
+        greatest(col("ma"), col("mb")).as("d2")) ++ carry.map(col): _*)
+
+  /** All within-group doc pairs of multi-member groups (identical
+    * content ⇒ maximal similarity, no verification needed). Members are
+    * sorted, so position order IS id order: i < j ⇒ d1 < d2. */
+  private[graft] def withinGroupPairs(groups: DataFrame, carry: Seq[String]): DataFrame =
+    groups.filter(col("gsize") > 1)
+      .select(carry.map(col) ++ Seq(col("members"),
+        posexplode(col("members")).as(Seq("i", "d1"))): _*)
+      .select(carry.map(col) ++ Seq(col("i"), col("d1"),
+        posexplode(col("members")).as(Seq("j", "d2"))): _*)
+      .filter(col("j") > col("i"))
+      .select(Seq(col("d1"), col("d2")) ++ carry.map(col): _*)
+
   /** Documents → (doc_id, distinct shingle-hash array, set size);
     * docs with < ShingleW tokens drop out (no shingles to compare). */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
@@ -123,9 +244,8 @@ object DedupOps {
     // self-join; localCheckpoint truncates the lineage so the
     // tokenize→shingle→hash pipeline provably runs exactly once
     // (cache substitution on self-joined subtrees proved unreliable).
-    val ex = shingleHashes(spark, dir)
-      .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ex = materialize(shingleHashes(spark, dir)
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("h")))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -153,36 +273,74 @@ object DedupOps {
 
   // ----------------------------------------------------------- MinHash LSH
 
+  /** Tier-1 verify cut for [[minhashLsh]]: candidate pairs whose
+    * MinHash signature agreement is below AgreeCut/K are rejected from
+    * the sketch alone — the exact shingle arrays are fetched only for
+    * pairs at or above the cut ("estimate-borderline and better").
+    * AgreeCut = ⌊K·(τ − ε)⌋ with τ = [[JaccardThreshold]] = 0.5 and
+    * ε = 0.25: a true-J ≥ τ pair has n_agree ~ Binomial(32, J), so
+    * P[rejected] = P[Bin(32, 0.5) < 8] ≈ 1.1×10⁻³ at the threshold
+    * boundary and vanishes for clearer duplicates (measured on this
+    * corpus: qualifying pairs bottom out at n_agree = 24 — the cut is
+    * deterministically safe here, verified by the oracle hash-match).
+    * ε is the scale knob: shrink it to fetch fewer arrays, grow it
+    * toward τ to degenerate into always-exact verification. */
+  val AgreeCut = 8
+
+  /** Rep-space LSH candidates: band the representatives' signatures and
+    * bucket-join with [[cappedPairJoin]] (signatures carried, so tier-1
+    * verification needs no join back). */
+  private[graft] def minhashRepCandidates(reps: DataFrame): DataFrame = {
+    val bands = reps
+      .select(col("rep"), minhashSigCol(col("hs")).as("sig"))
+      .select(col("rep"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+      .select(col("rep"), col("sig"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
+    cappedPairJoin(bands, Seq("b", "bkey"), "rep", Seq("sig"))
+  }
+
   /** MinHash(K=32) + LSH(8 bands × 4 rows) near-dup detection:
     * signature → band keys → bucket join for candidates → exact
     * Jaccard verification of candidates only. Same output contract as
     * [[ngramJaccard]]; at scale the bucket join replaces the quadratic
-    * inverted-index pair explosion. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // eager, lineage-truncating materialization — see ngramJaccard note
-    val hsets = shingleHashes(spark, dir).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // Each stage below is materialized eagerly: the band index and the
-    // candidate set are tiny (O(docs·Bands) and O(near-dup pairs)), and
-    // truncating lineage keeps the self-join + two verify joins from
-    // ever replanning/recomputing the upstream pipeline.
-    val bands = hsets
-      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
-      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val h1 = hsets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
-    val h2 = hsets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
-    cand.join(h1, "d1").join(h2, "d2")
+    * inverted-index pair explosion.
+    *
+    * Scale hardening (all EXACT — the quadratic oracle still
+    * hash-matches):
+    *  1. identical shingle sets collapse to one representative before
+    *     banding ([[collapseShingleSets]]) — exact-dup floods can no
+    *     longer create quadratic candidates;
+    *  2. the bucket self-join is capped ([[cappedPairJoin]]) — no task
+    *     pair-scans more than [[BucketCap]]² rows;
+    *  3. verification is tiered ([[AgreeCut]]) — the shuffle that
+    *     carries full shingle arrays receives only the pairs the
+    *     fixed-width signature sketch could not reject. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(shingleHashes(spark, dir))
+
+  private[graft] def minhashLshFrom(hsetsRaw: DataFrame): DataFrame = {
+    val hsets  = materialize(hsetsRaw)
+    val groups = materialize(collapseShingleSets(hsets))
+    val cand   = materialize(minhashRepCandidates(
+      groups.select(col("rep"), col("hs"))))
+    // tier 1: reject from the carried fixed-width signatures alone
+    val borderline = cand
+      .withColumn("n_agree", size(filter(
+        zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
+      .filter(col("n_agree") >= AgreeCut)
+      .select("r1", "r2")
+    // tier 2: exact Jaccard on the borderline subset only — the sole
+    // stage that shuffles shingle arrays, and it sees |borderline| pairs
+    val h1 = groups.select(col("rep").as("r1"), col("hs").as("hs1"), col("n").as("n1"))
+    val h2 = groups.select(col("rep").as("r2"), col("hs").as("hs2"), col("n").as("n2"))
+    val verified = borderline.join(h1, "r1").join(h2, "r2")
       .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jaccard", round(
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("r1"), col("r2"), col("shared"), col("jaccard"))
+    expandPairs(verified, groups, Seq("shared", "jaccard"))
+      .unionByName(withinGroupPairs(groups, Seq("n"))
+        .select(col("d1"), col("d2"), col("n").as("shared"), lit(1.0).as("jaccard")))
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
@@ -217,10 +375,9 @@ object DedupOps {
     * verification entirely (no shingle sets in the shuffle, just the
     * K-long signatures). All integer arithmetic — oracle-exact. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val hsets = shingleHashes(spark, dir).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val sigs = hsets
-      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hsets = materialize(shingleHashes(spark, dir))
+    val sigs = materialize(hsets
+      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig")))
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
       .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
@@ -279,15 +436,11 @@ object DedupOps {
     * so at 100 TB the loop runs over a tiny fraction of the data. The
     * oracle computes the same components with a recursive CTE. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2"))
-      .localCheckpoint(true, ser)
-    val edges = pairs
-      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true, ser)
-    var labels = edges.select(col("d1").as("node")).distinct()
-      .withColumn("rep", col("node"))
-      .localCheckpoint(true, ser)
+    val pairs = materialize(minhashLsh(spark, dir).select(col("d1"), col("d2")))
+    val edges = materialize(pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var labels = materialize(edges.select(col("d1").as("node")).distinct()
+      .withColumn("rep", col("node")))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -297,7 +450,7 @@ object DedupOps {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
-        .localCheckpoint(true, ser)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       changed = next.join(labels.select(col("node"), col("rep").as("old_rep")), "node")
         .filter(col("rep") =!= col("old_rep")).count()
       labels = next
@@ -515,30 +668,78 @@ object DedupOps {
     * O(docs × bands) band keys — never the quadratic pair space —
     * and widening the threshold is a banding change (more/narrower
     * bands), not an algorithm change. */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
-    // eager, lineage-truncating materialization — see ngramJaccard note
-    val sigs = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"),
-        graft.functions.NativeExprs.simHash(hs, SimhashBits).as("sig"))
-      .localCheckpoint(true, ser)
-    val bands = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
-      .select(col("doc_id"), col("b"),
+  /** Sub-band refinement shape for oversized simhash buckets: within a
+    * bucket the pair already agrees on one full 8-bit band, so a
+    * hamming-≤-3 pair differs only in the remaining 24 bits — pigeonhole
+    * those into 4 sub-bands of 6 bits (3 errors cannot touch all 4) and
+    * the sub-bucket equi-join is again EXHAUSTIVE. One hot band value
+    * (the concentrated-signature pathology: similar token distributions
+    * drive whole bytes of the simhash to the same value) thus splits up
+    * to 64 ways per sub-band instead of pair-scanning the bucket. */
+  val SimhashSubBands = 4
+  val SimhashSubBits  = 6
+
+  /** Rep-space hamming candidates over DISTINCT signatures: band join
+    * for normal buckets; oversized buckets (> [[BucketCap]]) go through
+    * the exhaustive sub-band refinement; whatever is still oversized is
+    * grid-capped by [[cappedPairJoin]]. All three tiers are exact. */
+  private[graft] def simhashRepCandidates(grp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = grp
+      .select(col("rep"), col("sig"), explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .select(col("rep"), col("sig"), col("b"),
         expr(s"shiftright(sig, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1}")
           .as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
-    cand.join(s1, "d1").join(s2, "d2")
+    val sized = base.withColumn("m",
+      count(lit(1)).over(Window.partitionBy(col("b"), col("bkey"))))
+    val small = sized.filter(col("m") <= BucketCap)
+      .select(col("rep"), col("sig"), col("b"), col("bkey"),
+        lit(-1).as("sb"), lit(-1L).as("sbkey"))
+    // remaining 24 bits with band b's byte dropped (SimhashBands=4 × 8)
+    val rest = expr(
+      s"""CASE WHEN b = 0 THEN shiftright(sig, 8)
+         |     WHEN b = 1 THEN (sig & 255) | shiftleft(shiftright(sig, 16), 8)
+         |     WHEN b = 2 THEN (sig & 65535) | shiftleft(shiftright(sig, 24), 16)
+         |     ELSE sig & 16777215 END""".stripMargin)
+    val big = sized.filter(col("m") > BucketCap)
+      .withColumn("rest", rest)
+      .select(col("rep"), col("sig"), col("b"), col("bkey"),
+        explode(sequence(lit(0), lit(SimhashSubBands - 1))).as("sb"), col("rest"))
+      .select(col("rep"), col("sig"), col("b"), col("bkey"), col("sb"),
+        expr(s"shiftright(rest, sb * $SimhashSubBits) & ${(1 << SimhashSubBits) - 1}")
+          .as("sbkey"))
+    cappedPairJoin(small.unionByName(big),
+      Seq("b", "bkey", "sb", "sbkey"), "rep", Seq("sig"))
+  }
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
+    simhashNearDupFrom(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.simHash(hs, SimhashBits).as("sig")))
+  }
+
+  /** Scale hardening mirror of [[minhashLshFrom]] (all exact): collapse
+    * identical signatures → banded candidates over distinct signatures
+    * with sub-band refinement + bucket caps → one xor+popcount verify
+    * per rep pair → expand to member pairs. The concentrated-signature
+    * corpus that previously produced O(docs²) candidates now produces
+    * O(distinct-sigs in a sub-bucket × cap) per task, and identical-sig
+    * floods (exact/near-exact dups) never enter the join at all. */
+  private[graft] def simhashNearDupFrom(sigsRaw: DataFrame): DataFrame = {
+    val sigs   = materialize(sigsRaw)
+    val groups = materialize(sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).cast("int").as("gsize")))
+    val verified = simhashRepCandidates(groups.select(col("rep"), col("sig")))
       .withColumn("hd", expr("CAST(bit_count(sig1 ^ sig2) AS INT)"))
       .filter(col("hd") <= HammingMax)
+      .select(col("r1"), col("r2"), col("hd"))
+    expandPairs(verified, groups, Seq("hd"))
+      .unionByName(withinGroupPairs(groups, Seq.empty)
+        .withColumn("hd", lit(0)))
       .select(col("d1"), col("d2"), col("hd"))
   }
 
@@ -558,6 +759,143 @@ object DedupOps {
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hd
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $HammingMax""".stripMargin
+
+  // ------------------------------------------------- band bucket ledger
+
+  /** The "no silent caps" ledger for the two banded near-dup families:
+    * per band, the bucket count, the largest bucket, how many buckets
+    * exceed [[BucketCap]], and the pair mass C(m,2) sitting in oversized
+    * buckets — the quantity the capped grid join spreads across tasks
+    * and the sub-band refinement (simhash) shrinks. Computed in rep
+    * space (post-collapse), i.e. on exactly the rows the candidate
+    * joins see. An operator run can read this BEFORE the pair join to
+    * size the job — the same aggregate a production pipeline would
+    * alert on. Both families in one output, tagged by `family`. */
+  def bandBucketLedger(spark: SparkSession, dir: String): DataFrame = {
+    def stats(bands: DataFrame, fam: String): DataFrame = bands
+      .groupBy(col("b"), col("bkey")).agg(count(lit(1)).as("m"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("m")).as("max_bucket"),
+        count(when(col("m") > BucketCap, 1)).as("n_over_cap"),
+        sum(when(col("m") > BucketCap, expr("(m * (m - 1)) div 2"))
+          .otherwise(lit(0L))).as("over_pairs"))
+      .withColumn("family", lit(fam))
+    val mg = collapseShingleSets(shingleHashes(spark, dir))
+    val mbands = mg.select(col("rep"), minhashSigCol(col("hs")).as("sig"))
+      .select(col("rep"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
+      .select(col("rep"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
+    val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
+    val sg = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.simHash(hs, SimhashBits).as("sig"))
+      .groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val sbands = sg
+      .select(col("rep"), col("sig"), explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .select(col("rep"), col("b"),
+        expr(s"shiftright(sig, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1}")
+          .as("bkey"))
+    stats(mbands, "minhash").unionByName(stats(sbands, "simhash"))
+      .select(col("family"), col("b"), col("n_buckets"), col("max_bucket"),
+        col("n_over_cap"), col("over_pairs"))
+  }
+
+  val bandBucketLedgerSql: String =
+    s"""WITH $shingleHashesSql,
+       |grp AS (SELECT list_sort(hs) AS key, min(doc_id) AS rep FROM hsets GROUP BY 1),
+       |reps AS (SELECT grp.rep AS rep, h.hs AS hs FROM grp JOIN hsets h ON h.doc_id = grp.rep),
+       |msigs AS (SELECT rep, ${minhashSigSql("hs")} AS sig FROM reps),
+       |mbands AS (
+       |  SELECT rep, b, ${bandKeySql("sig", "b")} AS bkey
+       |  FROM msigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
+       |hashes AS (SELECT doc_id, list_transform(t, s -> ${polyHashSql("s")}) AS th FROM toks),
+       |sbits AS (
+       |  SELECT doc_id, b,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+       |                     (acc, h) -> acc + ((h >> b) & 1) * 2 - 1) AS s
+       |  FROM hashes CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS b) bs),
+       |ssigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM sbits GROUP BY 1),
+       |sgrp AS (SELECT sig, min(doc_id) AS rep FROM ssigs GROUP BY 1),
+       |sbands AS (
+       |  SELECT rep, b, (sig >> (b * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS bkey
+       |  FROM sgrp CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS b) bs),
+       |mstats AS (SELECT b, bkey, count(*) AS m FROM mbands GROUP BY 1, 2),
+       |sstats AS (SELECT b, bkey, count(*) AS m FROM sbands GROUP BY 1, 2)
+       |SELECT 'minhash' AS family, CAST(b AS INT) AS b, count(*) AS n_buckets,
+       |       max(m) AS max_bucket,
+       |       CAST(count(*) FILTER (m > $BucketCap) AS BIGINT) AS n_over_cap,
+       |       CAST(coalesce(sum(CASE WHEN m > $BucketCap THEN (m * (m - 1)) // 2 ELSE 0 END), 0) AS BIGINT) AS over_pairs
+       |FROM mstats GROUP BY 2
+       |UNION ALL
+       |SELECT 'simhash' AS family, CAST(b AS INT) AS b, count(*) AS n_buckets,
+       |       max(m) AS max_bucket,
+       |       CAST(count(*) FILTER (m > $BucketCap) AS BIGINT) AS n_over_cap,
+       |       CAST(coalesce(sum(CASE WHEN m > $BucketCap THEN (m * (m - 1)) // 2 ELSE 0 END), 0) AS BIGINT) AS over_pairs
+       |FROM sstats GROUP BY 2""".stripMargin
+
+  // ------------------------------------------------- substring-level dedup
+
+  /** Token window for substring-level dedup spans. */
+  val SpanW = 8
+
+  /** Substring-level exact dedup ledger — the dedup granularity below
+    * whole-doc (q19/q105) and near-whole-doc (q21/q73): verbatim
+    * [[SpanW]]-token spans repeated ACROSS documents (headers, license
+    * blocks, navigation boilerplate) inside otherwise-distinct pages.
+    * The posting-list formulation of suffix-array dedup at W-token
+    * granularity: per doc, how many gram positions are covered by a
+    * span that also occurs in another document (`n_dup`), how many of
+    * those lose the min-doc-id ownership election and would be removed
+    * under keep-first (`n_removable`), and the duplicated fraction in
+    * integer basis points.
+    *
+    * Scale shape: the postings shuffle carries (gram-hash, doc_id) —
+    * 16 bytes/position, never text; the incidence aggregate is
+    * map-side-combined and keyed by the 64-bit gram hash; ownership is
+    * a min() election on the same key. NO pair enumeration anywhere —
+    * a span repeated in 10⁶ docs costs one aggregate row, not 10¹²
+    * pairs (the posting-election shape the all-pairs family cannot
+    * reach). */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.gramHashes(tokensCol(col("text")), SpanW, P).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
+    // cross-doc incidence + keep-first ownership, keyed by gram hash
+    val inc = grams.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+    grams.join(inc, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
+        count(when(col("nd").isNotNull, 1)).as("n_dup"),
+        count(when(col("nd").isNotNull && col("owner") < col("doc_id"), 1)).as("n_removable"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) div n_grams"))
+  }
+
+  val substringDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, len(t) - $SpanW + 1 AS n_grams,
+       |         unnest(list_transform(range(1, len(t) - $SpanW + 2),
+       |                i -> ${polyHashSql(s"array_to_string(t[i:i+${SpanW - 1}], ' ')")})) AS g
+       |  FROM toks WHERE len(t) >= $SpanW),
+       |inc AS (
+       |  SELECT g AS ig, count(*) AS nd, min(doc_id) AS owner
+       |  FROM (SELECT DISTINCT g, doc_id FROM grams)
+       |  GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT doc_id,
+       |       CAST(any_value(n_grams) AS BIGINT) AS n_grams,
+       |       CAST(count(*) FILTER (ig IS NOT NULL) AS BIGINT) AS n_dup,
+       |       CAST(count(*) FILTER (ig IS NOT NULL AND owner < doc_id) AS BIGINT) AS n_removable,
+       |       CAST((count(*) FILTER (ig IS NOT NULL) * 10000) // any_value(n_grams) AS BIGINT) AS dup_bp
+       |FROM grams LEFT JOIN inc ON g = ig
+       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------- cross-signal consensus
 
@@ -614,8 +952,7 @@ object DedupOps {
     * the corpus side is a stored index keyed by (band, key): per-run
     * shuffle volume is O(batch × Bands), independent of corpus size. */
   def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
-    val hsets = shingleHashes(spark, dir).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hsets = materialize(shingleHashes(spark, dir))
     val isNew = col("doc_id") % IngestMod === IngestMod - 1
     val bands = hsets
       .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
@@ -626,7 +963,6 @@ object DedupOps {
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("nid"), col("b.doc_id").as("cid"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val verified = cand
       .join(hsets.select(col("doc_id").as("nid"), col("hs").as("hs1"), col("n").as("n1")), "nid")
       .join(hsets.select(col("doc_id").as("cid"), col("hs").as("hs2"), col("n").as("n2")), "cid")

@@ -34,6 +34,10 @@ object NativeExprs {
     ExpressionUtils.column(
       ShingleHashesExpr(ExpressionUtils.expression(tokens), w, p))
 
+  def gramHashes(tokens: Column, w: Int, p: Long): Column =
+    ExpressionUtils.column(
+      GramHashesExpr(ExpressionUtils.expression(tokens), w, p))
+
   def simHash(hs: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(hs), bits))
 
@@ -221,6 +225,64 @@ object ShingleHashesExpr {
     val it = seen.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** POSITIONAL variant of [[ShingleHashesExpr]]: one hash per w-gram
+  * start position, multiplicity preserved (no dedup) — the postings
+  * primitive for substring-level dedup, where the unit of accounting is
+  * the gram POSITION (how much of this document is covered by spans
+  * repeated elsewhere), not the distinct gram. Same fold as
+  * ShingleHashesExpr, so the DuckDB twin is
+  * list_transform(range(...), i -> polyhash(array_to_string(t[i:i+w-1], ' '))). */
+case class GramHashesExpr(child: Expression, w: Int, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    GramHashesExpr.hashes(input.asInstanceOf[ArrayData], w, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramHashesExpr.hashes($c, $w, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_hashes"
+}
+
+object GramHashesExpr {
+  def hashes(tokens: ArrayData, w: Int, p: Long): ArrayData = {
+    val nAll = tokens.numElements()
+    val toks0 = new Array[String](nAll)
+    var n = 0
+    var i = 0
+    while (i < nAll) {
+      if (!tokens.isNullAt(i)) { toks0(n) = tokens.getUTF8String(i).toString; n += 1 }
+      i += 1
+    }
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      var acc = 0L
+      var k = 0
+      while (k < w) {
+        if (k > 0) acc = (acc * 31 + ' ') % p
+        val s = toks0(i + k)
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          acc = (acc * 31 + cp) % p
+          j += Character.charCount(cp)
+        }
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }

@@ -795,4 +795,82 @@ object VectorOps {
        |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM rer)
        |WHERE rank <= $KLsh""".stripMargin
+
+  // --------------------------------------------------------------- SemDeDup
+
+  /** Cosine floor for a within-cluster semantic duplicate (SemDeDup). */
+  val SemThreshold = 0.4
+
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023 shape):
+    * k-means clusters bound the pair space, cosine near-dups are found
+    * only WITHIN a cluster, and each similarity group keeps its
+    * smallest-id member. Catches semantic duplicates (paraphrases,
+    * re-encodings) that shingle/simhash similarity cannot see.
+    *
+    * Composition of existing verified pieces: [[lloyd]]'s centroids
+    * (q80's exact fit), nearest-centroid assignment under the FINAL
+    * centroids, q23's rounded-cosine pair predicate, and q105's
+    * keep-election — here keep-first by id within the similarity
+    * neighborhood: a vector is `drop` iff a smaller-id vector in its
+    * cluster is ≥ [[SemThreshold]]-similar, and `dup_of` is the
+    * smallest such neighbor.
+    *
+    * Scale shape: the k×dim centroid table is a driver-side literal
+    * (broadcast), assignment is a narrow map, and the only pair work is
+    * the per-cluster self-join — the pair space k-means exists to
+    * bound; at 100 TB k grows with the corpus so clusters stay
+    * task-sized (the paper's regime), and a runaway cluster is exactly
+    * the [[graft.dedup.DedupOps.cappedPairJoin]] case. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (cents, _) = lloyd(base, KmK, KmIters, KmSeedMin)
+    val assigned = base
+      .withColumn("cluster", assignCol(cents).cast("int"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos_sim", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .filter(col("cos_sim") >= SemThreshold)
+    val best = pairs
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min(col("id1")).as("dup_of"))
+    val simOf = pairs.select(col("id1").as("dup_of"), col("id2").as("vec_id"), col("cos_sim"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(best, Seq("vec_id"), "left")
+      .join(simOf, Seq("vec_id", "dup_of"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("cos_sim"), lit(0.0)).as("cos_sim"))
+  }
+
+  val semDedupSql: String = {
+    val dists = s"list_transform((SELECT cs FROM l$KmIters), " +
+      "c -> list_dot_product(c, c) - 2 * list_dot_product(v, c))"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${lloydSql(KmK, KmIters, KmSeedMin)},
+       |assigned AS (
+       |  SELECT vec_id, v, CAST(list_position($dists, list_min($dists)) AS INT) AS cluster,
+       |         sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM base),
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS id1, b.vec_id AS id2,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $SemThreshold),
+       |best AS (SELECT id2 AS vec_id, min(id1) AS dup_of FROM pairs GROUP BY 1)
+       |SELECT s.vec_id, s.cluster,
+       |       CASE WHEN best.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+       |       coalesce(best.dup_of, -1) AS dup_of,
+       |       coalesce(p.cos_sim, 0.0) AS cos_sim
+       |FROM assigned s
+       |LEFT JOIN best ON best.vec_id = s.vec_id
+       |LEFT JOIN pairs p ON p.id2 = s.vec_id AND p.id1 = best.dup_of""".stripMargin
+  }
 }

@@ -1,0 +1,155 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+import graft.dedup.DedupOps
+
+/** Scale-behavior proofs for the hardened near-dup pipelines: on a
+  * CONCENTRATED-signature corpus (the PERF.md pathology — every doc
+  * drawn from one token distribution, exact-dup floods) the candidate
+  * set must stay linear-ish in documents, not quadratic, while the
+  * OUTPUT stays exactly the brute-force pair set. Value correctness vs.
+  * DuckDB is the Verify gate's job; these specs pin the candidate
+  * CARDINALITY and the exactness of the capped/collapsed machinery. */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  // ------------------------------------------------------- cappedPairJoin
+
+  test("cappedPairJoin emits exactly the bucket pair set (cap < bucket size)") {
+    // two buckets: 11 ids in bucket 1 (⌈11/3⌉ = 4 grid chunks), 3 in
+    // bucket 2, one singleton — pair set must be exact under capping
+    val rows = ((1 to 11).map(i => (1L, i.toLong)) ++
+      Seq((2L, 100L), (2L, 101L), (2L, 102L)) ++ Seq((3L, 200L)))
+      .toDF("bkey", "rep").withColumn("sig", col("rep") * 7)
+    val got = DedupOps.cappedPairJoin(rows, Seq("bkey"), "rep", Seq("sig"), cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expect = (for {
+      a <- 1 to 11; b <- 1 to 11 if a < b
+    } yield (a.toLong, b.toLong, a * 7L, b * 7L)).toSet ++
+      Set((100L, 101L, 700L, 707L), (100L, 102L, 700L, 714L), (101L, 102L, 707L, 714L))
+    assert(got === expect)
+  }
+
+  test("cappedPairJoin degenerates to the plain bucket join when m <= cap") {
+    val rows = (1 to 5).map(i => (1L, i.toLong)).toDF("bkey", "rep")
+    val got = DedupOps.cappedPairJoin(rows, Seq("bkey"), "rep", Seq.empty, cap = 64)
+    assert(got.count() === 10)
+  }
+
+  // ------------------------------------- concentrated corpus: simhash (q73)
+
+  /** Brute-force hamming pairs for the expected set. */
+  private def bruteHamming(sigs: Seq[(Long, Long)]): Set[(Long, Long, Int)] =
+    (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      hd = java.lang.Long.bitCount(s1 ^ s2) if hd <= DedupOps.HammingMax
+    } yield (d1, d2, hd)).toSet
+
+  test("simhash: exact-dup flood collapses — candidates stay O(docs), output is brute-force-exact") {
+    // 400 copies of one signature + 100 distinct docs sharing its low
+    // byte (the hot band-0 bucket, > BucketCap even after collapse) +
+    // 20 scattered others. Doc-space band-0 bucket alone holds 500 rows
+    // → C(500,2) ≈ 125k candidate pairs for the un-collapsed pipeline;
+    // post-collapse + sub-banding must stay tiny.
+    val s0 = 0x12345678L
+    val flood    = (0 until 400).map(i => (i.toLong, s0))
+    val sharedLo = (0 until 100).map(i => (400L + i, (0x78L) | ((i.toLong * 0x9E37L % 0xFFFFFFL) << 8)))
+    val others   = (0 until 20).map(i => (500L + i, (i.toLong * 0x51afdbeeL) & 0xFFFFFFFFL))
+    val all  = flood ++ sharedLo ++ others
+    val sigs = all.toDF("doc_id", "sig")
+
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).cast("int").as("gsize"))
+    val nCand = DedupOps.simhashRepCandidates(groups.select(col("rep"), col("sig"))).count()
+    val distinctSigs = all.map(_._2).distinct.size
+    // candidate space is bounded by distinct-signature pairs, and far
+    // below the doc-space bucket blowup (~105k)
+    assert(nCand <= distinctSigs.toLong * distinctSigs, s"candidates $nCand")
+    assert(nCand < 4000, s"candidates $nCand — concentration not absorbed")
+
+    val got = DedupOps.simhashNearDupFrom(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === bruteHamming(all))
+    // the flood alone contributes its full C(400,2) within-group pairs
+    assert(got.count { case (d1, d2, hd) => d1 < 400 && d2 < 400 && hd == 0 } >= 400 * 399 / 2)
+  }
+
+  test("simhash: sub-band refinement stays exact when an oversized bucket is NOT mostly identical") {
+    // one hot band-0 byte, all signatures distinct: the bucket (300 rows)
+    // exceeds BucketCap, takes the sub-band + grid path, and must still
+    // find exactly the brute-force hamming pairs
+    val all = (0 until 300).map { i =>
+      (i.toLong, 0x55L | ((i.toLong * 0x01010101L % 0xFFFFFFL) << 8))
+    }
+    val sigs = all.toDF("doc_id", "sig")
+    val got = DedupOps.simhashNearDupFrom(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === bruteHamming(all))
+  }
+
+  // ------------------------------------- concentrated corpus: minhash (q21)
+
+  test("minhash LSH: exact-dup flood collapses and the tiered verify prunes, output brute-force-exact") {
+    // hsets built directly: 300 docs with an IDENTICAL shingle set,
+    // 20 docs half-overlapping it (J ≈ 1/3, below τ=0.5 — borderline
+    // candidates the sketch may or may not reject), 10 disjoint docs
+    val base = (1L to 40L)
+    val flood   = (0 until 300).map(i => (i.toLong, base))
+    val partial = (0 until 20).map { i =>
+      (300L + i, (21L to 40L) ++ (1000L + i * 50 to 1000L + i * 50 + 19))
+    }
+    val far = (0 until 10).map(i => (320L + i, (5000L + i * 100 to 5040L + i * 100)))
+    val all = (flood ++ partial ++ far).map { case (d, hs) => (d, hs.toSeq) }
+    val hsets = all.toDF("doc_id", "hs").withColumn("n", size(col("hs")))
+
+    val groups = DedupOps.collapseShingleSets(hsets)
+    assert(groups.count() === 31L, "300 identical sets must collapse to one group")
+    val cand = DedupOps.minhashRepCandidates(groups.select(col("rep"), col("hs")))
+    val nCand = cand.count()
+    assert(nCand <= 31L * 30 / 2, s"candidates $nCand exceed rep-space pairs")
+
+    // expected: exact Jaccard over the hash SETS at τ = 0.5
+    val expect = (for {
+      (d1, h1) <- all; (d2, h2) <- all if d1 < d2
+      s1 = h1.toSet; s2 = h2.toSet
+      shared = (s1 & s2).size
+      j = BigDecimal(shared.toDouble / (s1.size + s2.size - shared))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= DedupOps.JaccardThreshold
+    } yield (d1, d2, shared, j)).toSet
+    val got = DedupOps.minhashLshFrom(hsets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got === expect)
+    assert(got.size >= 300 * 299 / 2, "flood pairs must all be emitted")
+  }
+
+  test("minhash tier-1 cut actually prunes candidates on the real corpus") {
+    // sf0.01: 3 of 28 candidate pairs sit below the agreement cut
+    // (sf0.001's candidates all clear it, so it proves nothing there)
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val hsets = docs.select(col("doc_id"),
+        graft.functions.NativeExprs.shingleHashes(
+          graft.functions.TextExprs.tokensCol(col("text")),
+          graft.functions.TextExprs.ShingleW, graft.functions.TextExprs.P).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("n", size(col("hs")))
+    val cand = DedupOps.minhashRepCandidates(
+      DedupOps.collapseShingleSets(hsets).select(col("rep"), col("hs")))
+    val nCand = cand.count()
+    val nBorderline = cand
+      .withColumn("n_agree", size(filter(
+        zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
+      .filter(col("n_agree") >= DedupOps.AgreeCut)
+      .count()
+    assert(nBorderline < nCand,
+      s"tier-1 pruned nothing: $nBorderline of $nCand — the array join is not semi-join-reduced")
+    assert(nBorderline > 0)
+  }
+}

@@ -92,6 +92,79 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Hash-partitioned (keyed) exchanges of a plan — the shuffles whose
+    * payload width matters at 100 TB. Round-robin exchanges are
+    * excluded: the only one in these pipelines is Tables.spread's
+    * single-split testdata workaround, a documented no-op on real
+    * multi-split deployments. */
+  private def keyedExchangeSchemas(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e.child.schema
+    }
+
+  test("dedup pipelines never shuffle text; candidate stages shuffle only fixed-width columns") {
+    // eagerMaterialize=false exposes the WHOLE pipeline as one plan —
+    // the same seam a cluster deployment uses (localCheckpoint is not
+    // fault-tolerant), so the assertion covers exactly the plan that
+    // would run at scale.
+    val key = "graft.dedup.eagerMaterialize"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try withPlanConfs(noBroadcast = false) {
+      val q21 = graft.dedup.DedupOps.minhashLsh(spark, dir)
+      val q73 = graft.dedup.DedupOps.simhashNearDup(spark, dir)
+      for ((df, name) <- Seq((q21, "q21"), (q73, "q73"))) {
+        val schemas = keyedExchangeSchemas(df)
+        assert(schemas.nonEmpty, s"$name: no keyed exchanges found")
+        // the text column must never enter any keyed shuffle — shuffles
+        // carry fingerprints (and, post-collapse, id lists), not payloads
+        assert(!schemas.exists(_.exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)),
+          s"$name: a keyed exchange carries a string column:\n" +
+            schemas.map(_.treeString).mkString("\n"))
+      }
+      // candidate GENERATION never touches the shingle arrays at all:
+      // from collapsed reps to the distinct pair set, every keyed
+      // exchange is (ids, band keys, K-long signatures) — no `hs`
+      val hsets = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.shingleHashes(
+            graft.functions.TextExprs.tokensCol(col("text")),
+            graft.functions.TextExprs.ShingleW, graft.functions.TextExprs.P).as("hs"))
+        .filter(size(col("hs")) > 0).withColumn("n", size(col("hs")))
+      val cand = graft.dedup.DedupOps.minhashRepCandidates(
+        graft.dedup.DedupOps.collapseShingleSets(hsets).select(col("rep"), col("hs")))
+      val candSchemas = keyedExchangeSchemas(cand)
+      assert(candSchemas.nonEmpty)
+      assert(!candSchemas.exists(_.fieldNames.exists(_.startsWith("hs"))),
+        s"q21 candidate stage shuffles shingle arrays:\n" +
+          candSchemas.map(_.treeString).mkString("\n"))
+      // simhash candidate stage is stricter still: atomic fixed-width only
+      val sigs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.functions.NativeExprs.simHash(
+          graft.functions.NativeExprs.tokenHashes(
+            graft.functions.TextExprs.tokensCol(col("text"))),
+          graft.dedup.DedupOps.SimhashBits).as("sig"))
+      val sGroups = sigs.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"))
+      val sCand = graft.dedup.DedupOps.simhashRepCandidates(
+        sGroups.select(col("rep"), col("sig")))
+      val sSchemas = keyedExchangeSchemas(sCand)
+      assert(sSchemas.nonEmpty)
+      assert(sSchemas.forall(_.forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType)),
+        s"q73 candidate stage shuffles a non-fixed-width column:\n" +
+          sSchemas.map(_.treeString).mkString("\n"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key holding ~90% of the fact side — the shape that stalls
     // a static plan on one straggler task at 100 TB
