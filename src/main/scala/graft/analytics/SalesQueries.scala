@@ -57,6 +57,36 @@ object SalesQueries {
 object SalesPipeline {
   final case class Result(cleanRows: Long, errorRows: Long, report: Array[org.apache.spark.sql.Row])
 
+  /** O6 retries (sales_etl_dag.py:27-28: `retries=2,
+    * retry_delay=timedelta(minutes=5)`): re-run the WHOLE pipeline up
+    * to `retries` extra times on transient failure, sleeping
+    * `retryDelayMs` between attempts (the Airflow default_args applied
+    * per-task; the pipeline here is the task). Alerting semantics are
+    * preserved exactly: `onFailure` fires once per FAILED ATTEMPT (each
+    * Airflow task failure alerts), and the final attempt's exception —
+    * carrying earlier attempts as suppressed — propagates. Scheduling
+    * itself (daily cadence, max_active_runs) stays with the external
+    * scheduler per SURVEY.md §2c. */
+  def runWithRetries(spark: SparkSession, input: String, outDir: String,
+      retries: Int = 2, retryDelayMs: Long = 5 * 60 * 1000L,
+      onFailure: Throwable => Unit = _ => (),
+      sleep: Long => Unit = Thread.sleep): Result = {
+    var last: Throwable = null
+    for (attempt <- 0 to retries) {
+      if (attempt > 0) sleep(retryDelayMs)
+      try {
+        val r = run(spark, input, outDir, onFailure)
+        if (last != null) () // earlier failures already alerted
+        return r
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (last != null && (last ne e)) e.addSuppressed(last)
+          last = e
+      }
+    }
+    throw last
+  }
+
   def run(spark: SparkSession, input: String, outDir: String,
           onFailure: Throwable => Unit = _ => ()): Result =
     try {

@@ -42,6 +42,40 @@ class SalesPipelineSpec extends AnyFunSuite {
     assert(e.getSuppressed.exists(_.getMessage == "smtp down"))
   }
 
+  test("a transient failure succeeds on retry (O6)") {
+    // attempt 0: input missing (sensor-style transient); the delay hook
+    // "delivers" the file, so attempt 1 runs the full pipeline cleanly
+    val tmp = java.nio.file.Files.createTempDirectory("graft_o6_")
+    val input = tmp.resolve("sales.csv")
+    var delays = List.empty[Long]
+    val r = SalesPipeline.runWithRetries(
+      spark, input.toString, tmp.resolve("out").toString,
+      retries = 2, retryDelayMs = 123L,
+      sleep = ms => {
+        delays ::= ms
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get("src/test/resources/messy_sales_data.csv"), input)
+      })
+    assert(r.cleanRows === 12L && r.errorRows === 14L)
+    assert(delays === List(123L), "exactly one retry delay, with the configured backoff")
+  }
+
+  test("a persistent failure exhausts retries, alerts per attempt, and keeps the history (O6+O5)") {
+    var alerts = 0
+    var sleeps = 0
+    val e = intercept[IllegalArgumentException] {
+      SalesPipeline.runWithRetries(spark, "/nonexistent/input.csv", "/tmp/graft_o6_out",
+        retries = 2, retryDelayMs = 1L,
+        onFailure = _ => alerts += 1, sleep = _ => sleeps += 1)
+    }
+    assert(e.getMessage.contains("input not found"))
+    assert(alerts === 3, "every failed attempt must alert (retries=2 → 3 attempts)")
+    assert(sleeps === 2)
+    // the thrown exception carries the previous attempt as suppressed
+    assert(e.getSuppressed.nonEmpty &&
+      e.getSuppressed.head.getMessage.contains("input not found"))
+  }
+
   test("quality gate rejects a table with duplicate ids / broken totals (O3)") {
     import spark.implicits._
     val bad = Seq(
