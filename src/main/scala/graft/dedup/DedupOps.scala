@@ -96,6 +96,40 @@ object DedupOps {
       .distinct()
   }
 
+  /** Two-sided capped bucket join (the probe-an-index shape, q88):
+    * every (l, r) pair sharing `keys`, with per-task pair work bounded
+    * by cap². Both sides chunk within their bucket; a left row of chunk
+    * cL replicates to grid cells (cL, j) for all right chunks j, a
+    * right row of chunk cR to (i, cR) for all left chunks i — so one
+    * hot corpus bucket × one hot batch bucket becomes an
+    * ⌈mL/cap⌉ × ⌈mR/cap⌉ grid of bounded cells instead of a single
+    * mL × mR task. Normal buckets degenerate to one un-replicated copy
+    * per side. Exact: the grid is a partition of the pair space. */
+  private[graft] def cappedProbeJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], idL: String, idR: String,
+      carryL: Seq[String], carryR: Seq[String], cap: Int = BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    def sized(df: DataFrame, id: String) = df
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col(id))))
+      .withColumn("c", expr(s"CAST((rn - 1) div $cap AS INT)"))
+      .withColumn("nc", expr(s"CAST(((m - 1) div $cap) + 1 AS INT)"))
+    val rChunks = right.groupBy(keys.map(col): _*)
+      .agg(expr(s"CAST(((count(1) - 1) div $cap) + 1 AS INT)").as("ncR"))
+    val lChunks = left.groupBy(keys.map(col): _*)
+      .agg(expr(s"CAST(((count(1) - 1) div $cap) + 1 AS INT)").as("ncL"))
+    val a = sized(left, idL).join(rChunks, keys)
+      .select(keys.map(col) ++ Seq(col(idL)) ++ carryL.map(col) ++
+        Seq(col("c").as("gx"), explode(sequence(lit(0), col("ncR") - 1)).as("gy")): _*)
+    val b = sized(right, idR).join(lChunks, keys)
+      .select(keys.map(col) ++ Seq(col(idR)) ++ carryR.map(col) ++
+        Seq(explode(sequence(lit(0), col("ncL") - 1)).as("gx"), col("c").as("gy")): _*)
+    a.join(b, keys ++ Seq("gx", "gy"))
+      .select((Seq(idL, idR) ++ carryL ++ carryR).map(col): _*)
+      .distinct()
+  }
+
   // ------------------------------------- identical-content collapse / expand
 
   /** Collapse docs with IDENTICAL shingle sets to one representative row
@@ -375,28 +409,27 @@ object DedupOps {
     * verification entirely (no shingle sets in the shuffle, just the
     * K-long signatures). All integer arithmetic — oracle-exact. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val hsets = materialize(shingleHashes(spark, dir))
-    val sigs = materialize(hsets
-      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig")))
-    val bands = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
-      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
-    val h1 = hsets.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1"))
-    val h2 = hsets.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2"))
-    cand.join(s1, "d1").join(s2, "d2").join(h1, "d1").join(h2, "d2")
+    val hsets  = materialize(shingleHashes(spark, dir))
+    // same collapse + capped-bucket machinery as q21 (identical sets
+    // have identical signatures AND identical exact Jaccard vs anyone,
+    // so rep-level values expand to member pairs unchanged; within a
+    // group n_agree = K, shared = unioned = n by definition)
+    val groups = materialize(collapseShingleSets(hsets))
+    val cand   = minhashRepCandidates(groups.select(col("rep"), col("hs")))
       .withColumn("n_agree", size(filter(
         zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
+      .select("r1", "r2", "n_agree")
+    val h1 = groups.select(col("rep").as("r1"), col("hs").as("hs1"), col("n").as("n1"))
+    val h2 = groups.select(col("rep").as("r2"), col("hs").as("hs2"), col("n").as("n2"))
+    val repPairs = cand.join(h1, "r1").join(h2, "r2")
       .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
-      .select(col("d1"), col("d2"), col("n_agree"),
-        col("shared"),
+      .select(col("r1"), col("r2"), col("n_agree"), col("shared"),
         (col("n1") + col("n2") - col("shared")).as("unioned"))
+    expandPairs(repPairs, groups, Seq("n_agree", "shared", "unioned"))
+      .unionByName(withinGroupPairs(groups, Seq("n"))
+        .select(col("d1"), col("d2"), lit(MinhashK).as("n_agree"),
+          col("n").as("shared"), col("n").as("unioned")))
+      .select(col("d1"), col("d2"), col("n_agree"), col("shared"), col("unioned"))
   }
 
   val minhashEstimateSql: String =
@@ -954,33 +987,48 @@ object DedupOps {
   def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
     val hsets = materialize(shingleHashes(spark, dir))
     val isNew = col("doc_id") % IngestMod === IngestMod - 1
-    val bands = hsets
-      .select(col("doc_id"), minhashSigCol(col("hs")).as("sig"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("b"), col("sig"))
-      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-    val cand = bands.filter(isNew).as("a")
-      .join(bands.filter(!isNew).as("b"),
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey"))
-      .select(col("a.doc_id").as("nid"), col("b.doc_id").as("cid"))
-      .distinct()
-    val verified = cand
-      .join(hsets.select(col("doc_id").as("nid"), col("hs").as("hs1"), col("n").as("n1")), "nid")
-      .join(hsets.select(col("doc_id").as("cid"), col("hs").as("hs2"), col("n").as("n2")), "cid")
+    // Same hardening as q21, adapted to the probe-an-index shape — all
+    // exact, oracle unchanged: collapse identical sets on EACH side of
+    // the split separately (content groups can span it; retention
+    // semantics depend on which side a doc sits), cap the bucket probe
+    // with the two-sided grid, reject candidates from the carried
+    // signatures (tier 1), fetch shingle arrays only for survivors.
+    // Rep-level election expands exactly: every member of a batch group
+    // has its group's best match, and `dup_of` = the matched corpus
+    // group's rep = that group's minimum cid — the same id the per-doc
+    // election picked.
+    val gNew  = materialize(collapseShingleSets(hsets.filter(isNew)))
+    val gCorp = materialize(collapseShingleSets(hsets.filter(!isNew)))
+    def bands(g: DataFrame, id: String, sig: String) = g
+      .select(col("rep"), minhashSigCol(col("hs")).as(sig))
+      .select(col("rep").as(id), col(sig), explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+      .select(col(id), col(sig), col("b"), bandKeyCol(col(sig), col("b")).as("bkey"))
+    val cand = cappedProbeJoin(
+      bands(gNew, "nrep", "sigN"), bands(gCorp, "crep", "sigC"),
+      Seq("b", "bkey"), "nrep", "crep", Seq("sigN"), Seq("sigC"))
+    val borderline = cand
+      .withColumn("n_agree", size(filter(
+        zip_with(col("sigN"), col("sigC"), (x, y) => x === y), p => p)))
+      .filter(col("n_agree") >= AgreeCut)
+      .select("nrep", "crep")
+    val verified = borderline
+      .join(gNew.select(col("rep").as("nrep"), col("hs").as("hs1"), col("n").as("n1")), "nrep")
+      .join(gCorp.select(col("rep").as("crep"), col("hs").as("hs2"), col("n").as("n2")), "crep")
       .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jaccard", round(
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
     val best = verified
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("nid"))
-          .orderBy(desc("jaccard"), col("cid"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("nrep"))
+          .orderBy(desc("jaccard"), col("crep"))))
       .filter(col("rn") === 1)
-      .select(col("nid"), col("cid"), col("jaccard"))
-    hsets.filter(isNew).select(col("doc_id"))
-      .join(best, col("doc_id") === col("nid"), "left")
+      .select(col("nrep"), col("crep"), col("jaccard"))
+    gNew.select(col("rep").as("nrep"), explode(col("members")).as("doc_id"))
+      .join(best, Seq("nrep"), "left")
       .select(col("doc_id"),
-        when(col("cid").isNull, "new").otherwise("dup").as("verdict"),
-        coalesce(col("cid"), lit(-1L)).as("dup_of"),
+        when(col("crep").isNull, "new").otherwise("dup").as("verdict"),
+        coalesce(col("crep"), lit(-1L)).as("dup_of"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 

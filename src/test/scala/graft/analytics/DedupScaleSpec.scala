@@ -34,6 +34,22 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("cappedProbeJoin emits exactly the cross-side bucket pairs (both sides above cap)") {
+    // bucket 1: 7 left x 9 right with cap=3 → 3x3 grid; bucket 2 only
+    // on the left (no right rows → no pairs); bucket 3 one pair
+    val left = ((1 to 7).map(i => (1L, i.toLong)) ++ Seq((2L, 50L), (3L, 60L)))
+      .toDF("bkey", "nrep").withColumn("sigN", col("nrep") * 2)
+    val right = ((1 to 9).map(i => (1L, 100L + i)) ++ Seq((3L, 70L)))
+      .toDF("bkey", "crep").withColumn("sigC", col("crep") * 3)
+    val got = DedupOps.cappedProbeJoin(left, right, Seq("bkey"),
+        "nrep", "crep", Seq("sigN"), Seq("sigC"), cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = (for { l <- 1 to 7; r <- 1 to 9 }
+      yield (l.toLong, 100L + r, l * 2L, (100L + r) * 3)).toSet ++
+      Set((60L, 70L, 120L, 210L))
+    assert(got === expect)
+  }
+
   test("cappedPairJoin degenerates to the plain bucket join when m <= cap") {
     val rows = (1 to 5).map(i => (1L, i.toLong)).toDF("bkey", "rep")
     val got = DedupOps.cappedPairJoin(rows, Seq("bkey"), "rep", Seq.empty, cap = 64)
