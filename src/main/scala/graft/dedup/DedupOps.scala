@@ -943,8 +943,26 @@ object DedupOps {
     * bucketed band joins, and the consensus join itself runs on the
     * verified PAIR sets — orders of magnitude smaller than the corpus. */
   def consensusNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashLsh(spark, dir).select(col("d1"), col("d2"), col("jaccard"))
-    val sh = simhashNearDup(spark, dir).select(col("d1"), col("d2"), col("hd"))
+    // ONE scan + tokenize feeds BOTH signals: shingle-set hashes and the
+    // token-multiset simhash come out of a single projection (the
+    // codegen subexpression-elimination pass computes graft_tokenize
+    // once), then each signal's hardened pipeline runs from its column.
+    // Halves the I/O + featurization of the overlay vs. composing the
+    // two standalone queries.
+    val hs = graft.functions.NativeExprs
+      .shingleHashes(tokensCol(col("text")), ShingleW, P)
+    val sig = graft.functions.NativeExprs.simHash(
+      graft.functions.NativeExprs.tokenHashes(tokensCol(col("text"))), SimhashBits)
+    val docs = materialize(
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), hs.as("hs"), sig.as("sig")))
+    val mh = minhashLshFrom(docs
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("n")))
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val sh = simhashNearDupFrom(docs.select(col("doc_id"), col("sig")))
+      .select(col("d1"), col("d2"), col("hd"))
     mh.join(sh, Seq("d1", "d2"), "full_outer")
       .select(col("d1"), col("d2"),
         when(col("jaccard").isNotNull && col("hd").isNotNull, "both")
