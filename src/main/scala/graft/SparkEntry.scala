@@ -205,7 +205,11 @@ object SparkEntry {
     "q107_substring_dedup"  -> (D.substringDedup _),
     // SemDeDup: k-means clusters bound the cosine pair space; keep-first
     // election within each similarity neighborhood.
-    "q108_semdedup"         -> (V.semDedup _)
+    "q108_semdedup"         -> (V.semDedup _),
+    // Per-language dedup funnel: every doc attributed to the first stage
+    // that would drop it (exact -> near cluster -> substring majority),
+    // plus surviving docs/tokens for the mixture audit.
+    "q109_dedup_funnel"     -> (D.dedupFunnel _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,6 +320,7 @@ object SparkEntry {
     "q105_dedup_keep_best"  -> D.dedupKeepBestSql,
     "q106_band_bucket_ledger" -> D.bandBucketLedgerSql,
     "q107_substring_dedup"  -> D.substringDedupSql,
-    "q108_semdedup"         -> V.semDedupSql
+    "q108_semdedup"         -> V.semDedupSql,
+    "q109_dedup_funnel"     -> D.dedupFunnelSql
   )
 }

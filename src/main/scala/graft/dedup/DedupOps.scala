@@ -930,6 +930,89 @@ object DedupOps {
        |FROM grams LEFT JOIN inc ON g = ig
        |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------------- dedup funnel
+
+  /** A document whose removable-span share reaches this (basis points of
+    * gram positions owned by an earlier doc) is dropped by the funnel's
+    * substring stage. */
+  val SubstrDropBp = 5000L
+
+  /** The per-language dedup FUNNEL ledger — the accounting view a corpus
+    * build reports after running the whole dedup family: every document
+    * attributed to the FIRST stage that would drop it
+    * (exact first-wins → near-dup cluster election → substring-majority)
+    * plus the surviving doc and token counts that feed the mixture
+    * audit (q77/q89). Verdicts are computed on the full corpus and
+    * overlaid (attribution semantics), not sequentially re-run — the
+    * same convention as q98's consensus.
+    *
+    * Composition of verified pieces: q19's fingerprint election, q72's
+    * cluster representatives (hardened q21 inside), q107's ownership
+    * ledger; the oracle nests those queries' SQL verbatim, so the
+    * funnel can never diverge from the stages it summarizes. Scale
+    * shape: three fingerprint-keyed joins on doc_id/fp plus one
+    * map-side-combined rollup on lang — no new pair work. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        size(tokensCol(col("text"))).cast("long").as("n_tokens"),
+        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
+    val exactKeep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val clusters  = dedupClusters(spark, dir)
+    val substr    = substringDedup(spark, dir)
+      .select(col("doc_id"), col("n_grams"), col("n_removable"))
+    docs.join(exactKeep, "fp")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(substr, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") =!= col("keep_id"), "exact")
+          .when(col("rep_id").isNotNull && col("rep_id") =!= col("doc_id"), "near")
+          .when(col("n_removable").isNotNull &&
+            expr("(n_removable * 10000) div n_grams") >= SubstrDropBp, "substring")
+          .otherwise("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("stage") === "exact", 1)).as("drop_exact"),
+        count(when(col("stage") === "near", 1)).as("drop_near"),
+        count(when(col("stage") === "substring", 1)).as("drop_substr"),
+        count(when(col("stage") === "keep", 1)).as("n_kept"),
+        sum(when(col("stage") === "keep", col("n_tokens")).otherwise(lit(0L)))
+          .as("tokens_kept"))
+  }
+
+  /** Nests [[dedupClustersSql]] and [[substringDedupSql]] VERBATIM as
+    * parenthesized subqueries (each carries its own WITH), so the
+    * funnel oracle summarizes exactly the stage queries the gate
+    * verifies individually. */
+  val dedupFunnelSql: String =
+    s"""WITH fdocs AS (
+       |  SELECT doc_id, lang, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |         ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
+       |  FROM documents),
+       |fexact AS (SELECT fp, min(doc_id) AS keep_id FROM fdocs GROUP BY 1),
+       |fclusters AS ($dedupClustersSql),
+       |fsubstr AS ($substringDedupSql),
+       |staged AS (
+       |  SELECT d.lang, d.n_tokens,
+       |         CASE WHEN d.doc_id != e.keep_id THEN 'exact'
+       |              WHEN c.rep_id IS NOT NULL AND c.rep_id != d.doc_id THEN 'near'
+       |              WHEN s.n_removable IS NOT NULL
+       |                   AND (s.n_removable * 10000) // s.n_grams >= $SubstrDropBp
+       |                THEN 'substring'
+       |              ELSE 'keep' END AS stage
+       |  FROM fdocs d
+       |  JOIN fexact e ON d.fp = e.fp
+       |  LEFT JOIN fclusters c ON c.doc_id = d.doc_id
+       |  LEFT JOIN fsubstr s ON s.doc_id = d.doc_id)
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (stage = 'exact') AS BIGINT) AS drop_exact,
+       |       CAST(count(*) FILTER (stage = 'near') AS BIGINT) AS drop_near,
+       |       CAST(count(*) FILTER (stage = 'substring') AS BIGINT) AS drop_substr,
+       |       CAST(count(*) FILTER (stage = 'keep') AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN stage = 'keep' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM staged GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- cross-signal consensus
 
   /** Cross-signal near-dup consensus — the adjudication step a real
