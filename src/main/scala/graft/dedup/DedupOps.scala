@@ -961,7 +961,11 @@ object DedupOps {
     val clusters  = dedupClusters(spark, dir)
     val substr    = substringDedup(spark, dir)
       .select(col("doc_id"), col("n_grams"), col("n_removable"))
-    docs.join(exactKeep, "fp")
+    // null-safe fp equality: a NULL-text doc has a NULL fingerprint, and
+    // a plain equi-join would silently drop it from the ledger (found by
+    // DirtyInputSpec — the funnel must account for EVERY document)
+    docs.join(exactKeep.withColumnRenamed("fp", "efp"), col("fp") <=> col("efp"))
+      .drop("efp")
       .join(clusters, Seq("doc_id"), "left")
       .join(substr, Seq("doc_id"), "left")
       .withColumn("stage",
@@ -1001,7 +1005,7 @@ object DedupOps {
        |                THEN 'substring'
        |              ELSE 'keep' END AS stage
        |  FROM fdocs d
-       |  JOIN fexact e ON d.fp = e.fp
+       |  JOIN fexact e ON d.fp IS NOT DISTINCT FROM e.fp
        |  LEFT JOIN fclusters c ON c.doc_id = d.doc_id
        |  LEFT JOIN fsubstr s ON s.doc_id = d.doc_id)
        |SELECT lang,
