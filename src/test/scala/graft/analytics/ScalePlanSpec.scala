@@ -116,7 +116,11 @@ class ScalePlanSpec extends AnyFunSuite {
     try withPlanConfs(noBroadcast = false) {
       val q21 = graft.dedup.DedupOps.minhashLsh(spark, dir)
       val q73 = graft.dedup.DedupOps.simhashNearDup(spark, dir)
-      for ((df, name) <- Seq((q21, "q21"), (q73, "q73"))) {
+      val q34 = graft.dedup.DedupOps.minhashEstimate(spark, dir)
+      val q88 = graft.dedup.DedupOps.ingestDedup(spark, dir)
+      val q107 = graft.dedup.DedupOps.substringDedup(spark, dir)
+      for ((df, name) <- Seq((q21, "q21"), (q73, "q73"), (q34, "q34"),
+          (q88, "q88"), (q107, "q107"))) {
         val schemas = keyedExchangeSchemas(df)
         assert(schemas.nonEmpty, s"$name: no keyed exchanges found")
         // the text column must never enter any keyed shuffle — shuffles
