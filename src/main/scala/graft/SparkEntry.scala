@@ -209,7 +209,14 @@ object SparkEntry {
     // Per-language dedup funnel: every doc attributed to the first stage
     // that would drop it (exact -> near cluster -> substring majority),
     // plus surviving docs/tokens for the mixture audit.
-    "q109_dedup_funnel"     -> (D.dedupFunnel _)
+    "q109_dedup_funnel"     -> (D.dedupFunnel _),
+    // Ordered conversion funnel (view -> click -> purchase), per-stage
+    // user counts + basis-point rates; three same-key aggregates.
+    "q110_event_funnel"     -> (E.eventFunnel _),
+    // Dense hourly grid with explicit zero rows for silent hours;
+    // spine generated with sequence/explode, zero-fill joins the
+    // aggregated side only.
+    "q111_gapfill_hourly"   -> (E.gapfillHourly _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,6 +328,8 @@ object SparkEntry {
     "q106_band_bucket_ledger" -> D.bandBucketLedgerSql,
     "q107_substring_dedup"  -> D.substringDedupSql,
     "q108_semdedup"         -> V.semDedupSql,
-    "q109_dedup_funnel"     -> D.dedupFunnelSql
+    "q109_dedup_funnel"     -> D.dedupFunnelSql,
+    "q110_event_funnel"     -> E.eventFunnelSql,
+    "q111_gapfill_hourly"   -> E.gapfillHourlySql
   )
 }

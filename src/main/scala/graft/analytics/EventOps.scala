@@ -357,4 +357,92 @@ object EventOps {
       |       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
       |       coalesce(o.sum_spend, 0.0) AS sum_spend
       |FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey""".stripMargin
+
+  /** Ordered conversion FUNNEL (view → click → purchase): a user counts
+    * at a stage only if the stage event happens AT OR AFTER their entry
+    * into the previous stage (first-view, then first-click-after-view,
+    * then first-purchase-after-that-click). The canonical product-
+    * analytics query, and the shape matters: each stage is one
+    * map-side-combined conditional-min aggregate keyed by user_id plus
+    * an equi-join on user_id — three shuffles on the SAME key (AQE
+    * reuses the partitioning), never a per-user sort or a cross-stage
+    * pair join. Output is a single all-integer row (counts + basis-
+    * point conversion rates), so the result is engine-exact. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("(n_click * 10000) div n_view").as("click_bp"),
+        expr("(n_purchase * 10000) div n_view").as("purchase_bp"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase,
+      |       (SELECT count(*) FROM c) * 10000 // (SELECT count(*) FROM v) AS click_bp,
+      |       (SELECT count(*) FROM p) * 10000 // (SELECT count(*) FROM v) AS purchase_bp""".stripMargin
+
+  /** Gap-filled hourly resample: the dense (hour × event_type) grid with
+    * explicit zero rows for silent hours — what a monitoring/forecast
+    * consumer needs (a missing row and a zero are different facts).
+    * Shape: the only full-data pass is the hourly count aggregate
+    * (map-side combined, one shuffle); the hour spine is generated from
+    * a 1-row min/max aggregate via `sequence` + `explode` (never a
+    * driver loop), and the spine × types grid is tiny, so the zero-fill
+    * left join broadcasts the AGGREGATED side — no second shuffle of
+    * raw events at any scale. */
+  def gapfillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+           date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("window_start"))
+    val types = ev.select(col("event_type")).distinct()
+    spine.crossJoin(types)
+      .join(broadcast(hourly), Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  val gapfillHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |             date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT spine.ws AS window_start, types.event_type,
+      |       CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events
+      |FROM spine CROSS JOIN types
+      |LEFT JOIN hourly ON hourly.ws = spine.ws AND hourly.event_type = types.event_type""".stripMargin
 }

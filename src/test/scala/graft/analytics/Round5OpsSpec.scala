@@ -1,0 +1,41 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+
+/** Invariant checks for the round-5 analytics additions on sf0.001
+  * (value correctness vs. DuckDB is covered by the Verify/oracle gate —
+  * these pin structural properties). */
+class Round5OpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  test("event funnel is monotone and stage 1 counts exactly the viewing users (q110)") {
+    val r = EventOps.eventFunnel(spark, dir).head()
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np && nv > 0)
+    val viewers = graft.tables.Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(nv === viewers)
+    // bp rates re-derive from the counts
+    assert(r.getLong(3) === nc * 10000 / nv)
+    assert(r.getLong(4) === np * 10000 / nv)
+  }
+
+  test("gap-filled hourly grid is dense and loses no events (q111)") {
+    val g = EventOps.gapfillHourly(spark, dir).cache()
+    val hours = g.select(col("window_start")).distinct().count()
+    val types = g.select(col("event_type")).distinct().count()
+    assert(g.count() === hours * types)
+    val total = graft.tables.Tables.events(spark, dir).count()
+    assert(g.agg(sum(col("n_events"))).head().getLong(0) === total)
+    // the spine is contiguous: n hours == (max-min)/1h + 1
+    val mm = g.agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .select(((unix_timestamp(col("hi")) - unix_timestamp(col("lo"))) / 3600 + 1).as("n"))
+      .head().getDouble(0)
+    assert(hours === mm.toLong)
+    g.unpersist()
+  }
+}
