@@ -216,7 +216,13 @@ object SparkEntry {
     // Dense hourly grid with explicit zero rows for silent hours;
     // spine generated with sequence/explode, zero-fill joins the
     // aggregated side only.
-    "q111_gapfill_hourly"   -> (E.gapfillHourly _)
+    "q111_gapfill_hourly"   -> (E.gapfillHourly _),
+    // Cross-source contamination matrix: distinct shared W-token spans
+    // per source pair + containment bp; postings shape, no doc pairs.
+    "q112_source_overlap"   -> (D.sourceOverlap _),
+    // Gopher-style quality rule bundle: per-rule integer inputs + 0/1
+    // keep verdict; pure narrow map.
+    "q113_quality_rules"    -> (T.qualityRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,6 +336,8 @@ object SparkEntry {
     "q108_semdedup"         -> V.semDedupSql,
     "q109_dedup_funnel"     -> D.dedupFunnelSql,
     "q110_event_funnel"     -> E.eventFunnelSql,
-    "q111_gapfill_hourly"   -> E.gapfillHourlySql
+    "q111_gapfill_hourly"   -> E.gapfillHourlySql,
+    "q112_source_overlap"   -> D.sourceOverlapSql,
+    "q113_quality_rules"    -> T.qualityRulesSql
   )
 }

@@ -1167,4 +1167,63 @@ object DedupOps {
        |       coalesce(best.jaccard, 0.0) AS jaccard
        |FROM hsets h LEFT JOIN best ON h.doc_id = best.nid
        |WHERE h.doc_id % $IngestMod = ${IngestMod - 1}""".stripMargin
+  // ------------------------------------------- cross-source overlap matrix
+
+  /** Cross-source contamination MATRIX: for every pair of sources, how
+    * many distinct [[SpanW]]-token spans they share, plus the share as
+    * basis points of the smaller side's span vocabulary (containment).
+    * This is the corpus-level view of q75's doc-level contamination
+    * check — the table a data curator reads to find which corpus slices
+    * leak into which (train vs eval sources, mirrored crawls, vendored
+    * boilerplate).
+    *
+    * Scale shape: postings shuffle carries (gram hash, source) distinct
+    * rows — fixed-width, never text; per-gram source sets are a
+    * map-side-combined `collect_set` bounded by the source count; the
+    * pair explode fans out C(s_g, 2) per gram where s_g <= #sources
+    * (a catalog-sized dimension — tens to hundreds — NOT doc count),
+    * and the final rollup is keyed by the source pair. No doc-level
+    * pair work anywhere. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"),
+        explode(graft.functions.NativeExprs
+          .gramHashes(tokensCol(col("text")), SpanW, P)).as("g"))
+      .distinct()
+    val perSrc = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = grams.groupBy(col("g"))
+      .agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    shared
+      .join(broadcast(perSrc).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na"), Seq("source_a"))
+      .join(broadcast(perSrc).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_grams"),
+        expr("(n_shared_grams * 10000) div least(na, nb)").as("containment_bp"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH toks AS (SELECT source, ${graft.functions.TextExprs.tokensSql("text")} AS t FROM documents),
+       |grams_raw AS (
+       |  SELECT source,
+       |         unnest(list_transform(range(1, len(t) - $SpanW + 2),
+       |                i -> ${graft.functions.TextExprs.polyHashSql(s"array_to_string(t[i:i+${SpanW - 1}], ' ')")})) AS g
+       |  FROM toks WHERE len(t) >= $SpanW),
+       |grams AS (SELECT DISTINCT source, g FROM grams_raw),
+       |per_src AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s.source_a, s.source_b, s.n_shared_grams,
+       |       (s.n_shared_grams * 10000) // least(pa.n, pb.n) AS containment_bp
+       |FROM shared s
+       |JOIN per_src pa ON pa.source = s.source_a
+       |JOIN per_src pb ON pb.source = s.source_b""".stripMargin
 }

@@ -660,4 +660,77 @@ object TextOps {
        |FROM ranked WHERE prev < $TokenBudget
        |GROUP BY 1, 2""".stripMargin
   }
+  // ---------------------------------------------------- quality rule bundle
+
+  /** Gopher-style quality RULE BUNDLE (Rae et al. 2021's heuristic
+    * filter family, re-expressed on this corpus): per document, the four
+    * rule inputs as exact integers — token count, mean token length in
+    * centi-chars, symbol share of raw chars in basis points, stopword
+    * hits — plus the 0/1 keep verdict of the conjunction. Differs from
+    * q17's quality *score* (one blended number) in being the
+    * *filter-rule* view: each rule is auditable on its own, so a curator
+    * can see WHICH rule dropped a document.
+    *
+    * All metrics are integer-derived (count/length/div arithmetic), so
+    * the result is engine-exact; guards keep the ANSI-mode div safe on
+    * empty/degenerate docs. Pure narrow map over the scan — zero
+    * shuffles, embarrassingly parallel at any scale. */
+  val RuleMinTokens    = 30L
+  val RuleMaxTokens    = 100000L
+  val RuleMinMeanCenti = 300L   // mean token length >= 3.00 chars
+  val RuleMaxMeanCenti = 1000L  // mean token length <= 10.00 chars
+  val RuleMaxSymbolBp  = 1000L  // symbols <= 10% of raw chars
+  val RuleMinStopHits  = 2L     // at least 2 stopword occurrences
+  private val StopPat  = "\\b(the|a|of|to|and|in|is|that)\\b"
+
+  def qualityRules(spark: SparkSession, dir: String): DataFrame =
+          // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
+      Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"), tokensCol(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        length(array_join(col("tk"), "")).cast("long").as("n_alnum"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9 ]+", "")))
+          .cast("long").as("n_sym"),
+        regexp_count(lower(col("text")), lit(StopPat)).cast("long")
+          .as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("if(n_tokens > 0, (n_alnum * 100) div n_tokens, NULL)")
+          .as("mean_centi"),
+        expr("if(n_chars > 0, (n_sym * 10000) div n_chars, NULL)")
+          .as("symbol_bp"),
+        col("stop_hits"))
+      .withColumn("keep",
+        when(col("n_tokens").between(RuleMinTokens, RuleMaxTokens) &&
+             col("mean_centi").between(RuleMinMeanCenti, RuleMaxMeanCenti) &&
+             col("symbol_bp") <= RuleMaxSymbolBp &&
+             col("stop_hits") >= RuleMinStopHits, lit(1L)).otherwise(lit(0L)))
+
+  val qualityRulesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(tk) AS BIGINT) AS n_tokens,
+       |         CAST(length(array_to_string(tk, '')) AS BIGINT) AS n_alnum,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(length(text) -
+       |              length(regexp_replace(text, '[^A-Za-z0-9 ]+', '', 'g')) AS BIGINT) AS n_sym,
+       |         CAST(len(regexp_extract_all(lower(text), '${"\\"}b(the|a|of|to|and|in|is|that)${"\\"}b')) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |m2 AS (
+       |  SELECT doc_id, n_tokens,
+       |         CASE WHEN n_tokens > 0 THEN (n_alnum * 100) // n_tokens END AS mean_centi,
+       |         CASE WHEN n_chars > 0 THEN (n_sym * 10000) // n_chars END AS symbol_bp,
+       |         stop_hits
+       |  FROM m)
+       |SELECT doc_id, n_tokens, mean_centi, symbol_bp, stop_hits,
+       |       CASE WHEN n_tokens BETWEEN $RuleMinTokens AND $RuleMaxTokens
+       |             AND mean_centi BETWEEN $RuleMinMeanCenti AND $RuleMaxMeanCenti
+       |             AND symbol_bp <= $RuleMaxSymbolBp
+       |             AND stop_hits >= $RuleMinStopHits
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM m2""".stripMargin
 }

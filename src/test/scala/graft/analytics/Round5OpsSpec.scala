@@ -38,4 +38,28 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(hours === mm.toLong)
     g.unpersist()
   }
+
+  test("source overlap matrix is upper-triangular with bounded containment (q112)") {
+    val m = graft.dedup.DedupOps.sourceOverlap(spark, dir).cache()
+    assert(m.filter(col("source_a") >= col("source_b")).count() === 0)
+    assert(m.filter(col("containment_bp") < 0 || col("containment_bp") > 10000).count() === 0)
+    // shared counts are positive by construction
+    assert(m.filter(col("n_shared_grams") <= 0).count() === 0)
+    m.unpersist()
+  }
+
+  test("quality rules: keep verdict is exactly the conjunction of the four rules (q113)") {
+    import graft.text.TextOps._
+    val r = qualityRules(spark, dir).cache()
+    val recomputed = r.filter(
+      col("n_tokens").between(RuleMinTokens, RuleMaxTokens) &&
+      col("mean_centi").between(RuleMinMeanCenti, RuleMaxMeanCenti) &&
+      col("symbol_bp") <= RuleMaxSymbolBp &&
+      col("stop_hits") >= RuleMinStopHits).count()
+    assert(r.filter(col("keep") === 1).count() === recomputed)
+    // the rule set is non-degenerate on this corpus: both verdicts occur
+    assert(r.filter(col("keep") === 1).count() > 0)
+    assert(r.filter(col("keep") === 0).count() > 0)
+    r.unpersist()
+  }
 }
