@@ -222,7 +222,13 @@ object SparkEntry {
     "q112_source_overlap"   -> (D.sourceOverlap _),
     // Gopher-style quality rule bundle: per-rule integer inputs + 0/1
     // keep verdict; pure narrow map.
-    "q113_quality_rules"    -> (T.qualityRules _)
+    "q113_quality_rules"    -> (T.qualityRules _),
+    // Deterministic systematic PPS sample: token-mass grid selection,
+    // all-integer (no RNG), reproducible run-over-run.
+    "q114_pps_sample"       -> (T.ppsSample _),
+    // Z-order (Morton) tile summary: 2-D clustering evidence in
+    // relational form; physical row-group skipping in ZOrderPlanSpec.
+    "q115_zorder_layout"    -> (graft.sources.ZOrder.zorderLayout _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -338,6 +344,8 @@ object SparkEntry {
     "q110_event_funnel"     -> E.eventFunnelSql,
     "q111_gapfill_hourly"   -> E.gapfillHourlySql,
     "q112_source_overlap"   -> D.sourceOverlapSql,
-    "q113_quality_rules"    -> T.qualityRulesSql
+    "q113_quality_rules"    -> T.qualityRulesSql,
+    "q114_pps_sample"       -> T.ppsSampleSql,
+    "q115_zorder_layout"    -> graft.sources.ZOrder.zorderLayoutSql
   )
 }

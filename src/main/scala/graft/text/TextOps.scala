@@ -733,4 +733,55 @@ object TextOps {
        |             AND stop_hits >= $RuleMinStopHits
        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
        |FROM m2""".stripMargin
+  // ------------------------------------------- PPS (token-weighted) sample
+
+  /** Target sample size for [[ppsSample]]. */
+  val PpsTarget = 25L
+
+  /** Systematic PPS sample — probability-proportional-to-size selection
+    * with a FIXED grid instead of per-doc randomness: lay documents on
+    * the token axis in doc_id order, then select every document whose
+    * token interval covers a multiple of step = total_tokens/target.
+    * Long documents are hit with probability proportional to their
+    * token mass (a doc longer than step is hit `n_hits` times) — the
+    * estimator every survey-sampling text uses, and here it is fully
+    * DETERMINISTIC integer arithmetic: reproducible run-over-run,
+    * engine-exact, no RNG parity issues.
+    *
+    * Scale note: the exclusive prefix sum uses ONE global ordering
+    * (single sort) — same trade as q76's packing; at 100 TB run it
+    * per shard (partitionBy(shard) window) and sample within shards. */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+    val total = docs.agg(
+      greatest((sum(col("n_tokens")) / lit(PpsTarget)).cast("long"), lit(1L))
+        .as("step"))
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .filter(expr("(cum_before + n_tokens) div step > cum_before div step"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr("(cum_before + n_tokens) div step - cum_before div step")
+          .as("n_hits"))
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d),
+       |t AS (SELECT greatest(CAST(sum(n_tokens) AS BIGINT) // $PpsTarget, 1) AS step FROM d)
+       |SELECT doc_id, n_tokens, cum_before,
+       |       CAST((cum_before + n_tokens) // step - cum_before // step AS BIGINT) AS n_hits
+       |FROM c CROSS JOIN t
+       |WHERE (cum_before + n_tokens) // step > cum_before // step""".stripMargin
 }
