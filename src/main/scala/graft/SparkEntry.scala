@@ -228,7 +228,10 @@ object SparkEntry {
     "q114_pps_sample"       -> (T.ppsSample _),
     // Z-order (Morton) tile summary: 2-D clustering evidence in
     // relational form; physical row-group skipping in ZOrderPlanSpec.
-    "q115_zorder_layout"    -> (graft.sources.ZOrder.zorderLayout _)
+    "q115_zorder_layout"    -> (graft.sources.ZOrder.zorderLayout _),
+    // Frequent items via native Misra-Gries TypedImperativeAggregate:
+    // exact heavy hitters + sketch-membership flag (q44/q45 convention).
+    "q116_heavy_hitters"    -> (T.heavyHitters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -346,6 +349,7 @@ object SparkEntry {
     "q112_source_overlap"   -> D.sourceOverlapSql,
     "q113_quality_rules"    -> T.qualityRulesSql,
     "q114_pps_sample"       -> T.ppsSampleSql,
-    "q115_zorder_layout"    -> graft.sources.ZOrder.zorderLayoutSql
+    "q115_zorder_layout"    -> graft.sources.ZOrder.zorderLayoutSql,
+    "q116_heavy_hitters"    -> T.heavyHittersSql
   )
 }

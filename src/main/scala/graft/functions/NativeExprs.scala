@@ -64,6 +64,11 @@ object NativeExprs {
       MinHashSigAggExpr(ExpressionUtils.expression(hs), a.toArray, b.toArray, p)
         .toAggregateExpression())
 
+  def misraGries(tokens: Column, capacity: Int): Column =
+    ExpressionUtils.column(
+      MisraGriesAggExpr(ExpressionUtils.expression(tokens), capacity)
+        .toAggregateExpression())
+
   def tokenize(s: Column): Column =
     ExpressionUtils.column(TokenizeExpr(ExpressionUtils.expression(s)))
 }
@@ -707,4 +712,141 @@ object MinHashSigExpr {
     }
     new GenericArrayData(out)
   }
+}
+/** Misra-Gries frequent-items sketch as a TypedImperativeAggregate —
+  * the heavy-hitters family member beside HLL++ (q44) and KLL (q45).
+  * Buffer = at most `capacity` (token, weight) counters; the classic
+  * stream update decrements ALL counters when a new token arrives at a
+  * full buffer. Merging two sketches sums counters, then re-trims to
+  * capacity by subtracting the (capacity+1)-th largest weight — the
+  * standard mergeable form (Agarwal et al., "Mergeable Summaries"), so
+  * partial aggregation across partitions keeps the guarantee: EVERY
+  * token with true frequency > N/(capacity+1) is in the final
+  * candidate set, regardless of partition order or merge shape. The
+  * candidate membership is what the oracle verifies (weights are
+  * order-dependent approximations and are not emitted).
+  *
+  * Scale shape: per-partition state is O(capacity) regardless of input
+  * size; the shuffle carries one small sketch per partition — the
+  * exact-count alternative shuffles every distinct token. */
+case class MisraGriesAggExpr(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  private type Buf = java.util.HashMap[String, Long]
+
+  override def createAggregationBuffer(): Buf = new java.util.HashMap[String, Long]()
+
+  private def offer(buf: Buf, t: String, w: Long): Unit = {
+    val cur = buf.get(t)
+    if (cur != 0L || buf.containsKey(t)) buf.put(t, cur + w)
+    else if (buf.size < capacity) buf.put(t, w)
+    else {
+      // decrement all counters by min(w, smallest counter share) — the
+      // batch form of w repeated unit decrements
+      val it = buf.entrySet().iterator()
+      var minV = Long.MaxValue
+      while (it.hasNext) { val v = it.next().getValue; if (v < minV) minV = v }
+      val d = math.min(w, minV)
+      val it2 = buf.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val nv = e.getValue - d
+        if (nv <= 0) it2.remove() else e.setValue(nv)
+      }
+      if (w - d > 0) offer(buf, t, w - d)
+    }
+  }
+
+  override def update(buf: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val arr = child.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) offer(buf, a.getUTF8String(i).toString, 1L)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b1.get(e.getKey)
+      b1.put(e.getKey, cur + e.getValue)
+    }
+    if (b1.size > capacity) {
+      // subtract the (capacity+1)-th largest weight, drop non-positives
+      val ws = new Array[Long](b1.size)
+      var i = 0
+      val vs = b1.values().iterator()
+      while (vs.hasNext) { ws(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(ws)
+      val d = ws(ws.length - capacity - 1)
+      val it2 = b1.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val nv = e.getValue - d
+        if (nv <= 0) it2.remove() else e.setValue(nv)
+      }
+    }
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    val keys = new Array[String](buf.size)
+    buf.keySet().toArray(keys)
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    new GenericArrayData(keys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAggExpr =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_misra_gries"
 }

@@ -784,4 +784,49 @@ object TextOps {
        |       CAST((cum_before + n_tokens) // step - cum_before // step AS BIGINT) AS n_hits
        |FROM c CROSS JOIN t
        |WHERE (cum_before + n_tokens) // step > cum_before // step""".stripMargin
+  // --------------------------------------------- heavy hitters (Misra-Gries)
+
+  /** Misra-Gries counter budget. Any token with frequency strictly
+    * above N/(MgCapacity+1) is GUARANTEED in the sketch's candidate
+    * set, regardless of partition order or merge shape. */
+  val MgCapacity = 40
+
+  /** Frequent-items (heavy hitters) via the native Misra-Gries
+    * TypedImperativeAggregate — the frequency member of the sketch
+    * family (HLL++ distinct q44, KLL percentiles q45). Emits every TRUE
+    * heavy hitter (exact count, one exact groupBy — the verifiable
+    * twin) plus the integer flag that the token is in the sketch's
+    * candidate set; the oracle emits the same rows with a literal 1,
+    * so the row hash-matches iff the sketch honors its guarantee on
+    * this corpus (the q44/q45 within-bound convention).
+    *
+    * Scale shape: the sketch side aggregates with O(capacity) state per
+    * partition and shuffles ONE ~40-entry map per partition — at 100 TB
+    * that is the difference between a KB-sized rollup and the exact
+    * path's shuffle of every distinct token. The exact side exists to
+    * make the guarantee checkable at test scale. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(tokensCol(col("text")).as("t"))
+    val sketch = toks.agg(
+      graft.functions.NativeExprs.misraGries(col("t"), MgCapacity).as("cand"))
+    val exact = toks.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = exact.agg(sum(col("n")).as("total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("n") * (MgCapacity + 1) > col("total"))
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), col("n"),
+        when(array_contains(col("cand"), col("term")), lit(1L))
+          .otherwise(lit(0L)).as("in_sketch"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
+       |terms AS (SELECT unnest(t) AS term FROM toks),
+       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM terms)
+       |SELECT term, n, CAST(1 AS BIGINT) AS in_sketch
+       |FROM c CROSS JOIN tot
+       |WHERE n * ${MgCapacity + 1} > total""".stripMargin
 }

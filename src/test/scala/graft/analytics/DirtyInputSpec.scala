@@ -78,4 +78,20 @@ class DirtyInputSpec extends AnyFunSuite {
     assert(TextOps.repetitionScore(spark, dirtyDir).count() === 4)
     assert(TextOps.hashSplit(spark, dirtyDir).count() === 11)
   }
+
+  test("round-5 document operators survive null/empty/short/unicode text") {
+    // quality rules: every doc gets a row; degenerate docs (null/empty/
+    // zero-token) must land keep=0 with NULL guarded metrics, not throw
+    val qr = TextOps.qualityRules(spark, dirtyDir)
+    assert(qr.count() === 11)
+    assert(qr.filter(col("doc_id") <= 4 && col("keep") === 1).count() === 0)
+    // PPS sample: null text contributes no token mass and cannot be
+    // selected; the long-token doc dominates the mass and must be hit
+    val pps = TextOps.ppsSample(spark, dirtyDir)
+    assert(pps.filter(col("doc_id") === 0).count() === 0)
+    assert(pps.filter(col("doc_id") === 8).count() === 1)
+    // source overlap: the twin docs share a source, so no cross-source
+    // pair exists on the dirty corpus — empty matrix, not a crash
+    assert(DedupOps.sourceOverlap(spark, dirtyDir).count() === 0)
+  }
 }

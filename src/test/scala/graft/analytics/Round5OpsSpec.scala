@@ -62,4 +62,20 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r.filter(col("keep") === 0).count() > 0)
     r.unpersist()
   }
+
+  test("Misra-Gries guarantee holds under partitioned merge with tiny capacity (q116)") {
+    import spark.implicits._
+    // 1000 rows of noise tokens (all distinct) + one token on 300 rows:
+    // freq 300 > N/(cap+1) = 1300/3, false -> use cap 4: 1300/5 = 260 < 300
+    val rows = (1 to 1000).map(i => Seq(s"noise$i")) ++ Seq.fill(300)(Seq("hot"))
+    val df = rows.toDF("t").repartition(13) // force many partial merges
+    val cand = df.agg(graft.functions.NativeExprs.misraGries(col("t"), 4).as("c"))
+      .head().getSeq[String](0)
+    assert(cand.contains("hot"), s"hot item missing from candidates $cand")
+    assert(cand.size <= 4)
+    // and the oracle-facing query flags every heavy hitter as in-sketch
+    val hh = graft.text.TextOps.heavyHitters(spark, dir)
+    assert(hh.count() > 0)
+    assert(hh.filter(col("in_sketch") =!= 1).count() === 0)
+  }
 }
