@@ -231,7 +231,11 @@ object SparkEntry {
     "q115_zorder_layout"    -> (graft.sources.ZOrder.zorderLayout _),
     // Frequent items via native Misra-Gries TypedImperativeAggregate:
     // exact heavy hitters + sketch-membership flag (q44/q45 convention).
-    "q116_heavy_hitters"    -> (T.heavyHitters _)
+    "q116_heavy_hitters"    -> (T.heavyHitters _),
+    // Hourly active users: exact windowed DISTINCT aggregate.
+    "q117_window_distinct"  -> (E.windowDistinctUsers _),
+    // Retention triangle: first-seen cohorts x day offset.
+    "q118_cohort_retention" -> (E.cohortRetention _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -350,6 +354,8 @@ object SparkEntry {
     "q113_quality_rules"    -> T.qualityRulesSql,
     "q114_pps_sample"       -> T.ppsSampleSql,
     "q115_zorder_layout"    -> graft.sources.ZOrder.zorderLayoutSql,
-    "q116_heavy_hitters"    -> T.heavyHittersSql
+    "q116_heavy_hitters"    -> T.heavyHittersSql,
+    "q117_window_distinct"  -> E.windowDistinctUsersSql,
+    "q118_cohort_retention" -> E.cohortRetentionSql
   )
 }

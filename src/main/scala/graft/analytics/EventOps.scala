@@ -433,6 +433,55 @@ object EventOps {
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** Hourly active users: exact DISTINCT-aggregate under a time window.
+    * Spark plans COUNT(DISTINCT) as the two-phase expand/partial-agg —
+    * the per-(window,user) pre-aggregate map-side combines before the
+    * one shuffle, so the distinct state never concentrates on one task
+    * at any scale (the sketch alternative for when exactness can be
+    * traded is the q44 HLL++ convention). */
+  def windowDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+
+  val windowDistinctUsersSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen day; for every
+    * (cohort_day, day_offset) the number of cohort members active that
+    * many days later — the classic retention triangle. Three aggregates,
+    * each map-side combined: first-seen per user (shuffle on user_id),
+    * distinct activity days per user (same key — AQE reuses the
+    * exchange), then the (cohort, offset) rollup on a tiny key space.
+    * No row ever joins outside its own user_id, so the shape holds at
+    * any user count. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first_seen AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, day FROM ev)
+      |SELECT f.cohort_day,
+      |       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+      |       count(DISTINCT a.user_id) AS n_active
+      |FROM active a JOIN first_seen f ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val gapfillHourlySql: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n

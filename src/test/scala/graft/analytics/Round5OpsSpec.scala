@@ -78,4 +78,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(hh.count() > 0)
     assert(hh.filter(col("in_sketch") =!= 1).count() === 0)
   }
+
+  test("windowed distinct users bounded by events; no events lost (q117)") {
+    val w = EventOps.windowDistinctUsers(spark, dir).cache()
+    assert(w.filter(col("n_users") > col("n_events")).count() === 0)
+    val total = graft.tables.Tables.events(spark, dir).count()
+    assert(w.agg(sum(col("n_events"))).head().getLong(0) === total)
+    w.unpersist()
+  }
+
+  test("cohort retention: day-0 is each cohort's max and equals its size (q118)") {
+    val r = EventOps.cohortRetention(spark, dir).cache()
+    // every cohort has a day-0 row, and no offset beats day-0
+    val perCohort = r.groupBy("cohort_day")
+      .agg(max(when(col("day_offset") === 0, col("n_active"))).as("d0"),
+           max(col("n_active")).as("mx"))
+    assert(perCohort.filter(col("d0").isNull || col("mx") > col("d0")).count() === 0)
+    // cohort sizes partition the user base
+    val users = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(r.filter(col("day_offset") === 0)
+      .agg(sum(col("n_active"))).head().getLong(0) === users)
+    r.unpersist()
+  }
 }
