@@ -235,7 +235,10 @@ object SparkEntry {
     // Hourly active users: exact windowed DISTINCT aggregate.
     "q117_window_distinct"  -> (E.windowDistinctUsers _),
     // Retention triangle: first-seen cohorts x day offset.
-    "q118_cohort_retention" -> (E.cohortRetention _)
+    "q118_cohort_retention" -> (E.cohortRetention _),
+    // Event-type transition matrix: per-user consecutive pairs -> global
+    // Markov counts + bp shares.
+    "q119_event_transitions" -> (E.eventTransitions _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -356,6 +359,7 @@ object SparkEntry {
     "q115_zorder_layout"    -> graft.sources.ZOrder.zorderLayoutSql,
     "q116_heavy_hitters"    -> T.heavyHittersSql,
     "q117_window_distinct"  -> E.windowDistinctUsersSql,
-    "q118_cohort_retention" -> E.cohortRetentionSql
+    "q118_cohort_retention" -> E.cohortRetentionSql,
+    "q119_event_transitions" -> E.eventTransitionsSql
   )
 }

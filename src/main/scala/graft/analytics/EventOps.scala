@@ -482,6 +482,41 @@ object EventOps {
       |FROM active a JOIN first_seen f ON a.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Event-type transition matrix (path analysis): per user, each
+    * consecutive event pair ordered by time contributes one
+    * (from_type, to_type) transition; output is the global transition
+    * count plus its basis-point share of all transitions — the Markov
+    * view a product-flow analysis reads. One window pass partitioned by
+    * user (shuffle on user_id, per-user sort bounded by user activity)
+    * + one map-side-combined rollup on a 5×5 key space. Deterministic
+    * ordering: ties within a timestamp break on event_id. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 10000) div total").as("share_bp"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+      |SELECT from_type, to_type, n, (n * 10000) // total AS share_bp
+      |FROM counts CROSS JOIN tot""".stripMargin
+
   val gapfillHourlySql: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n

@@ -63,6 +63,17 @@ class Round5OpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("event transitions: one transition per consecutive pair, shares sum to ~10000 (q119)") {
+    val t = EventOps.eventTransitions(spark, dir).cache()
+    val ev = graft.tables.Tables.events(spark, dir)
+    val users = ev.select(col("user_id")).distinct().count()
+    // transitions = events - users (each user's first event has no predecessor)
+    assert(t.agg(sum(col("n"))).head().getLong(0) === ev.count() - users)
+    val bp = t.agg(sum(col("share_bp"))).head().getLong(0)
+    assert(bp > 10000L - t.count() && bp <= 10000L) // floor-div loses < 1 bp per cell
+    t.unpersist()
+  }
+
   test("Misra-Gries guarantee holds under partitioned merge with tiny capacity (q116)") {
     import spark.implicits._
     // 1000 rows of noise tokens (all distinct) + one token on 300 rows:
