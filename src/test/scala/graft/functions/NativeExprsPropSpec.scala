@@ -141,4 +141,27 @@ class NativeExprsPropSpec extends AnyFunSuite {
     assert(r.getSeq[Long](3).length === 2)   // K sigs
     assert(r.getDouble(5) === 5.0)           // null slot contributes 0
   }
+
+  test("MisraGriesAggExpr: capacity bound + heavy-hitter guarantee on random skewed streams") {
+    // random streams with a few planted hot tokens; for every capacity,
+    // every token with count > N/(cap+1) MUST be in the candidate set
+    // and the set must never exceed the capacity — regardless of how
+    // the stream is partitioned (merge order is adversarial via
+    // repartition)
+    val hot: Gen[String] = Gen.oneOf("h1", "h2", "h3")
+    val cold: Gen[String] = Gen.alphaLowerStr.map("c" + _.take(6))
+    val tok: Gen[String] = Gen.frequency(3 -> hot, 2 -> cold)
+    for (cap <- Seq(2, 5, 16); parts <- Seq(1, 7)) {
+      val toks = sample(tok, 600)
+      val n = toks.length
+      val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val df = toks.map(t => Tuple1(Seq(t))).toDF("t").repartition(parts)
+      val cand = df.agg(NativeExprs.misraGries(col("t"), cap).as("c"))
+        .head().getSeq[String](0).toSet
+      assert(cand.size <= cap, s"cap=$cap parts=$parts: ${cand.size} candidates")
+      val mustHave = exact.filter { case (_, c) => c * (cap + 1) > n }.keySet
+      assert(mustHave.subsetOf(cand),
+        s"cap=$cap parts=$parts: missing ${mustHave -- cand}")
+    }
+  }
 }
