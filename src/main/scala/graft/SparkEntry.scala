@@ -238,7 +238,13 @@ object SparkEntry {
     "q118_cohort_retention" -> (E.cohortRetention _),
     // Event-type transition matrix: per-user consecutive pairs -> global
     // Markov counts + bp shares.
-    "q119_event_transitions" -> (E.eventTransitions _)
+    "q119_event_transitions" -> (E.eventTransitions _),
+    // Market-basket co-purchase pairs: per-order C(size,2) fanout,
+    // support-thresholded rollup.
+    "q120_copurchase"       -> (R.copurchasePairs _),
+    // dbt-style constraint audit: FK anti-joins + domain checks with
+    // violation counts and pass flags.
+    "q121_constraint_audit" -> (R.constraintAudit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -360,6 +366,8 @@ object SparkEntry {
     "q116_heavy_hitters"    -> T.heavyHittersSql,
     "q117_window_distinct"  -> E.windowDistinctUsersSql,
     "q118_cohort_retention" -> E.cohortRetentionSql,
-    "q119_event_transitions" -> E.eventTransitionsSql
+    "q119_event_transitions" -> E.eventTransitionsSql,
+    "q120_copurchase"       -> R.copurchasePairsSql,
+    "q121_constraint_audit" -> R.constraintAuditSql
   )
 }

@@ -882,4 +882,110 @@ object Relational {
       |       CASE WHEN c.c_custkey IS NULL THEN 'I'
       |            WHEN g.new_bal IS NULL THEN 'K' ELSE 'U' END AS op
       |FROM customer c FULL JOIN changes g ON c.c_custkey = g.key""".stripMargin
+  // ---------------------------------------------------- co-purchase pairs
+
+  /** Minimum co-occurrence count for an emitted pair. */
+  val CopurchaseMinSupport = 2L
+
+  /** Market-basket co-purchase pairs: parts appearing in the same order,
+    * with the number of co-occurring orders (support ≥
+    * [[CopurchaseMinSupport]]). The join fans out per order as
+    * C(order_size, 2) — bounded by the basket size (single digits in
+    * this schema), NEVER by part or order count, so the self-join on
+    * l_orderkey scales linearly in orders. The pair rollup is keyed by
+    * (part_a, part_b) and map-side combines. The item-item similarity
+    * primitive recommendation pipelines aggregate. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= CopurchaseMinSupport)
+  }
+
+  val copurchasePairsSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |       count(*) AS n_orders
+       |FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
+
+  // ------------------------------------------------------ constraint audit
+
+  /** Declarative data-quality audit (the dbt-test shape): each row is
+    * one constraint over the warehouse — referential integrity via
+    * anti-join, domain checks via conditional counts — with the
+    * violation count, the checked row count, and a 0/1 pass flag. Each
+    * check is one aggregate or one anti-join keyed on the constraint's
+    * key; nothing here is more expensive than the query family it
+    * guards, and the union is evaluated in one job. */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ev  = Tables.events(spark, dir)
+    def check(name: String, viol: DataFrame, checked: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(checked.agg(count(lit(1)).as("n_checked")))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"),
+          when(col("n_violations") === 0, lit(1L)).otherwise(lit(0L)).as("pass"))
+    check("lineitem_order_fk",
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"), li)
+      .unionByName(check("order_customer_fk",
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti"), ord))
+      .unionByName(check("lineitem_positive_qty",
+        li.filter(col("l_quantity") <= 0), li))
+      .unionByName(check("lineitem_discount_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 1), li))
+      .unionByName(check("order_date_bounds",
+        ord.filter(col("o_orderdate") < to_timestamp(lit("1992-01-01")) ||
+                   col("o_orderdate") > to_timestamp(lit("2026-01-01"))), ord))
+      .unionByName(check("events_user_present",
+        ev.filter(col("user_id").isNull), ev))
+  }
+
+  val constraintAuditSql: String =
+    """SELECT 'lineitem_order_fk' AS check_name,
+      |       (SELECT count(*) FROM lineitem l
+      |         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      |       (SELECT count(*) FROM lineitem) AS n_checked,
+      |       CASE WHEN (SELECT count(*) FROM lineitem l
+      |         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pass
+      |UNION ALL
+      |SELECT 'order_customer_fk',
+      |       (SELECT count(*) FROM orders o
+      |         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |       (SELECT count(*) FROM orders),
+      |       CASE WHEN (SELECT count(*) FROM orders o
+      |         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+      |            THEN 1 ELSE 0 END
+      |UNION ALL
+      |SELECT 'lineitem_positive_qty',
+      |       (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+      |       (SELECT count(*) FROM lineitem),
+      |       CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) = 0 THEN 1 ELSE 0 END
+      |UNION ALL
+      |SELECT 'lineitem_discount_range',
+      |       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1),
+      |       (SELECT count(*) FROM lineitem),
+      |       CASE WHEN (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) = 0 THEN 1 ELSE 0 END
+      |UNION ALL
+      |SELECT 'order_date_bounds',
+      |       (SELECT count(*) FROM orders
+      |         WHERE o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate > TIMESTAMP '2026-01-01'),
+      |       (SELECT count(*) FROM orders),
+      |       CASE WHEN (SELECT count(*) FROM orders
+      |         WHERE o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate > TIMESTAMP '2026-01-01') = 0
+      |            THEN 1 ELSE 0 END
+      |UNION ALL
+      |SELECT 'events_user_present',
+      |       (SELECT count(*) FROM events WHERE user_id IS NULL),
+      |       (SELECT count(*) FROM events),
+      |       CASE WHEN (SELECT count(*) FROM events WHERE user_id IS NULL) = 0 THEN 1 ELSE 0 END""".stripMargin
 }

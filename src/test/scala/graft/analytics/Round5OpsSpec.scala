@@ -98,6 +98,34 @@ class Round5OpsSpec extends AnyFunSuite {
     w.unpersist()
   }
 
+  test("co-purchase pairs are ordered, support-thresholded, bounded by basket fanout (q120)") {
+    val p = Relational.copurchasePairs(spark, dir).cache()
+    assert(p.filter(col("part_a") >= col("part_b")).count() === 0)
+    assert(p.filter(col("n_orders") < Relational.CopurchaseMinSupport).count() === 0)
+    // total pair mass (pre-threshold) == sum over orders of C(size,2)
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val expectedPairs = li.groupBy("l_orderkey").count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head().getLong(0)
+    val allPairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey")).count()
+    assert(allPairs === expectedPairs)
+    p.unpersist()
+  }
+
+  test("constraint audit: pass flag re-derives from violations; checked = table sizes (q121)") {
+    val a = Relational.constraintAudit(spark, dir).cache()
+    assert(a.count() === 6)
+    assert(a.filter((col("n_violations") === 0) =!= (col("pass") === 1)).count() === 0)
+    val li = graft.tables.Tables.lineitem(spark, dir).count()
+    assert(a.filter(col("check_name") === "lineitem_order_fk")
+      .head().getAs[Long]("n_checked") === li)
+    // the synthetic warehouse is referentially intact: FK checks pass
+    assert(a.filter(col("check_name").endsWith("_fk") && col("pass") =!= 1).count() === 0)
+    a.unpersist()
+  }
+
   test("cohort retention: day-0 is each cohort's max and equals its size (q118)") {
     val r = EventOps.cohortRetention(spark, dir).cache()
     // every cohort has a day-0 row, and no offset beats day-0
