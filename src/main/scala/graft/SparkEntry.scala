@@ -14,6 +14,7 @@ object SparkEntry {
   import graft.text.{TextOps => T}
   import graft.dedup.{DedupOps => D}
   import graft.vector.{VectorOps => V}
+  import graft.graph.{GraphOps => G}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -244,7 +245,12 @@ object SparkEntry {
     "q120_copurchase"       -> (R.copurchasePairs _),
     // dbt-style constraint audit: FK anti-joins + domain checks with
     // violation counts and pass flags.
-    "q121_constraint_audit" -> (R.constraintAudit _)
+    "q121_constraint_audit" -> (R.constraintAudit _),
+    // Multi-source BFS hop labeling over the co-purchase graph:
+    // K statically-unrolled frontier joins, min-combined.
+    "q122_graph_bfs"        -> (G.graphBfs _),
+    // Degree-oriented triangle census + global clustering coefficient.
+    "q123_triangle_stats"   -> (G.triangleStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -368,6 +374,8 @@ object SparkEntry {
     "q118_cohort_retention" -> E.cohortRetentionSql,
     "q119_event_transitions" -> E.eventTransitionsSql,
     "q120_copurchase"       -> R.copurchasePairsSql,
-    "q121_constraint_audit" -> R.constraintAuditSql
+    "q121_constraint_audit" -> R.constraintAuditSql,
+    "q122_graph_bfs"        -> G.graphBfsSql,
+    "q123_triangle_stats"   -> G.triangleStatsSql
   )
 }

@@ -1,0 +1,177 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Distributed graph analytics over the co-purchase graph (parts linked
+  * by appearing in the same order — the item-item graph q120 mines).
+  *
+  * Both operators are pure DataFrame plans: each BFS round and each
+  * wedge/closure step is one equi-join keyed on a node id, so at
+  * cluster scale every iteration is a single hash-partitioned shuffle
+  * of fixed-width (id, id) rows — no adjacency list ever concentrates
+  * on one task, and nothing is collected to the driver.
+  *
+  * All outputs are integers (counts, hop numbers, basis points), the
+  * repo's FP-safe discipline for exact cross-engine oracle compares.
+  */
+object GraphOps {
+
+  /** BFS depth cap — fixed small constant so the plan is a statically
+    * unrolled chain of K joins (no driver-side convergence test). */
+  val BfsMaxHops = 3
+
+  /** Seed catalog for the BFS: one brand's parts. */
+  val BfsSeedBrand = "Brand#1"
+
+  /** Eager lineage truncation for the edge list / oriented edge list —
+    * both are referenced by several joins of the same plan, and without
+    * truncation each reference re-derives the lineitem self-join (the
+    * same cache-substitution-on-self-join caveat as DedupOps). Same
+    * trade-off as `DedupOps.materialize`: NOT fault-tolerant; on a real
+    * cluster set `graft.graph.eagerMaterialize=false` and let lineage
+    * stand or use reliable `checkpoint()`. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.graph.eagerMaterialize", "true") == "true")
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df
+
+  /** Broadcast hint behind a config seam. The co-purchase edge list is
+    * catalog-sized (parts², bounded by basket overlap — ~1.2M rows /
+    * ~19 MB even at sf0.1's 600k lineitems), far below the corpus-sized
+    * tables, so hash-side broadcast keeps the wedge stream and the
+    * frontier expansion in ONE codegen'd pipelined pass with no sort
+    * and no shuffle of the O(m^1.5) intermediate. On a catalog too big
+    * to broadcast, set `graft.graph.broadcastEdges=false` to fall back
+    * to shuffle joins (the same plans, partitioned on the join keys). */
+  private def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.graph.broadcastEdges", "true") == "true")
+      broadcast(df)
+    else df
+
+  /** Distinct co-purchase edges (part pairs sharing ≥ `minSupport`
+    * orders), canonical `pa < pb`. The per-order fanout is C(basket, 2)
+    * — bounded by basket size, never by catalog or order count. */
+  private def edges(spark: SparkSession, dir: String, minSupport: Long): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+  }
+
+  private def edgesSql(minSupport: Long): String =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |       FROM li a JOIN li b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
+
+  /** Multi-source BFS: min hop distance (≤ [[BfsMaxHops]]) from the
+    * seed brand's parts through the support-≥2 co-purchase graph.
+    * Unreachable parts emit no row.
+    *
+    * The loop is data-parallel Pregel shape: each round expands the
+    * current frontier (hop = round) across the symmetric edge list with
+    * one equi-join on the node id, then folds with a map-side-combined
+    * `min(hop)`. K is a static constant, so the whole traversal is one
+    * declarative plan — Catalyst sees every round, and AQE can re-plan
+    * each shuffle from the previous round's real sizes. State per round
+    * is one (node, hop) row per *visited* node: fixed-width, linear in
+    * nodes, never in edges. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = materialize(edges(spark, dir, minSupport = 2))
+    // symmetric view: undirected traversal
+    val e = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_brand") === BfsSeedBrand)
+      .select(col("p_partkey").as("n"), lit(0L).as("hop"))
+    val be = maybeBroadcast(e)
+    (1 to BfsMaxHops).foldLeft(seeds) { (visited, round) =>
+      val frontier = visited.filter(col("hop") === (round - 1))
+      visited.unionAll(
+          frontier.join(be, frontier("n") === be("u"))
+            .select(col("v").as("n"), lit(round.toLong).as("hop")))
+        .groupBy(col("n")).agg(min(col("hop")).as("hop"))
+    }.select(col("n").as("p_partkey"), col("hop"))
+  }
+
+  val graphBfsSql: String = {
+    // unrolled to the same fixed K as the Spark plan
+    val rounds = (1 to BfsMaxHops).map { r =>
+      s"""h$r AS (SELECT n, min(hop) AS hop FROM (
+         |  SELECT n, hop FROM h${r - 1}
+         |  UNION ALL
+         |  SELECT e.v, CAST($r AS BIGINT)
+         |  FROM h${r - 1} f JOIN e ON f.n = e.u WHERE f.hop = ${r - 1}
+         |) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(2)},
+       |e AS (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
+       |h0 AS (SELECT p_partkey AS n, CAST(0 AS BIGINT) AS hop
+       |       FROM part WHERE p_brand = '$BfsSeedBrand'),
+       |$rounds
+       |SELECT n AS p_partkey, hop FROM h$BfsMaxHops""".stripMargin
+  }
+
+  /** Global triangle census of the support-≥1 co-purchase graph:
+    * edge / oriented-wedge / triangle counts and the global clustering
+    * coefficient (3·triangles / wedges, basis points).
+    *
+    * Classic degree-ordered orientation (each undirected edge points
+    * from its (degree, id)-smaller endpoint to the larger): every
+    * node's out-degree is O(√m), so wedge fanout per node is bounded
+    * and the "curse of the last reducer" hub explosion cannot happen —
+    * the hub's wedges are generated by its many small in-neighbors,
+    * not by the hub itself. Wedge → closure is one LEFT equi-join back
+    * to the canonical edge list on (least, greatest): hash-joinable (an
+    * OR of both orientations would force a nested loop), and wedge +
+    * triangle counts fold out of the SAME pass (`count(*)` vs
+    * `count(match)`), so the O(m^1.5) wedge stream is generated exactly
+    * once and never materialized. */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = materialize(edges(spark, dir, minSupport = 1))
+    val d = e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val before: Column = // (deg, id) lexicographic: total order, ids unique
+      col("da.deg") < col("db.deg") ||
+      (col("da.deg") === col("db.deg") && col("pa") < col("pb"))
+    val o = materialize(e
+      .join(d.as("da"), col("pa") === col("da.n"))
+      .join(d.as("db"), col("pb") === col("db.n"))
+      .select(when(before, col("pa")).otherwise(col("pb")).as("u"),
+              when(before, col("pb")).otherwise(col("pa")).as("v")))
+    val wt = o.as("o2").join(maybeBroadcast(o.as("o1")), col("o1.v") === col("o2.u"))
+      .select(least(col("o1.u"), col("o2.v")).as("x"),
+              greatest(col("o1.u"), col("o2.v")).as("y"))
+      .join(maybeBroadcast(e), col("x") === col("pa") && col("y") === col("pb"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("pa")).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wt)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        floor(lit(3L) * col("n_triangles") * lit(10000L) / col("n_wedges"))
+          .cast("long").as("closure_bp"))
+  }
+
+  val triangleStatsSql: String =
+    s"""WITH ${edgesSql(1)},
+       |d AS (SELECT n, count(*) AS deg FROM
+       |        (SELECT pa AS n FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+       |o AS (SELECT CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pa ELSE e0.pb END AS u,
+       |             CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pb ELSE e0.pa END AS v
+       |      FROM e0 JOIN d da ON da.n = e0.pa JOIN d db ON db.n = e0.pb),
+       |w AS (SELECT o1.u AS a, o1.v AS b, o2.v AS c FROM o o1 JOIN o o2 ON o1.v = o2.u),
+       |t AS (SELECT * FROM w JOIN e0
+       |        ON least(w.a, w.c) = e0.pa AND greatest(w.a, w.c) = e0.pb)
+       |SELECT (SELECT count(*) FROM e0) AS n_edges,
+       |       (SELECT count(*) FROM w) AS n_wedges,
+       |       (SELECT count(*) FROM t) AS n_triangles,
+       |       3 * (SELECT count(*) FROM t) * 10000 // (SELECT count(*) FROM w) AS closure_bp""".stripMargin
+}

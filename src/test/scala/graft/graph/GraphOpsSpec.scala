@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+
+/** Structural invariants for the graph operators on sf0.001 (value
+  * correctness vs. DuckDB is covered by the Verify/oracle gate), plus
+  * an independent in-memory triangle count oracle. */
+class GraphOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  test("BFS: hop-0 is exactly the seed brand; hops bounded; levels are genuine (q122)") {
+    val bfs = GraphOps.graphBfs(spark, dir).cache()
+    val seeds = graft.tables.Tables.part(spark, dir)
+      .filter(col("p_brand") === GraphOps.BfsSeedBrand)
+      .select(col("p_partkey"))
+    // hop 0 rows = the seed set, verbatim
+    assert(bfs.filter(col("hop") === 0).select(col("p_partkey"))
+      .exceptAll(seeds).count() === 0)
+    assert(seeds.exceptAll(bfs.filter(col("hop") === 0).select(col("p_partkey")))
+      .count() === 0)
+    assert(bfs.filter(col("hop") < 0 || col("hop") > GraphOps.BfsMaxHops).count() === 0)
+    // each part appears once (min-hop fold is a function of the node)
+    assert(bfs.groupBy("p_partkey").count().filter(col("count") > 1).count() === 0)
+    bfs.unpersist()
+  }
+
+  test("triangle census matches an independent in-memory count (q123)") {
+    val row = GraphOps.triangleStats(spark, dir).head()
+    val (nEdges, nWedges, nTris, bp) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // independent oracle: collect the (small) sf0.001 edge list and
+    // count triangles by adjacency-set intersection
+    import spark.implicits._
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct().as[(Long, Long)].collect()
+    assert(nEdges === edges.length.toLong)
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val tris = edges.iterator.map { case (a, b) =>
+      (adj(a) & adj(b)).size.toLong
+    }.sum / 3 // each triangle counted once per edge
+    assert(nTris === tris)
+    assert(bp === 3L * nTris * 10000L / nWedges)
+  }
+
+  test("triangle closure pass is broadcast-joined, never sort-merge (q123)") {
+    val plan = GraphOps.triangleStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"wedge stream must not be sorted:\n$plan")
+  }
+}
