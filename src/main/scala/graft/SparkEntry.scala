@@ -250,7 +250,9 @@ object SparkEntry {
     // K statically-unrolled frontier joins, min-combined.
     "q122_graph_bfs"        -> (G.graphBfs _),
     // Degree-oriented triangle census + global clustering coefficient.
-    "q123_triangle_stats"   -> (G.triangleStats _)
+    "q123_triangle_stats"   -> (G.triangleStats _),
+    // Integer-mass PageRank: K unrolled share/sum rounds, bit-exact.
+    "q124_pagerank"         -> (G.pageRank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -376,6 +378,7 @@ object SparkEntry {
     "q120_copurchase"       -> R.copurchasePairsSql,
     "q121_constraint_audit" -> R.constraintAuditSql,
     "q122_graph_bfs"        -> G.graphBfsSql,
-    "q123_triangle_stats"   -> G.triangleStatsSql
+    "q123_triangle_stats"   -> G.triangleStatsSql,
+    "q124_pagerank"         -> G.pageRankSql
   )
 }

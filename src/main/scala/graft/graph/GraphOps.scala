@@ -121,6 +121,73 @@ object GraphOps {
        |SELECT n AS p_partkey, hop FROM h$BfsMaxHops""".stripMargin
   }
 
+  /** PageRank iteration count — static, so the whole propagation is
+    * one declarative plan (K unrolled join+agg rounds). */
+  val PageRankIters = 3
+
+  /** Initial integer mass per node (micro-units). */
+  val PageRankInitMass = 1000000L
+
+  /** Integer-mass PageRank over the support-≥2 co-purchase graph
+    * (damping 0.85, [[PageRankIters]] rounds, every part a node).
+    *
+    * All arithmetic is integer (`div` shares, 85/100 damping), so the
+    * result is bit-identical across engines and runs — the repo's
+    * FP-safe discipline applied to an iterative fixpoint. The variant
+    * is deliberately mass-leaky (integer division truncates; dangling
+    * nodes keep only the teleport base): ranking-faithful, and
+    * reproducibility is worth more to a data pipeline than conserving
+    * the ~1e-6 lost mass. Each round is one broadcast (or shuffle)
+    * equi-join of the per-node share against the edge list + one
+    * map-side-combined sum keyed on the node id — state is one
+    * fixed-width (node, mass) row per node, linear in the catalog. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = materialize(edges(spark, dir, minSupport = 2))
+    val e = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    // fresh scan per reference: each round joins the node catalog again,
+    // and reusing one DataFrame instance would collide attribute ids
+    def nodes: DataFrame = Tables.part(spark, dir).select(col("p_partkey").as("n"))
+    val base = lit(15L * PageRankInitMass / 100L)
+    val be = maybeBroadcast(e)
+    val mass0 = nodes.select(col("n"), lit(PageRankInitMass).as("mass"))
+    (1 to PageRankIters).foldLeft(mass0) { (mass, _) =>
+      val incoming = mass.join(deg, "n")
+        .select(col("n"), expr("mass div deg").as("share"))
+        .join(be, col("n") === be("u"))
+        .groupBy(col("v")).agg(sum(col("share")).as("in_mass"))
+      val nr = nodes
+      nr.join(incoming, nr("n") === incoming("v"), "left")
+        .select(nr("n"),
+          (base + expr("85 * coalesce(in_mass, 0L) div 100")).as("mass"))
+    }.select(col("n").as("p_partkey"), col("mass"))
+  }
+
+  val pageRankSql: String = {
+    val base = 15L * PageRankInitMass / 100L
+    val rounds = (1 to PageRankIters).map { r =>
+      s"""m$r AS (
+         |  -- CAST: DuckDB's sum() yields HUGEINT, which pandas-hashes as
+         |  -- a different dtype than Spark's BIGINT even for equal values
+         |  SELECT nodes.n,
+         |         CAST($base + 85 * coalesce(i.in_mass, 0) // 100 AS BIGINT) AS mass
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.v, sum(s.share) AS in_mass
+         |    FROM (SELECT m.n, m.mass // d.deg AS share
+         |          FROM m${r - 1} m JOIN d ON d.n = m.n) s
+         |    JOIN e ON s.n = e.u GROUP BY 1
+         |  ) i ON nodes.n = i.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(2)},
+       |e AS (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
+       |d AS (SELECT u AS n, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT p_partkey AS n FROM part),
+       |m0 AS (SELECT n, CAST($PageRankInitMass AS BIGINT) AS mass FROM nodes),
+       |$rounds
+       |SELECT n AS p_partkey, mass FROM m$PageRankIters""".stripMargin
+  }
+
   /** Global triangle census of the support-≥1 co-purchase graph:
     * edge / oriented-wedge / triangle counts and the global clustering
     * coefficient (3·triangles / wedges, basis points).

@@ -51,6 +51,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(bp === 3L * nTris * 10000L / nWedges)
   }
 
+  test("pagerank: leaky-integer invariants — base floor, bounded total, dangling = base (q124)") {
+    val pr = GraphOps.pageRank(spark, dir).cache()
+    val base = 15L * GraphOps.PageRankInitMass / 100L
+    val nParts = graft.tables.Tables.part(spark, dir).count()
+    assert(pr.count() === nParts)
+    assert(pr.filter(col("mass") < base).count() === 0)
+    // integer truncation only loses mass: total never exceeds the input
+    assert(pr.agg(sum(col("mass"))).head().getLong(0) <=
+      nParts * GraphOps.PageRankInitMass)
+    // a part in no co-purchase edge keeps exactly the teleport base
+    import spark.implicits._
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val connected = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p"), col("b.l_partkey").as("q"))
+      .count().filter(col("count") >= 2).select(col("p")).distinct()
+    // a part in no co-purchase edge keeps exactly the teleport base
+    // (vacuous on a corpus where every part is connected, e.g. sf0.001);
+    // connected parts must strictly beat it
+    val dangling = pr.join(connected, pr("p_partkey") === connected("p"), "left_anti")
+    assert(dangling.filter(col("mass") =!= base).count() === 0)
+    val linked = pr.join(connected, pr("p_partkey") === connected("p"), "left_semi")
+    assert(linked.count() > 0)
+    assert(linked.filter(col("mass") <= base).count() === 0)
+    pr.unpersist()
+  }
+
   test("triangle closure pass is broadcast-joined, never sort-merge (q123)") {
     val plan = GraphOps.triangleStats(spark, dir)
       .queryExecution.executedPlan.toString
