@@ -223,8 +223,11 @@ object GraphOps {
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wt)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        floor(lit(3L) * col("n_triangles") * lit(10000L) / col("n_wedges"))
-          .cast("long").as("closure_bp"))
+        // wedge-free graph (e.g. all orders single-part): ANSI mode
+        // would throw on /0 — closure is 0 by definition there
+        when(col("n_wedges") === 0, lit(0L)).otherwise(
+          floor(lit(3L) * col("n_triangles") * lit(10000L) / col("n_wedges"))
+            .cast("long")).as("closure_bp"))
   }
 
   val triangleStatsSql: String =
@@ -240,5 +243,7 @@ object GraphOps {
        |SELECT (SELECT count(*) FROM e0) AS n_edges,
        |       (SELECT count(*) FROM w) AS n_wedges,
        |       (SELECT count(*) FROM t) AS n_triangles,
-       |       3 * (SELECT count(*) FROM t) * 10000 // (SELECT count(*) FROM w) AS closure_bp""".stripMargin
+       |       CASE WHEN (SELECT count(*) FROM w) = 0 THEN 0
+       |            ELSE 3 * (SELECT count(*) FROM t) * 10000 // (SELECT count(*) FROM w)
+       |       END AS closure_bp""".stripMargin
 }

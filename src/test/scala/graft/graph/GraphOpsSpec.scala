@@ -80,6 +80,24 @@ class GraphOpsSpec extends AnyFunSuite {
     pr.unpersist()
   }
 
+  test("degenerate corpus (single-part orders → edgeless graph): no ANSI /0, sane zeros") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph_degen_").toString
+    Seq((1L, 10L), (2L, 11L), (3L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, "a", GraphOps.BfsSeedBrand), (11L, "b", "Brand#9"), (12L, "c", "Brand#9"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val t = GraphOps.triangleStats(spark, tmp).head()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) === ((0L, 0L, 0L, 0L)))
+    val bfs = GraphOps.graphBfs(spark, tmp).collect()
+    assert(bfs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set(10L -> 0L))
+    val pr = GraphOps.pageRank(spark, tmp).collect()
+    val base = 15L * GraphOps.PageRankInitMass / 100L
+    assert(pr.length === 3 && pr.forall(_.getLong(1) === base))
+  }
+
   test("triangle closure pass is broadcast-joined, never sort-merge (q123)") {
     val plan = GraphOps.triangleStats(spark, dir)
       .queryExecution.executedPlan.toString
