@@ -252,7 +252,10 @@ object SparkEntry {
     // Degree-oriented triangle census + global clustering coefficient.
     "q123_triangle_stats"   -> (G.triangleStats _),
     // Integer-mass PageRank: K unrolled share/sum rounds, bit-exact.
-    "q124_pagerank"         -> (G.pageRank _)
+    "q124_pagerank"         -> (G.pageRank _),
+    // "Customers also bought": per-part top-5 co-purchase recos via the
+    // custom GroupedTopK bounded-heap operator.
+    "q125_copurchase_topk"  -> (R.copurchaseTopK _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -379,6 +382,7 @@ object SparkEntry {
     "q121_constraint_audit" -> R.constraintAuditSql,
     "q122_graph_bfs"        -> G.graphBfsSql,
     "q123_triangle_stats"   -> G.triangleStatsSql,
-    "q124_pagerank"         -> G.pageRankSql
+    "q124_pagerank"         -> G.pageRankSql,
+    "q125_copurchase_topk"  -> R.copurchaseTopKSql
   )
 }

@@ -914,6 +914,43 @@ object Relational {
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
 
+  /** Per-part recommendation size. */
+  val CopurchaseTopK = 5
+
+  /** "Customers also bought": per part, the top-[[CopurchaseTopK]]
+    * co-purchased parts by shared-order count (tie → lower part id),
+    * via the custom [[graft.plans.GroupedTopK]] physical operator —
+    * one shuffle on the part id, bounded-heap per group, no global or
+    * per-group full sort. The symmetric view doubles q120's pair list
+    * (each pair recommends in both directions) before ranking. */
+  def copurchaseTopK(spark: SparkSession, dir: String): DataFrame = {
+    val p = copurchasePairs(spark, dir)
+    val sym = p.select(col("part_a").as("part"), col("part_b").as("reco"), col("n_orders"))
+      .unionAll(
+        p.select(col("part_b").as("part"), col("part_a").as("reco"), col("n_orders")))
+    graft.plans.GroupedTopK(sym,
+      groupCols = Seq("part"),
+      orderBy = Seq("n_orders" -> false, "reco" -> true),
+      k = CopurchaseTopK)
+  }
+
+  val copurchaseTopKSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |                 count(*) AS n_orders
+       |          FROM li a JOIN li b
+       |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |          GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport),
+       |sym AS (SELECT part_a AS part, part_b AS reco, n_orders FROM pairs
+       |        UNION ALL
+       |        SELECT part_b, part_a, n_orders FROM pairs)
+       |SELECT part, reco, n_orders, rank FROM (
+       |  SELECT part, reco, n_orders,
+       |         row_number() OVER (PARTITION BY part
+       |                            ORDER BY n_orders DESC, reco) AS rank
+       |  FROM sym)
+       |WHERE rank <= $CopurchaseTopK""".stripMargin
+
   // ------------------------------------------------------ constraint audit
 
   /** Declarative data-quality audit (the dbt-test shape): each row is

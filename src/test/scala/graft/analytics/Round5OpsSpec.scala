@@ -114,6 +114,25 @@ class Round5OpsSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("co-purchase top-k via custom operator agrees with the window form (q125)") {
+    val topk = Relational.copurchaseTopK(spark, dir).cache()
+    assert(topk.groupBy("part").count()
+      .filter(col("count") > Relational.CopurchaseTopK).count() === 0)
+    assert(topk.filter(col("rank") < 1 || col("rank") > Relational.CopurchaseTopK)
+      .count() === 0)
+    // independent window-function twin
+    val p = Relational.copurchasePairs(spark, dir)
+    val sym = p.select(col("part_a").as("part"), col("part_b").as("reco"), col("n_orders"))
+      .unionAll(p.select(col("part_b").as("part"), col("part_a").as("reco"), col("n_orders")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(desc("n_orders"), col("reco"))
+    val windowed = sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Relational.CopurchaseTopK)
+    assert(topk.exceptAll(windowed.select(topk.columns.map(col).toSeq: _*)).count() === 0)
+    assert(windowed.count() === topk.count())
+    topk.unpersist()
+  }
+
   test("constraint audit: pass flag re-derives from violations; checked = table sizes (q121)") {
     val a = Relational.constraintAudit(spark, dir).cache()
     assert(a.count() === 6)
