@@ -385,8 +385,12 @@ object EventOps {
       .crossJoin(c.agg(count(lit(1)).as("n_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        expr("(n_click * 10000) div n_view").as("click_bp"),
-        expr("(n_purchase * 10000) div n_view").as("purchase_bp"))
+        // view-free corpus: ANSI mode would throw on div 0 — both
+        // rates are 0 by definition there (same guard as triangleStats)
+        when(col("n_view") === 0, lit(0L))
+          .otherwise(expr("(n_click * 10000) div n_view")).as("click_bp"),
+        when(col("n_view") === 0, lit(0L))
+          .otherwise(expr("(n_purchase * 10000) div n_view")).as("purchase_bp"))
   }
 
   val eventFunnelSql: String =
@@ -404,8 +408,12 @@ object EventOps {
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |       (SELECT count(*) FROM c) AS n_click,
       |       (SELECT count(*) FROM p) AS n_purchase,
-      |       (SELECT count(*) FROM c) * 10000 // (SELECT count(*) FROM v) AS click_bp,
-      |       (SELECT count(*) FROM p) * 10000 // (SELECT count(*) FROM v) AS purchase_bp""".stripMargin
+      |       CASE WHEN (SELECT count(*) FROM v) = 0 THEN 0
+      |            ELSE (SELECT count(*) FROM c) * 10000 // (SELECT count(*) FROM v)
+      |       END AS click_bp,
+      |       CASE WHEN (SELECT count(*) FROM v) = 0 THEN 0
+      |            ELSE (SELECT count(*) FROM p) * 10000 // (SELECT count(*) FROM v)
+      |       END AS purchase_bp""".stripMargin
 
   /** Gap-filled hourly resample: the dense (hour × event_type) grid with
     * explicit zero rows for silent hours — what a monitoring/forecast

@@ -189,8 +189,14 @@ object GraphOps {
   }
 
   /** Global triangle census of the support-≥1 co-purchase graph:
-    * edge / oriented-wedge / triangle counts and the global clustering
-    * coefficient (3·triangles / wedges, basis points).
+    * edge / wedge / triangle counts and the global clustering
+    * coefficient (3·triangles / wedges, basis points). `n_wedges` is
+    * the TRUE wedge count Σ C(deg, 2) from the degree table — NOT the
+    * oriented (in,out) wedge count of the enumeration pass below, which
+    * undercounts (each triangle closes exactly one oriented wedge under
+    * the degree orientation) and would inflate the ratio past 10000 bp
+    * (a K3 would read 30000 bp). The true denominator keeps
+    * closure_bp ≡ GCC ∈ [0, 10000].
     *
     * Classic degree-ordered orientation (each undirected edge points
     * from its (degree, id)-smaller endpoint to the larger): every
@@ -215,19 +221,23 @@ object GraphOps {
       .join(d.as("db"), col("pb") === col("db.n"))
       .select(when(before, col("pa")).otherwise(col("pb")).as("u"),
               when(before, col("pb")).otherwise(col("pa")).as("v")))
-    val wt = o.as("o2").join(maybeBroadcast(o.as("o1")), col("o1.v") === col("o2.u"))
+    // true wedge count Σ deg·(deg−1)/2 — a tiny aggregate over the
+    // degree table (empty-graph sum is NULL → 0)
+    val wedges = d.agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+      .as("n_wedges"))
+    val tri = o.as("o2").join(maybeBroadcast(o.as("o1")), col("o1.v") === col("o2.u"))
       .select(least(col("o1.u"), col("o2.v")).as("x"),
               greatest(col("o1.u"), col("o2.v")).as("y"))
       .join(maybeBroadcast(e), col("x") === col("pa") && col("y") === col("pb"), "left")
-      .agg(count(lit(1)).as("n_wedges"), count(col("pa")).as("n_triangles"))
+      .agg(count(col("pa")).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wt)
+      .crossJoin(wedges)
+      .crossJoin(tri)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         // wedge-free graph (e.g. all orders single-part): ANSI mode
         // would throw on /0 — closure is 0 by definition there
         when(col("n_wedges") === 0, lit(0L)).otherwise(
-          floor(lit(3L) * col("n_triangles") * lit(10000L) / col("n_wedges"))
-            .cast("long")).as("closure_bp"))
+          expr("(3 * n_triangles * 10000) div n_wedges")).as("closure_bp"))
   }
 
   val triangleStatsSql: String =
@@ -237,13 +247,15 @@ object GraphOps {
        |o AS (SELECT CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pa ELSE e0.pb END AS u,
        |             CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pb ELSE e0.pa END AS v
        |      FROM e0 JOIN d da ON da.n = e0.pa JOIN d db ON db.n = e0.pb),
+       |wd AS (SELECT coalesce(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges
+       |       FROM d),
        |w AS (SELECT o1.u AS a, o1.v AS b, o2.v AS c FROM o o1 JOIN o o2 ON o1.v = o2.u),
        |t AS (SELECT * FROM w JOIN e0
        |        ON least(w.a, w.c) = e0.pa AND greatest(w.a, w.c) = e0.pb)
        |SELECT (SELECT count(*) FROM e0) AS n_edges,
-       |       (SELECT count(*) FROM w) AS n_wedges,
+       |       (SELECT n_wedges FROM wd) AS n_wedges,
        |       (SELECT count(*) FROM t) AS n_triangles,
-       |       CASE WHEN (SELECT count(*) FROM w) = 0 THEN 0
-       |            ELSE 3 * (SELECT count(*) FROM t) * 10000 // (SELECT count(*) FROM w)
+       |       CASE WHEN (SELECT n_wedges FROM wd) = 0 THEN 0
+       |            ELSE 3 * (SELECT count(*) FROM t) * 10000 // (SELECT n_wedges FROM wd)
        |       END AS closure_bp""".stripMargin
 }

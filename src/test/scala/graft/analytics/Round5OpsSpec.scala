@@ -24,6 +24,22 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r.getLong(4) === np * 10000 / nv)
   }
 
+  test("event funnel on a view-free corpus: no ANSI /0, all-zero row (q110)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_noview_").toString
+    // clicks and purchases but not a single 'view' → n_view = 0; the
+    // bp rates must be 0 by definition, not a division-by-zero error
+    Seq((1L, "click", "2024-01-01 00:00:00"),
+        (1L, "purchase", "2024-01-01 00:01:00"),
+        (2L, "click", "2024-01-01 00:02:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = EventOps.eventFunnel(spark, tmp).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("gap-filled hourly grid is dense and loses no events (q111)") {
     val g = EventOps.gapfillHourly(spark, dir).cache()
     val hours = g.select(col("window_start")).distinct().count()

@@ -48,7 +48,26 @@ class GraphOpsSpec extends AnyFunSuite {
       (adj(a) & adj(b)).size.toLong
     }.sum / 3 // each triangle counted once per edge
     assert(nTris === tris)
+    // n_wedges must be the TRUE wedge count Σ C(deg, 2), not the
+    // (smaller) oriented count of the enumeration pass
+    val trueWedges = adj.valuesIterator
+      .map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(nWedges === trueWedges)
     assert(bp === 3L * nTris * 10000L / nWedges)
+    // with the true denominator the GCC cannot exceed 10000 bp
+    assert(bp >= 0L && bp <= 10000L)
+  }
+
+  test("closure_bp is the genuine GCC: a K3 reads exactly 10000 bp") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph_k3_").toString
+    // one order with 3 parts → triangle 10-11-12; 3 edges, 3 wedges, 1 triangle
+    Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), (1L, 11L), (1L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val t = GraphOps.triangleStats(spark, tmp).head()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) ===
+      ((3L, 3L, 1L, 10000L)))
   }
 
   test("pagerank: leaky-integer invariants — base floor, bounded total, dangling = base (q124)") {
