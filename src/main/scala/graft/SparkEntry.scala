@@ -255,7 +255,11 @@ object SparkEntry {
     "q124_pagerank"         -> (G.pageRank _),
     // "Customers also bought": per-part top-5 co-purchase recos via the
     // custom GroupedTopK bounded-heap operator.
-    "q125_copurchase_topk"  -> (R.copurchaseTopK _)
+    "q125_copurchase_topk"  -> (R.copurchaseTopK _),
+    // Real-codec decode gate: PPM/WAV round trip with decoded-unit
+    // checksums the oracle re-derives in closed form.
+    "q126_decode_stats"     -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.decodeStats(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,6 +387,7 @@ object SparkEntry {
     "q122_graph_bfs"        -> G.graphBfsSql,
     "q123_triangle_stats"   -> G.triangleStatsSql,
     "q124_pagerank"         -> G.pageRankSql,
-    "q125_copurchase_topk"  -> R.copurchaseTopKSql
+    "q125_copurchase_topk"  -> R.copurchaseTopKSql,
+    "q126_decode_stats"     -> graft.multimodal.MultimodalOps.decodeStatsSql
   )
 }

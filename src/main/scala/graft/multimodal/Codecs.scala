@@ -1,0 +1,143 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM codecs for two REAL uncompressed media container formats —
+  * netpbm P6 (binary PPM) for images and RIFF/WAVE 16-bit PCM for
+  * audio. These replace the round-2..5 synthetic-header stub: the
+  * multimodal pipeline now encodes genuine format bytes and the decode
+  * step is a genuine parser (header grammar, chunk walking), so a user
+  * pointing [[MultimodalOps]] at a bucket of real .ppm/.wav files gets
+  * real pixels and samples.
+  *
+  * Both formats are chosen deliberately: uncompressed, fully specified,
+  * decodable with zero external libraries (this container ships no
+  * image/audio codecs), and byte-exact across platforms — which keeps
+  * the decoded-pixel checksums engine-reproducible for the DuckDB
+  * oracle gate.
+  */
+object Ppm {
+
+  /** Encode an interleaved-RGB buffer (`width*height*3` bytes,
+    * row-major) as a binary PPM (P6, maxval 255). */
+  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, pixels.length)
+    out
+  }
+
+  /** A decoded P6 image: interleaved RGB, row-major. */
+  final case class Image(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
+
+  /** Real P6 parser per the netpbm spec: the three header integers are
+    * separated by arbitrary whitespace, `#` starts a comment running to
+    * end-of-line anywhere in the header, and exactly ONE whitespace
+    * byte separates the maxval from the raster. Only 1-byte-per-sample
+    * rasters (maxval < 256) are supported. */
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a binary PPM (P6) payload")
+    var pos = 2
+    def isSpace(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextInt(): Int = {
+      var inComment = false
+      while (pos < bytes.length && {
+        val ch = bytes(pos)
+        if (inComment) { if (ch == '\n') inComment = false; true }
+        else if (ch == '#') { inComment = true; true }
+        else isSpace(ch)
+      }) pos += 1
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, s"PPM: expected integer at byte offset $pos")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    require(w > 0 && h > 0, s"PPM: bad dimensions $w x $h")
+    require(maxVal > 0 && maxVal < 256, s"PPM: unsupported maxval $maxVal")
+    require(pos < bytes.length && isSpace(bytes(pos)),
+      "PPM: raster must follow maxval after one whitespace byte")
+    pos += 1
+    val n = w * h * 3
+    require(bytes.length - pos >= n,
+      s"PPM: raster truncated (${bytes.length - pos} of $n bytes)")
+    Image(w, h, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+}
+
+object Wav {
+
+  /** Encode mono 16-bit little-endian PCM as a canonical 44-byte-header
+    * RIFF/WAVE file. */
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                // audio format: PCM
+      .putShort(1)                // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)     // byte rate
+      .putShort(2)                // block align
+      .putShort(16)               // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decoded PCM audio. */
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Real RIFF chunk walker: locates `fmt ` and `data` wherever they
+    * sit in the chunk list, skips unknown chunks (LIST, fact, cue …)
+    * by their declared length, and honors the RIFF word-alignment pad
+    * byte after odd-length chunks. Only uncompressed 16-bit PCM
+    * (format tag 1) is supported. */
+  def decode(bytes: Array[Byte]): Audio = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 12 && fourcc() == "RIFF", "not a RIFF payload")
+    buf.getInt() // declared riff size (unused: we walk to the buffer end)
+    require(fourcc() == "WAVE", "RIFF payload is not WAVE")
+    var fmtTag = -1; var channels = -1; var sampleRate = -1; var bits = -1
+    var dataPos = -1; var dataLen = -1
+    while (buf.remaining() >= 8) {
+      val id = fourcc(); val len = buf.getInt()
+      require(len >= 0 && len <= buf.remaining(), s"WAV: chunk '$id' overruns buffer")
+      id match {
+        case "fmt " =>
+          val p = buf.position()
+          fmtTag = buf.getShort(); channels = buf.getShort()
+          sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
+          bits = buf.getShort()
+          buf.position(p + len)
+        case "data" =>
+          dataPos = buf.position(); dataLen = len
+          buf.position(dataPos + len)
+        case _ =>
+          buf.position(buf.position() + len)
+      }
+      if (len % 2 == 1 && buf.remaining() > 0) buf.get() // word-align pad
+    }
+    require(dataPos >= 0, "WAV: no data chunk")
+    require(fmtTag == 1 && bits == 16,
+      s"WAV: only 16-bit PCM supported (fmt=$fmtTag bits=$bits)")
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    buf.position(dataPos)
+    var i = 0
+    while (i < n) { samples(i) = buf.getShort(); i += 1 }
+    Audio(sampleRate, channels, samples)
+  }
+}

@@ -1,114 +1,150 @@
 package graft.multimodal
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Raw multimodal asset: media treated as an opaque binary column plus
   * typed metadata — the storage contract for image/audio/video at scale
-  * (builder brief: multimodal columns). */
+  * (builder brief: multimodal columns). `bytes` holds a REAL format
+  * payload (binary PPM for images, RIFF/WAVE PCM for audio) decoded
+  * only by [[MultimodalOps.decode]] via [[Ppm]]/[[Wav]]. */
 case class Asset(
     asset_id: Long,
     kind: String,          // "image" | "audio"
-    bytes: Array[Byte],    // opaque payload, decoded only by [[MultimodalOps.decode]]
+    bytes: Array[Byte],    // P6 PPM or RIFF/WAVE PCM payload
     source: String)
 
-/** Decoded per-asset features. */
+/** Decoded per-asset features. `checksum` is computed from the DECODED
+  * units — pixel bytes for images, 16-bit samples for audio — not from
+  * the container bytes, so it certifies the codec path end to end. */
 case class DecodedAsset(
     asset_id: Long,
     kind: String,
     width: Int,            // images: pixels; audio: 0
     height: Int,
     sample_rate: Int,      // audio: Hz; images: 0
-    n_frames: Int,
-    byte_len: Int,
-    checksum: Long)
+    n_frames: Int,         // audio: sample frames of [[MultimodalOps.FrameLen]]; images: 1
+    byte_len: Int,         // container size (header + raster/samples)
+    checksum: Long)        // Σ pixel bytes (image) / Σ samples (audio)
 
 /** Multimodal-column operators: binary payloads with typed metadata,
-  * decode / feature-extract / resize / frame-sample.
+  * decode / feature-extract / resize / frame-sample — all on REAL
+  * format bytes (P6 PPM images, RIFF/WAVE 16-bit PCM audio; see
+  * [[Ppm]]/[[Wav]]). This closes the round-5 stub: `decode` parses the
+  * actual formats, `resizePlans` runs a genuine nearest-neighbor pixel
+  * resample, and `frameSamples` sums real PCM sample frames.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so `decode` parses a deterministic 16-byte fake header
-  * (magic, width, height, sampleRate, nFrames) instead of calling a real
-  * codec. Everything around it — the binary schema, the per-partition
-  * batch iteration (`mapPartitions`, the JVM analog of `mapInPandas`),
-  * the partition sizing, and the downstream relational handling of the
-  * decoded features — is real and tested (MultimodalSpec).
+  * Oracle strategy: the synthetic generator writes pixel byte `i` of
+  * asset `id` as `(c + i) mod 256` with `c = (id·97) mod 256` (audio
+  * samples are the same stream recentred to `[-128, 127]`), so DuckDB
+  * can re-derive every pixel/sample-level checksum ARITHMETICALLY —
+  * closed-form prefix sums for contiguous ranges, a per-pixel index
+  * map for the resize — while the Spark side computes the same number
+  * from genuinely decoded buffers. A green hash certifies encoder,
+  * parser, pixel indexing, and sampling lattice together.
   *
-  * Scale notes: payload bytes never enter a shuffle — decode is a narrow
-  * map emitting only the small feature row; repartition by asset_id
-  * BEFORE decode if the source files skew (payload sizes vary wildly).
+  * Scale notes: payload bytes never enter a shuffle — synthesize →
+  * decode → feature row is one narrow `mapPartitions` pass (the JVM
+  * analog of `mapInPandas`), and every downstream join/agg sees only
+  * the small feature/checksum rows (asserted in ScalePlanSpec).
+  * Repartition by asset_id BEFORE decode if source files skew.
   */
 object MultimodalOps {
 
-  val Magic: Short = 0x6d4d // "mM"
-  val HeaderLen = 16
+  /** Samples per audio frame (20 ms @ 8 kHz). */
+  val FrameLen = 160
 
-  /** Build the fake header + payload for a synthetic asset. */
-  private[multimodal] def fakeAssetBytes(
-      id: Long, width: Int, height: Int, sampleRate: Int, nFrames: Int,
-      payloadLen: Int): Array[Byte] = {
-    val buf = ByteBuffer.allocate(HeaderLen + payloadLen)
-    buf.putShort(Magic).putShort(0)
-      .putInt(width).putInt(height)
-      .putShort((sampleRate / 100).toShort).putShort(nFrames.toShort)
-    var i = 0
-    var x = id * 6364136223846793005L + 1442695040888963407L
-    while (i < payloadLen) {
-      buf.put((x >>> 32).toByte)
-      x = x * 6364136223846793005L + 1442695040888963407L
-      i += 1
+  /** Resize box for [[resizePlans]]. */
+  val MaxSide = 128
+
+  /** Per-asset byte-stream seed: pixel/sample unit `i` of asset `id`
+    * is `(seed(id) + i) mod 256` (audio: minus 128, stored int16). */
+  private[multimodal] def seed(id: Long): Int = ((id * 97) % 256).toInt
+
+  /** The deterministic asset generator: kind/dimension/rate formulas
+    * are pure arithmetic on the id (unchanged since round 2, so the
+    * oracles re-derive them), and the payload is a REAL encoded file:
+    * P6 PPM for images, mono 16-bit PCM WAV for audio. */
+  private[multimodal] def makeAsset(id: Long): Asset = {
+    val c = seed(id)
+    if (id % 3 != 0) {
+      val w = (64 + (id % 8) * 32).toInt
+      val h = (64 + (id % 5) * 48).toInt
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) { px(i) = ((c + i) % 256).toByte; i += 1 }
+      Asset(id, "image", Ppm.encode(w, h, px), s"bucket/part-${id % 16}")
+    } else {
+      val sr = (8000 * (1 + id % 3)).toInt
+      val frames = (100 + id % 50).toInt
+      val n = frames * FrameLen
+      val s = new Array[Short](n)
+      var i = 0
+      while (i < n) { s(i) = (((c + i) % 256) - 128).toShort; i += 1 }
+      Asset(id, "audio", Wav.encode(sr, s), s"bucket/part-${id % 16}")
     }
-    buf.array()
   }
 
-  /** The deterministic asset generator: header fields are pure
-    * arithmetic on the id (so an oracle can re-derive them without
-    * decoding), payload is an LCG stream of `payloadLen` bytes. */
-  private[multimodal] def makeAsset(id: Long, payloadLen: Int): Asset = {
-    val isImage = id % 3 != 0
-    val w = if (isImage) (64 + (id % 8) * 32).toInt else 0
-    val h = if (isImage) (64 + (id % 5) * 48).toInt else 0
-    val sr = if (isImage) 0 else 8000 * (1 + (id % 3)).toInt
-    val frames = if (isImage) 1 else (100 + id % 50).toInt
-    Asset(id, if (isImage) "image" else "audio",
-      fakeAssetBytes(id, w, h, sr, frames, payloadLen),
-      s"bucket/part-${id % 16}")
-  }
-
-  /** Deterministic synthetic asset table (no codecs in the container —
-    * stands in for `spark.read.format("binaryFile")` over a media
-    * bucket). */
+  /** Deterministic synthetic asset table (stands in for
+    * `spark.read.format("binaryFile")` over a media bucket — the
+    * payloads are real PPM/WAV files a stock viewer could open). */
   def synthesizeAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
-    spark.range(n).as[Long].map(id => makeAsset(id, payloadLen = (id % 4096).toInt))
+    spark.range(n).as[Long].map(makeAsset _)
   }
 
   /** Decode the binary column into typed features — per-partition batch
-    * loop over the payload bytes (the real-codec integration point). */
+    * loop, REAL parsers: the container is sniffed (P6 magic vs RIFF),
+    * the PPM header grammar / RIFF chunk list is walked, and the
+    * checksum is summed over the DECODED pixel bytes / PCM samples.
+    * `kind` comes from the payload, not trusted metadata. */
   def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val buf = ByteBuffer.wrap(a.bytes)
-        val magic = buf.getShort()
-        require(magic == Magic, s"bad magic for asset ${a.asset_id}")
-        buf.getShort() // reserved
-        val w = buf.getInt(); val h = buf.getInt()
-        val sr = buf.getShort() * 100; val frames = buf.getShort().toInt
-        // STUB: a real implementation hands a.bytes to a codec here.
-        var sum = 0L
-        var i = HeaderLen
-        while (i < a.bytes.length) { sum = sum * 31 + (a.bytes(i) & 0xff); i += 1 }
-        DecodedAsset(a.asset_id, a.kind, w, h, sr, frames,
-          a.bytes.length, sum)
+        if (a.bytes.length >= 2 && a.bytes(0) == 'P' && a.bytes(1) == '6') {
+          val img = Ppm.decode(a.bytes)
+          var sum = 0L; var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          DecodedAsset(a.asset_id, "image", img.width, img.height, 0, 1,
+            a.bytes.length, sum)
+        } else {
+          val au = Wav.decode(a.bytes)
+          var sum = 0L; var i = 0
+          while (i < au.samples.length) { sum += au.samples(i); i += 1 }
+          DecodedAsset(a.asset_id, "audio", 0, 0, au.sampleRate,
+            au.samples.length / FrameLen, a.bytes.length, sum)
+        }
       }
     }
   }
 
-  /** Resize plan: target box fit preserving aspect ratio — metadata-only
-    * here (STUB: the pixel transform would run next to the codec). */
+  /** Nearest-neighbor resample of an interleaved-RGB buffer. Source
+    * index mapping is pure integer floor arithmetic — `sx = x·w / nw`,
+    * `sy = y·h / nh` — exactly the map the DuckDB oracle reproduces. */
+  private[multimodal] def resizeNearest(
+      px: Array[Byte], w: Int, h: Int, nw: Int, nh: Int): Array[Byte] = {
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * h / nh).toInt
+      var x = 0
+      while (x < nw) {
+        val sx = (x.toLong * w / nw).toInt
+        val src = (sy * w + sx) * 3
+        val dst = (y * nw + x) * 3
+        out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Metadata-level resize plan (target box fit preserving aspect
+    * ratio) over already-decoded features — the planning half of
+    * [[resizePlans]], kept for feature-table consumers that size
+    * storage before touching pixels. */
   def resizePlan(decoded: Dataset[DecodedAsset], maxSide: Int): DataFrame =
     decoded.toDF()
       .filter(col("kind") === "image" && greatest(col("width"), col("height")) > maxSide)
@@ -119,9 +155,8 @@ object MultimodalOps {
       .select(col("asset_id"), col("width"), col("height"),
         col("new_width"), col("new_height"))
 
-  /** Frame sampling: every `stride`-th frame index per audio/video asset
-    * (posexplode of a sequence — frame payloads would be fetched lazily
-    * by the decoder at these indices). */
+  /** Metadata-level frame-index lattice (every `stride`-th frame per
+    * multi-frame asset) — the planning half of [[frameSamples]]. */
   def frameSample(decoded: Dataset[DecodedAsset], stride: Int): DataFrame =
     decoded.toDF()
       .filter(col("n_frames") > 1)
@@ -129,69 +164,185 @@ object MultimodalOps {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
-  /** The full multimodal pipeline as an oracle-gated query (q82):
-    * corpus rows become synthetic assets (one per document, payload
-    * sized by `n_chars`), round-trip through the binary header encode →
-    * `mapPartitions` decode, then frame-sample every 7th frame of each
-    * multi-frame (audio) asset. The DuckDB oracle re-derives the
-    * expected frame indices from the generator arithmetic ALONE — it
-    * never sees the bytes — so a green hash certifies the header
-    * encode/decode round trip and the sampling lattice end to end.
-    * Scale shape: payload bytes live only inside the narrow
-    * synthesize→decode map (never shuffled); the output is the small
-    * (asset_id, frame_idx) relation, and the asset count tracks the
-    * corpus so bench times follow the scale factor. */
-  def frameSamples(spark: SparkSession, dir: String): DataFrame =
-    frameSample(decode(corpusAssets(spark, dir)), stride = 7)
-
-  /** One asset per corpus document, payload sized by `n_chars` — the
-    * SINGLE derivation both q82 and q92 (and their oracles' generator
-    * arithmetic) depend on. */
+  /** One asset per corpus document — the SINGLE derivation q82, q92 and
+    * q126 (and their oracles' generator arithmetic) depend on. Only
+    * `doc_id` crosses the (round-robin, testdata-only) spread exchange;
+    * the payload is synthesized inside the narrow map. */
   private def corpusAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    graft.tables.Tables.spread(graft.tables.Tables.documents(spark, dir))
-      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
-      .map { case (id, nc) => makeAsset(id, payloadLen = (nc % 1024).toInt) }
+    graft.tables.Tables.spread(
+        graft.tables.Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .map(makeAsset _)
   }
 
-  /** Oracle: audio assets are doc_id ≡ 0 (mod 3) with
-    * n_frames = 100 + doc_id % 50; DuckDB range() is stop-exclusive
-    * where Spark sequence() is stop-inclusive, so range(0, n, 7) ≡
-    * sequence(0, n-1, 7). */
-  val frameSamplesSql: String =
-    """SELECT doc_id AS asset_id,
-      |       CAST(unnest(range(0, 100 + doc_id % 50, 7)) AS INT) AS frame_idx
-      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+  /** The full decode pipeline as an oracle-gated query (q126): every
+    * corpus asset round-trips encode → real parser → typed features +
+    * decoded-unit checksum. The DuckDB oracle re-derives byte_len from
+    * the container layout (PPM header length is digit-count dependent;
+    * WAV is 44 + 2n) and the checksum from the closed-form prefix sum
+    * of `(c + i) mod 256` — it never sees a byte, so a green hash
+    * proves the encoder and parser agree with the spec. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame =
+    decode(corpusAssets(spark, dir)).toDF()
+      .select(col("asset_id"), col("kind"), col("width"), col("height"),
+        col("sample_rate"), col("n_frames"),
+        col("byte_len").cast("long").as("byte_len"), col("checksum"))
 
-  /** Resize box for [[resizePlans]]. */
-  val MaxSide = 128
+  /** Closed-form Σ_{j<m} (j mod 256) as DuckDB SQL (32640 = Σ_{0..255}).
+    * Checksums of contiguous generator ranges are S(hi) − S(lo). */
+  private def prefixSql(m: String): String =
+    s"(($m) // 256) * 32640 + (($m) % 256) * ((($m) % 256) - 1) // 2"
 
-  /** The resize step as an oracle-gated query (q92): synthetic assets
-    * from the corpus (same generator as [[frameSamples]]) round-trip
-    * through encode → `mapPartitions` decode, then every image whose
-    * longest side exceeds [[MaxSide]] gets its aspect-preserving target
-    * box. The pixel transform itself is the documented STUB (no codecs
-    * in this container) — what the oracle certifies is the decode round
-    * trip plus the box arithmetic, re-derived from the generator
-    * formulas alone (width = 64 + (id%8)*32, height = 64 + (id%5)*48,
-    * image iff id % 3 != 0). Narrow map end to end: payloads never
-    * shuffle, output is the small per-asset plan row. */
-  def resizePlans(spark: SparkSession, dir: String): DataFrame =
-    resizePlan(decode(corpusAssets(spark, dir)), maxSide = MaxSide)
+  val decodeStatsSql: String = {
+    val sHi = prefixSql("c + n"); val sLo = prefixSql("c")
+    s"""WITH base AS (
+       |  SELECT doc_id AS asset_id,
+       |         (doc_id * 97) % 256 AS c,
+       |         doc_id % 3 != 0 AS is_img,
+       |         64 + (doc_id % 8) * 32 AS w,
+       |         64 + (doc_id % 5) * 48 AS h,
+       |         8000 * (1 + doc_id % 3) AS sr,
+       |         100 + doc_id % 50 AS fr
+       |  FROM documents),
+       |sized AS (
+       |  SELECT asset_id, c, is_img,
+       |         CASE WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
+       |         CASE WHEN is_img THEN w ELSE 0 END AS width,
+       |         CASE WHEN is_img THEN h ELSE 0 END AS height,
+       |         CASE WHEN is_img THEN 0 ELSE sr END AS sample_rate,
+       |         CASE WHEN is_img THEN 1 ELSE fr END AS n_frames,
+       |         CASE WHEN is_img THEN w * h * 3 ELSE fr * $FrameLen END AS n,
+       |         CASE WHEN is_img
+       |              THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+       |                     + w * h * 3
+       |              ELSE 44 + fr * $FrameLen * 2 END AS byte_len
+       |  FROM base)
+       |SELECT asset_id, kind,
+       |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |       CAST(sample_rate AS INT) AS sample_rate,
+       |       CAST(n_frames AS INT) AS n_frames,
+       |       CAST(byte_len AS BIGINT) AS byte_len,
+       |       CAST($sHi - ($sLo)
+       |            - CASE WHEN is_img THEN 0 ELSE 128 * n END AS BIGINT) AS checksum
+       |FROM sized""".stripMargin
+  }
 
-  /** Oracle: generator arithmetic only (never sees the bytes); the
-    * scale factor is computed before the multiply in both engines so
-    * the double rounding is bit-identical. */
+  /** The full audio pipeline as an oracle-gated query (q82): corpus
+    * rows become real WAV assets, the RIFF parser recovers the PCM
+    * stream, and every 7th [[FrameLen]]-sample frame is summed — a
+    * SAMPLE-LEVEL check, not just an index lattice. The oracle
+    * re-derives each frame sum as a closed-form prefix-sum difference
+    * of the generator stream (recentred by −128·FrameLen), so a green
+    * hash certifies WAV encode, chunk walk, int16 decode, and the
+    * frame windowing end to end. Payloads never shuffle: synthesize →
+    * decode → frame sums is one narrow pass emitting only
+    * (asset_id, frame_idx, frame_sum). */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusAssets(spark, dir)
+      .filter((a: Asset) => a.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val au = Wav.decode(a.bytes)
+          val frames = au.samples.length / FrameLen
+          Iterator.range(0, frames, 7).map { f =>
+            var s = 0L
+            var k = f * FrameLen
+            val end = k + FrameLen
+            while (k < end) { s += au.samples(k); k += 1 }
+            (a.asset_id, f, s)
+          }
+        }
+      }.toDF("asset_id", "frame_idx", "frame_sum")
+  }
+
+  /** Oracle: audio assets are doc_id ≡ 0 (mod 3); DuckDB range() is
+    * stop-exclusive where the frame count is exact, and each frame sum
+    * is S(c + 160(f+1)) − S(c + 160f) − 128·160 by the generator
+    * arithmetic alone. */
+  val frameSamplesSql: String = {
+    val sHi = prefixSql("hi"); val sLo = prefixSql("lo")
+    s"""WITH au AS (
+       |  SELECT doc_id AS asset_id,
+       |         (doc_id * 97) % 256 AS c,
+       |         100 + doc_id % 50 AS fr
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |f AS (
+       |  SELECT asset_id, c, CAST(unnest(range(0, fr, 7)) AS BIGINT) AS fi
+       |  FROM au),
+       |b AS (
+       |  SELECT asset_id, fi,
+       |         c + fi * $FrameLen AS lo,
+       |         c + fi * $FrameLen + $FrameLen AS hi
+       |  FROM f)
+       |SELECT asset_id, CAST(fi AS INT) AS frame_idx,
+       |       CAST($sHi - ($sLo) - ${128 * FrameLen} AS BIGINT) AS frame_sum
+       |FROM b""".stripMargin
+  }
+
+  /** The resize step as an oracle-gated query (q92): every image whose
+    * longest side exceeds [[MaxSide]] is DECODED (real P6 parse) and
+    * nearest-neighbor RESAMPLED into its aspect-preserving target box,
+    * and the resized pixel buffer is summed — a PIXEL-LEVEL check of
+    * the resample, not just box arithmetic. The oracle replays the
+    * integer source-index map `sx = x·w / nw, sy = y·h / nh` over the
+    * generator byte formula per resized pixel (it never sees a byte),
+    * so a green hash certifies the codec round trip AND the pixel
+    * indexing of the resample. Narrow map end to end: payloads never
+    * shuffle, output is one small row per asset. */
+  def resizePlans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusAssets(spark, dir)
+      .filter((a: Asset) => a.kind == "image")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val img = Ppm.decode(a.bytes)
+          val (w, h) = (img.width, img.height)
+          val mx = math.max(w, h)
+          if (mx <= MaxSide) Iterator.empty
+          else {
+            // scale factor computed BEFORE the multiply, matching the
+            // oracle's floor(w * (MaxSide / greatest(w, h))) bit-exactly
+            val scale = MaxSide.toDouble / mx
+            val nw = math.floor(w * scale).toInt
+            val nh = math.floor(h * scale).toInt
+            val resized = resizeNearest(img.pixels, w, h, nw, nh)
+            var s = 0L; var i = 0
+            while (i < resized.length) { s += resized(i) & 0xff; i += 1 }
+            Iterator.single((a.asset_id, w, h, nw, nh, s))
+          }
+        }
+      }.toDF("asset_id", "width", "height", "new_width", "new_height", "resized_sum")
+  }
+
+  /** Oracle: per resized pixel p = y·nw + x the source byte index is
+    * base = ((y·h/nh)·w + x·w/nw)·3, and the RGB triple sums to
+    * 3m+3 for m = (c + base) mod 256 except at the 254/255 wrap. */
   val resizePlansSql: String =
     s"""WITH dims AS (
        |  SELECT doc_id AS asset_id,
-       |         CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
-       |         CAST(64 + (doc_id % 5) * 48 AS INT) AS height
-       |  FROM documents WHERE doc_id % 3 != 0)
-       |SELECT asset_id, width, height,
-       |       CAST(floor(width * ($MaxSide / greatest(width, height))) AS INT) AS new_width,
-       |       CAST(floor(height * ($MaxSide / greatest(width, height))) AS INT) AS new_height
-       |FROM dims WHERE greatest(width, height) > $MaxSide""".stripMargin
+       |         (doc_id * 97) % 256 AS c,
+       |         64 + (doc_id % 8) * 32 AS w,
+       |         64 + (doc_id % 5) * 48 AS h
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |boxed AS (
+       |  SELECT asset_id, c, w, h,
+       |         CAST(floor(w * ($MaxSide / greatest(w, h))) AS BIGINT) AS nw,
+       |         CAST(floor(h * ($MaxSide / greatest(w, h))) AS BIGINT) AS nh
+       |  FROM dims WHERE greatest(w, h) > $MaxSide),
+       |px AS (
+       |  SELECT asset_id, c, w, h, nw, nh, unnest(range(0, nw * nh)) AS p
+       |  FROM boxed),
+       |m AS (
+       |  SELECT asset_id, w, h, nw, nh,
+       |         (c + ((p // nw * h // nh) * w + (p % nw) * w // nw) * 3) % 256 AS mm
+       |  FROM px)
+       |SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |       CAST(nw AS INT) AS new_width, CAST(nh AS INT) AS new_height,
+       |       CAST(sum(CASE WHEN mm = 254 THEN 509 WHEN mm = 255 THEN 256
+       |                     ELSE 3 * mm + 3 END) AS BIGINT) AS resized_sum
+       |FROM m GROUP BY asset_id, w, h, nw, nh""".stripMargin
 
   /** Binary-column metadata extraction with a cross-engine oracle: the
     * documents' text bytes stand in for an opaque media payload (this

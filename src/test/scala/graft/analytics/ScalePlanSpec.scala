@@ -169,6 +169,32 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal pipelines: media payloads never enter ANY exchange (q82/q92/q126)") {
+    withPlanConfs(noBroadcast = false) {
+      val M = graft.multimodal.MultimodalOps
+      for ((df, name) <- Seq(
+          (M.frameSamples(spark, dir), "q82"),
+          (M.resizePlans(spark, dir), "q92"),
+          (M.decodeStats(spark, dir), "q126"))) {
+        // decode/resize/frame-sum is a narrow map: no keyed shuffle at all
+        assert(keyedExchangeSchemas(df).isEmpty,
+          s"$name: multimodal pipeline acquired a keyed shuffle")
+        // and NO exchange of any kind (incl. the spread round-robin)
+        // may carry the binary payload or any string-typed column —
+        // only the small doc_id / feature rows ever move
+        val allExchange = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.child.schema
+        }
+        assert(!allExchange.exists(_.exists(f =>
+            f.dataType == org.apache.spark.sql.types.BinaryType ||
+            f.dataType == org.apache.spark.sql.types.StringType)),
+          s"$name: an exchange carries a payload-width column:\n" +
+            allExchange.mkString("\n"))
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key holding ~90% of the fact side — the shape that stalls
     // a static plan on one straggler task at 100 TB

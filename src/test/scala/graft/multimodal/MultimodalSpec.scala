@@ -10,19 +10,97 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val assets  = MultimodalOps.synthesizeAssets(spark, 200)
   private lazy val decoded = MultimodalOps.decode(assets).cache()
 
-  test("decode recovers the typed metadata for every asset") {
+  /** Closed-form Σ_{j<m} (j mod 256) — the oracle arithmetic. */
+  private def prefix(m: Long): Long =
+    (m / 256) * 32640 + (m % 256) * ((m % 256) - 1) / 2
+
+  // ---- codec unit tests (format-generic, not just generator output) ----
+
+  test("PPM codec: encode/decode round trip preserves pixels") {
+    val px = Array.tabulate(4 * 3 * 3)(i => ((i * 37 + 5) % 256).toByte)
+    val img = Ppm.decode(Ppm.encode(4, 3, px))
+    assert((img.width, img.height, img.maxVal) === ((4, 3, 255)))
+    assert(img.pixels.toSeq === px.toSeq)
+  }
+
+  test("PPM parser: comments and arbitrary whitespace in the header (netpbm spec)") {
+    val px = Array.tabulate(2 * 2 * 3)(i => (i + 1).toByte)
+    val header = "P6 # a comment\n#another whole-line comment\n 2\t2 #dims\n255\n"
+    val bytes = header.getBytes("US-ASCII") ++ px
+    val img = Ppm.decode(bytes)
+    assert((img.width, img.height) === ((2, 2)))
+    assert(img.pixels.toSeq === px.toSeq)
+  }
+
+  test("PPM parser: rejects non-P6 and truncated rasters") {
+    intercept[IllegalArgumentException](Ppm.decode("P5\n2 2\n255\n".getBytes))
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n2 2\n255\nxx".getBytes)) // 12-byte raster expected
+  }
+
+  test("WAV codec: encode/decode round trip preserves samples and rate") {
+    val samples = Array.tabulate(320)(i => ((i * 7) - 160).toShort)
+    val au = Wav.decode(Wav.encode(16000, samples))
+    assert(au.sampleRate === 16000)
+    assert(au.channels === 1)
+    assert(au.samples.toSeq === samples.toSeq)
+  }
+
+  test("WAV parser: skips unknown chunks (incl. odd-length + pad byte)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = Array.tabulate(100)(i => (i - 50).toShort)
+    val canonical = Wav.encode(8000, samples)
+    // splice a 5-byte (odd) LIST chunk between WAVE and fmt
+    val extra = ByteBuffer.allocate(canonical.length + 8 + 5 + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    extra.put(canonical, 0, 12)                  // RIFF/size/WAVE
+    extra.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte) // odd len + pad
+    extra.put(canonical, 12, canonical.length - 12)
+    val bytes = extra.array()
+    // fix the RIFF size field (not that the walker uses it)
+    ByteBuffer.wrap(bytes, 4, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(bytes.length - 8)
+    val au = Wav.decode(bytes)
+    assert(au.sampleRate === 8000)
+    assert(au.samples.toSeq === samples.toSeq)
+  }
+
+  test("nearest-neighbor resize: exact source-index mapping") {
+    // 4x2 image, pixel value = its flat byte index
+    val px = Array.tabulate(4 * 2 * 3)(_.toByte)
+    val out = MultimodalOps.resizeNearest(px, 4, 2, 2, 1)
+    // (x=0,y=0) -> sx=0,sy=0 -> bytes 0,1,2 ; (x=1,y=0) -> sx=2 -> bytes 6,7,8
+    assert(out.toSeq === Seq[Byte](0, 1, 2, 6, 7, 8))
+    val id = MultimodalOps.resizeNearest(px, 4, 2, 4, 2)
+    assert(id.toSeq === px.toSeq) // identity when target == source
+  }
+
+  // ---- pipeline tests over the synthetic generator ----
+
+  test("decode recovers typed metadata AND decoded-unit checksums for every asset") {
     assert(decoded.count() === 200)
     val byKind = decoded.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byKind("audio") === 67)  // ids ≡ 0 (mod 3)
     assert(byKind("image") === 133)
     val a5 = decoded.filter(col("asset_id") === 5).head()
-    assert(a5.width === 64 + (5 % 8) * 32)
-    assert(a5.height === 64 + (5 % 5) * 48)
-    assert(a5.byte_len === MultimodalOps.HeaderLen + 5 % 4096)
+    val (w5, h5) = (64 + (5 % 8) * 32, 64 + (5 % 5) * 48)
+    assert(a5.width === w5)
+    assert(a5.height === h5)
+    // PPM container: "P6\n224 64\n255\n" header + w*h*3 raster
+    assert(a5.byte_len === s"P6\n$w5 $h5\n255\n".length + w5 * h5 * 3)
+    // pixel checksum re-derived from the generator closed form
+    val c5 = (5L * 97) % 256; val n5 = w5.toLong * h5 * 3
+    assert(a5.checksum === prefix(c5 + n5) - prefix(c5))
     val a6 = decoded.filter(col("asset_id") === 6).head()
     assert(a6.kind === "audio")
     assert(a6.sample_rate === 8000)
+    val fr6 = 100 + 6 % 50
+    assert(a6.n_frames === fr6)
+    assert(a6.byte_len === 44 + fr6 * MultimodalOps.FrameLen * 2)
+    val c6 = (6L * 97) % 256; val n6 = fr6.toLong * MultimodalOps.FrameLen
+    assert(a6.checksum === prefix(c6 + n6) - prefix(c6) - 128L * n6)
   }
 
   test("resize plan fits the target box and keeps aspect ratio") {
@@ -38,24 +116,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("corpus-derived frame-sample query matches the generator arithmetic (q82)") {
+  test("corpus frame-sample query: indices AND sample sums match the generator (q82)") {
     val dir = "/root/testdata/sf0.001"
     val out = MultimodalOps.frameSamples(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
-    // re-derive expected indices from the generator spec alone
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val docIds = graft.tables.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0))
-    val expected = for {
+    val expected = (for {
       id <- docIds if id % 3 == 0
       f  <- 0 until (100 + (id % 50)).toInt by 7
-    } yield (id, f)
-    assert(out.sorted.toSeq === expected.sorted.toSeq)
+    } yield {
+      val c = (id * 97) % 256
+      val lo = c + f.toLong * MultimodalOps.FrameLen
+      val hi = lo + MultimodalOps.FrameLen
+      (id, f) -> (prefix(hi) - prefix(lo) - 128L * MultimodalOps.FrameLen)
+    }).toMap
+    assert(out === expected)
   }
 
-  test("corpus-derived resize query matches the generator arithmetic (q92)") {
+  test("corpus resize query: boxes AND resized pixel sums match the generator (q92)") {
     val dir = "/root/testdata/sf0.001"
     val out = MultimodalOps.resizePlans(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getLong(5))).toSet
     val docIds = graft.tables.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0))
     val expected = (for {
@@ -64,10 +146,21 @@ class MultimodalSpec extends AnyFunSuite {
       h = (64 + (id % 5) * 48).toInt
       if math.max(w, h) > MultimodalOps.MaxSide
       scale = MultimodalOps.MaxSide.toDouble / math.max(w, h)
-    } yield (id, math.floor(w * scale).toInt, math.floor(h * scale).toInt)).toSet
+    } yield {
+      val nw = math.floor(w * scale).toInt
+      val nh = math.floor(h * scale).toInt
+      // independent re-derivation: replay the source-index map over the
+      // generator byte formula (never touches the codec or the buffer)
+      val c = (id * 97) % 256
+      var s = 0L
+      for (y <- 0 until nh; x <- 0 until nw; ch <- 0 until 3) {
+        val base = ((y.toLong * h / nh) * w + (x.toLong * w / nw)) * 3
+        s += (c + base + ch) % 256
+      }
+      (id, nw, nh, s)
+    }).toSet
     assert(out === expected)
-    // the plan never upsizes and always fits the box
-    out.foreach { case (_, nw, nh) =>
+    out.foreach { case (_, nw, nh, _) =>
       assert(nw <= MultimodalOps.MaxSide && nh <= MultimodalOps.MaxSide)
     }
   }
