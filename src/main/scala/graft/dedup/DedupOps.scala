@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.functions.TextExprs._
@@ -128,6 +128,104 @@ object DedupOps {
     a.join(b, keys ++ Seq("gx", "gy"))
       .select((Seq(idL, idR) ++ carryL ++ carryR).map(col): _*)
       .distinct()
+  }
+
+  // ------------------------------------------------ adaptive clean-corpus route
+
+  /** The round-5 hardening (identical-content collapse, capped grid
+    * joins, the localCheckpoint barriers between them) is insurance
+    * against hot corpora — and on a CLEAN corpus it is pure tax (the
+    * round-5 bench measured q34 3.6×, q72 2.0×, q88 1.8× vs the
+    * unhardened round-4 pipelines). This route prices runtime
+    * adaptivity — the same trade AQE makes — at ONE tiny driver job:
+    *
+    *  1. the banded signature index (doc_id, sig, band, bucket key —
+    *     all fixed-width) is computed once and materialized; every
+    *     route needs it anyway;
+    *  2. the gate is a single aggregate over that index: the size of
+    *     the largest band bucket;
+    *  3. max bucket <= [[BucketCap]] → the LEAN route: plain bucket
+    *     self-join over the index, exact AND bounded WITHOUT the
+    *     hardening, because every pathology the hardening guards
+    *     against lives inside an oversized bucket. An identical-content
+    *     group shares every band bucket (identical sets → identical
+    *     sigs → identical keys), so group size is bounded by the max
+    *     bucket; no bucket scan exceeds C(cap, 2) pairs; and identical
+    *     pairs verify to exactly the values the collapse would expand
+    *     (jaccard 1.0, shared = n, n_agree = K) — so the lean output is
+    *     byte-identical to the hardened output. Max bucket > cap → the
+    *     full round-5 hardened path, unchanged (DedupScaleSpec's floods
+    *     exercise exactly that route; the wasted work is one narrow
+    *     banding pass the hardened path re-derives in rep space).
+    *
+    * The gate fails CONSERVATIVE (any hot bucket → hardened), and
+    * AdaptiveDedupSpec proves route-invisibility by comparing forced
+    * paths on clean, exact-dup-flooded, and hot-bucket corpora.
+    * Disable with `graft.dedup.adaptive=false` (always-hardened). */
+  private def adaptiveOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("graft.dedup.adaptive", "true") == "true"
+
+  /** Doc-space banded signature index, materialized once: serves the
+    * gate aggregate and, on the lean route, the bucket self-join.
+    * `extra` carries routing columns (e.g. the ingest side flag)
+    * through the index. */
+  private def docBandIndex(hsets: DataFrame, extra: Seq[(String, Column)] = Nil): DataFrame =
+    materialize(hsets
+      .select(col("doc_id") +: extra.map { case (n, c) => c.as(n) } :+
+        minhashSigCol(col("hs")).as("sig"): _*)
+      .withColumn("b", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("bkey", bandKeyCol(col("sig"), col("b"))))
+
+  /** The gate: one single-row aggregate over the materialized index.
+    * Empty corpus → 0 (lean). */
+  private def maxBucket(bands: DataFrame): Long =
+    bands.groupBy(col("b"), col("bkey")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L)).as("mx"))
+      .collect()(0).getLong(0)
+
+  /** Identity-shaped stand-in for [[collapseShingleSets]] on the lean
+    * route: every doc is its own singleton group (bounded identical
+    * groups are handled by the per-doc verify itself). Pure projection
+    * — no shuffle, no barrier. */
+  private def singletonGroups(hsets: DataFrame): DataFrame =
+    hsets.select(col("doc_id").as("rep"),
+      array(col("doc_id")).as("members"), lit(1).as("gsize"),
+      col("hs"), col("n"))
+
+  /** Lean-route candidates, or None when some bucket is hot (caller
+    * falls back to the hardened rep-space pipeline). Output contract
+    * matches [[minhashRepCandidates]]: (r1, r2, sig1, sig2). */
+  private def cleanCandidates(hsets: DataFrame): Option[DataFrame] = {
+    if (!adaptiveOn(hsets)) return None
+    val bands = docBandIndex(hsets)
+    if (maxBucket(bands) > BucketCap) None
+    else Some {
+      bands.as("a").join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("r1"), col("b.doc_id").as("r2"),
+          col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+        .dropDuplicates("r1", "r2")
+    }
+  }
+
+  /** Lean-route two-sided probe candidates (the q88 shape): ONE
+    * materialized index serves both sides (split by the carried flag),
+    * one gate covers both sides' buckets. Output contract:
+    * (nrep, crep, sigN, sigC); None when some bucket is hot. */
+  private def cleanProbeCandidates(hsets: DataFrame, isNew: Column): Option[DataFrame] = {
+    if (!adaptiveOn(hsets)) return None
+    val bands = docBandIndex(hsets, Seq("is_new" -> isNew))
+    if (maxBucket(bands) > BucketCap) None
+    else Some {
+      bands.filter(col("is_new"))
+        .select(col("doc_id").as("nrep"), col("sig").as("sigN"), col("b"), col("bkey"))
+        .join(bands.filter(!col("is_new"))
+          .select(col("doc_id").as("crep"), col("sig").as("sigC"), col("b"), col("bkey")),
+          Seq("b", "bkey"))
+        .select(col("nrep"), col("crep"), col("sigN"), col("sigC"))
+        .dropDuplicates("nrep", "crep")
+    }
   }
 
   // ------------------------------------- identical-content collapse / expand
@@ -353,9 +451,16 @@ object DedupOps {
 
   private[graft] def minhashLshFrom(hsetsRaw: DataFrame): DataFrame = {
     val hsets  = materialize(hsetsRaw)
-    val groups = materialize(collapseShingleSets(hsets))
-    val cand   = materialize(minhashRepCandidates(
-      groups.select(col("rep"), col("hs"))))
+    // clean-corpus fast route: one tiny gate job (max band-bucket
+    // size) decides whether the collapse + capped-grid machinery is
+    // needed at all
+    val clean = cleanCandidates(hsets)
+    val collapsed = clean.isEmpty
+    val groups =
+      if (collapsed) materialize(collapseShingleSets(hsets))
+      else singletonGroups(hsets)
+    val cand = clean.getOrElse(materialize(minhashRepCandidates(
+      groups.select(col("rep"), col("hs")))))
     // tier 1: reject from the carried fixed-width signatures alone
     val borderline = cand
       .withColumn("n_agree", size(filter(
@@ -372,10 +477,14 @@ object DedupOps {
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("r1"), col("r2"), col("shared"), col("jaccard"))
-    expandPairs(verified, groups, Seq("shared", "jaccard"))
-      .unionByName(withinGroupPairs(groups, Seq("n"))
-        .select(col("d1"), col("d2"), col("n").as("shared"), lit(1.0).as("jaccard")))
-      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+    if (collapsed)
+      expandPairs(verified, groups, Seq("shared", "jaccard"))
+        .unionByName(withinGroupPairs(groups, Seq("n"))
+          .select(col("d1"), col("d2"), col("n").as("shared"), lit(1.0).as("jaccard")))
+        .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+    else // singleton groups: rep space IS doc space, nothing to expand
+      verified.select(col("r1").as("d1"), col("r2").as("d2"),
+        col("shared"), col("jaccard"))
   }
 
   val minhashLshSql: String =
@@ -413,9 +522,15 @@ object DedupOps {
     // same collapse + capped-bucket machinery as q21 (identical sets
     // have identical signatures AND identical exact Jaccard vs anyone,
     // so rep-level values expand to member pairs unchanged; within a
-    // group n_agree = K, shared = unioned = n by definition)
-    val groups = materialize(collapseShingleSets(hsets))
-    val cand   = minhashRepCandidates(groups.select(col("rep"), col("hs")))
+    // group n_agree = K, shared = unioned = n by definition), with the
+    // same clean-corpus fast route
+    val clean = cleanCandidates(hsets)
+    val collapsed = clean.isEmpty
+    val groups =
+      if (collapsed) materialize(collapseShingleSets(hsets))
+      else singletonGroups(hsets)
+    val cand   = clean.getOrElse(
+        minhashRepCandidates(groups.select(col("rep"), col("hs"))))
       .withColumn("n_agree", size(filter(
         zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
       .select("r1", "r2", "n_agree")
@@ -425,11 +540,15 @@ object DedupOps {
       .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
       .select(col("r1"), col("r2"), col("n_agree"), col("shared"),
         (col("n1") + col("n2") - col("shared")).as("unioned"))
-    expandPairs(repPairs, groups, Seq("n_agree", "shared", "unioned"))
-      .unionByName(withinGroupPairs(groups, Seq("n"))
-        .select(col("d1"), col("d2"), lit(MinhashK).as("n_agree"),
-          col("n").as("shared"), col("n").as("unioned")))
-      .select(col("d1"), col("d2"), col("n_agree"), col("shared"), col("unioned"))
+    if (collapsed)
+      expandPairs(repPairs, groups, Seq("n_agree", "shared", "unioned"))
+        .unionByName(withinGroupPairs(groups, Seq("n"))
+          .select(col("d1"), col("d2"), lit(MinhashK).as("n_agree"),
+            col("n").as("shared"), col("n").as("unioned")))
+        .select(col("d1"), col("d2"), col("n_agree"), col("shared"), col("unioned"))
+    else
+      repPairs.select(col("r1").as("d1"), col("r2").as("d2"),
+        col("n_agree"), col("shared"), col("unioned"))
   }
 
   val minhashEstimateSql: String =
@@ -1102,15 +1221,27 @@ object DedupOps {
     // has its group's best match, and `dup_of` = the matched corpus
     // group's rep = that group's minimum cid — the same id the per-doc
     // election picked.
-    val gNew  = materialize(collapseShingleSets(hsets.filter(isNew)))
-    val gCorp = materialize(collapseShingleSets(hsets.filter(!isNew)))
+    // clean-corpus fast route: gate over the WHOLE corpus (one index,
+    // one job — not one per side). Cool buckets bound identical-content
+    // groups on either side, so the per-doc probe join is exact and
+    // bounded without the collapse; the per-doc election below then
+    // picks the same (min-cid, max-jaccard) match the rep-level
+    // election would expand.
+    val clean = cleanProbeCandidates(hsets, isNew)
+    val collapsed = clean.isEmpty
+    val gNew  =
+      if (collapsed) materialize(collapseShingleSets(hsets.filter(isNew)))
+      else singletonGroups(hsets.filter(isNew))
+    val gCorp =
+      if (collapsed) materialize(collapseShingleSets(hsets.filter(!isNew)))
+      else singletonGroups(hsets.filter(!isNew))
     def bands(g: DataFrame, id: String, sig: String) = g
       .select(col("rep"), minhashSigCol(col("hs")).as(sig))
       .select(col("rep").as(id), col(sig), explode(sequence(lit(0), lit(Bands - 1))).as("b"))
       .select(col(id), col(sig), col("b"), bandKeyCol(col(sig), col("b")).as("bkey"))
-    val cand = cappedProbeJoin(
+    val cand = clean.getOrElse(cappedProbeJoin(
       bands(gNew, "nrep", "sigN"), bands(gCorp, "crep", "sigC"),
-      Seq("b", "bkey"), "nrep", "crep", Seq("sigN"), Seq("sigC"))
+      Seq("b", "bkey"), "nrep", "crep", Seq("sigN"), Seq("sigC")))
     val borderline = cand
       .withColumn("n_agree", size(filter(
         zip_with(col("sigN"), col("sigC"), (x, y) => x === y), p => p)))
