@@ -259,7 +259,10 @@ object SparkEntry {
     // Real-codec decode gate: PPM/WAV round trip with decoded-unit
     // checksums the oracle re-derives in closed form.
     "q126_decode_stats"     -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.decodeStats(s, dir))
+      graft.multimodal.MultimodalOps.decodeStats(s, dir)),
+    // q122's BFS run to CONVERGENCE: driver-gated frontier loop with
+    // per-round lineage truncation, exact at any diameter.
+    "q127_bfs_converged"    -> (G.graphBfsConverged _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,6 +391,7 @@ object SparkEntry {
     "q123_triangle_stats"   -> G.triangleStatsSql,
     "q124_pagerank"         -> G.pageRankSql,
     "q125_copurchase_topk"  -> R.copurchaseTopKSql,
-    "q126_decode_stats"     -> graft.multimodal.MultimodalOps.decodeStatsSql
+    "q126_decode_stats"     -> graft.multimodal.MultimodalOps.decodeStatsSql,
+    "q127_bfs_converged"    -> G.graphBfsConvergedSql
   )
 }

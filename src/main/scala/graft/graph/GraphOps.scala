@@ -121,6 +121,110 @@ object GraphOps {
        |SELECT n AS p_partkey, hop FROM h$BfsMaxHops""".stripMargin
   }
 
+  // -------------------------------------------- convergence-gated iteration
+
+  /** Fixpoint BFS over an arbitrary symmetric edge list `e` (u, v):
+    * iterate until the frontier is EMPTY rather than a fixed K rounds.
+    * The statically-unrolled [[graphBfs]] is the right shape when the
+    * query semantics fix K (one declarative plan, Catalyst sees every
+    * round) — but a graph of diameter > K silently under-labels there.
+    * This variant trades per-round driver convergence checks (one tiny
+    * job each: is the materialized frontier empty?) for exactness at
+    * any diameter, and truncates lineage EVERY round via [[materialize]]
+    * — state stays one fixed-width (node, hop) row per visited node,
+    * and the plan per round is one join + one min-fold regardless of
+    * how many rounds have run (the unrolled form's plan grows linearly
+    * with K and would overwhelm the optimizer long before K ~ diameter
+    * of a real graph).
+    *
+    * `maxRounds` is a runaway bound (cyclic-input insurance at the
+    * scale of "something is wrong"), not a semantic cap: the loop exits
+    * on the empty frontier in diameter-many rounds. */
+  def bfsFixpoint(e: DataFrame, seeds: DataFrame, maxRounds: Int = 256): DataFrame = {
+    val be = maybeBroadcast(e)
+    var visited = materialize(seeds.select(col("n"), col("hop")))
+    var frontier = visited.filter(col("hop") === 0L)
+    var round = 1
+    while (round <= maxRounds && !frontier.isEmpty) {
+      val expanded = frontier.join(be, frontier("n") === be("u"))
+        .select(col("v").as("n"), lit(round.toLong).as("hop"))
+      visited = materialize(visited.unionAll(expanded)
+        .groupBy(col("n")).agg(min(col("hop")).as("hop")))
+      // newly-discovered nodes only: re-reached nodes kept their
+      // smaller hop in the min-fold, so hop == round ⟺ first visit
+      frontier = visited.filter(col("hop") === round.toLong)
+      round += 1
+    }
+    visited
+  }
+
+  /** The q122 BFS run to CONVERGENCE (no [[BfsMaxHops]] cap): every
+    * part reachable from the seed brand gets its true min hop count.
+    * Same edge semantics as q122 (support ≥ 2, undirected). */
+  def graphBfsConverged(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = materialize(edges(spark, dir, minSupport = 2))
+    val e = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_brand") === BfsSeedBrand)
+      .select(col("p_partkey").as("n"), lit(0L).as("hop"))
+    bfsFixpoint(e, seeds).select(col("n").as("p_partkey"), col("hop"))
+  }
+
+  /** Recursion guard for the DuckDB oracle's recursive CTE: plain
+    * UNION-recursive BFS re-discovers nodes at every hop length a cycle
+    * admits, so an explicit hop bound is needed for termination. 64 is
+    * an order of magnitude past any plausible eccentricity of the
+    * co-purchase graph (measured max hop at sf0.1: 4); the oracle and
+    * the fixpoint agree exactly whenever true eccentricity < the bound,
+    * and the correctness gate itself verifies that premise every run
+    * (a graph that deep would hash-mismatch and flag red). */
+  val BfsOracleHopBound = 64
+
+  val graphBfsConvergedSql: String =
+    s"""WITH RECURSIVE ${edgesSql(2)},
+       |e AS (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
+       |walk(n, hop) AS (
+       |  SELECT p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_brand = '$BfsSeedBrand'
+       |  UNION
+       |  SELECT e.v, walk.hop + 1 FROM walk JOIN e ON walk.n = e.u
+       |  WHERE walk.hop < $BfsOracleHopBound)
+       |SELECT n AS p_partkey, min(hop) AS hop FROM walk GROUP BY 1""".stripMargin
+
+  /** Fixpoint PageRank over symmetric edges `e`: iterate until the
+    * largest per-node mass change is ≤ `tolMicro` micro-units (integer
+    * — the convergence test is exact, no FP epsilon games), with
+    * lineage truncated every round. Same per-round plan as [[pageRank]]
+    * (share-split join + map-side-combined sum); the cost of the gate
+    * is one tiny max-|Δ| aggregate per round. `nodes` is call-by-name
+    * for the same fresh-scan-per-round reason as [[pageRank]]. */
+  def pageRankFixpoint(nodes: => DataFrame, e: DataFrame,
+      tolMicro: Long = 100L, maxRounds: Int = 64): DataFrame = {
+    val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val base = lit(15L * PageRankInitMass / 100L)
+    val be = maybeBroadcast(e)
+    var mass = materialize(
+      nodes.select(col("n"), lit(PageRankInitMass).as("mass")))
+    var round = 1
+    var delta = Long.MaxValue
+    while (round <= maxRounds && delta > tolMicro) {
+      val incoming = mass.join(deg, "n")
+        .select(col("n"), expr("mass div deg").as("share"))
+        .join(be, col("n") === be("u"))
+        .groupBy(col("v")).agg(sum(col("share")).as("in_mass"))
+      val nr = nodes
+      val next = materialize(nr.join(incoming, nr("n") === incoming("v"), "left")
+        .select(nr("n"),
+          (base + expr("85 * coalesce(in_mass, 0L) div 100")).as("mass")))
+      delta = next.as("a").join(mass.as("b"), "n")
+        .agg(coalesce(max(abs(col("a.mass") - col("b.mass"))), lit(0L)))
+        .collect()(0).getLong(0)
+      mass = next
+      round += 1
+    }
+    mass
+  }
+
   /** PageRank iteration count — static, so the whole propagation is
     * one declarative plan (K unrolled join+agg rounds). */
   val PageRankIters = 3
