@@ -262,7 +262,10 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.decodeStats(s, dir)),
     // q122's BFS run to CONVERGENCE: driver-gated frontier loop with
     // per-round lineage truncation, exact at any diameter.
-    "q127_bfs_converged"    -> (G.graphBfsConverged _)
+    "q127_bfs_converged"    -> (G.graphBfsConverged _),
+    // DOULION edge-sampled triangle estimate: deterministic hash
+    // sampling, 1/p^3 scale-up, oracle hash-matches the estimate.
+    "q128_triangle_est"     -> (G.triangleEstimate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -392,6 +395,7 @@ object SparkEntry {
     "q124_pagerank"         -> G.pageRankSql,
     "q125_copurchase_topk"  -> R.copurchaseTopKSql,
     "q126_decode_stats"     -> graft.multimodal.MultimodalOps.decodeStatsSql,
-    "q127_bfs_converged"    -> G.graphBfsConvergedSql
+    "q127_bfs_converged"    -> G.graphBfsConvergedSql,
+    "q128_triangle_est"     -> G.triangleEstimateSql
   )
 }

@@ -313,8 +313,10 @@ object GraphOps {
     * triangle counts fold out of the SAME pass (`count(*)` vs
     * `count(match)`), so the O(m^1.5) wedge stream is generated exactly
     * once and never materialized. */
-  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
-    val e = materialize(edges(spark, dir, minSupport = 1))
+  /** The degree-oriented triangle-count pass shared by the exact census
+    * (q123) and the sampled estimator (q128): orient, wedge, close —
+    * returns one row (n_triangles). Input must be canonical pa < pb. */
+  private def orientedTriangles(e: DataFrame): DataFrame = {
     val d = e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val before: Column = // (deg, id) lexicographic: total order, ids unique
@@ -325,18 +327,24 @@ object GraphOps {
       .join(d.as("db"), col("pb") === col("db.n"))
       .select(when(before, col("pa")).otherwise(col("pb")).as("u"),
               when(before, col("pb")).otherwise(col("pa")).as("v")))
-    // true wedge count Σ deg·(deg−1)/2 — a tiny aggregate over the
-    // degree table (empty-graph sum is NULL → 0)
-    val wedges = d.agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
-      .as("n_wedges"))
-    val tri = o.as("o2").join(maybeBroadcast(o.as("o1")), col("o1.v") === col("o2.u"))
+    o.as("o2").join(maybeBroadcast(o.as("o1")), col("o1.v") === col("o2.u"))
       .select(least(col("o1.u"), col("o2.v")).as("x"),
               greatest(col("o1.u"), col("o2.v")).as("y"))
       .join(maybeBroadcast(e), col("x") === col("pa") && col("y") === col("pb"), "left")
       .agg(count(col("pa")).as("n_triangles"))
+  }
+
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = materialize(edges(spark, dir, minSupport = 1))
+    val d = e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // true wedge count Σ deg·(deg−1)/2 — a tiny aggregate over the
+    // degree table (empty-graph sum is NULL → 0)
+    val wedges = d.agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+      .as("n_wedges"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges)
-      .crossJoin(tri)
+      .crossJoin(orientedTriangles(e))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         // wedge-free graph (e.g. all orders single-part): ANSI mode
         // would throw on /0 — closure is 0 by definition there
@@ -362,4 +370,82 @@ object GraphOps {
        |       CASE WHEN (SELECT n_wedges FROM wd) = 0 THEN 0
        |            ELSE 3 * (SELECT count(*) FROM t) * 10000 // (SELECT n_wedges FROM wd)
        |       END AS closure_bp""".stripMargin
+
+  // ------------------------------------------ sampled triangle estimation
+
+  /** Edge-sampling probability for the q128 estimator, as kept/mod. */
+  val TriSampleMod  = 1000L
+  val TriSampleKeep = 500L // p = 1/2
+
+  /** Mixing constants for the deterministic edge-sampling hash: a
+    * two-step multiply-mod over a large prime, cheap enough to inline
+    * in both engines and bit-identical across them (all intermediates
+    * bounded well inside int64 — ANSI-overflow-safe: pa·1e6 + pb ≤
+    * ~2e10, then (h1 < 1e9) · 2654435761 ≤ ~2.7e18). */
+  val TriSampleP1 = 1000003L
+  val TriSampleP2 = 2654435761L
+  val TriSampleM  = 1000000007L
+
+  private def edgeKeep(pa: Column, pb: Column): Column = {
+    val h1 = pmod(pa * lit(TriSampleP1) + pb, lit(TriSampleM))
+    val h  = pmod(h1 * lit(TriSampleP2), lit(TriSampleM))
+    pmod(h, lit(TriSampleMod)) < lit(TriSampleKeep)
+  }
+
+  /** DOULION-style approximate triangle census (Tsourakakis et al.,
+    * KDD'09 — public paper): keep each edge independently with
+    * probability p, count triangles on the thinned graph with the SAME
+    * degree-oriented pass as q123, scale by 1/p³. At 100 TB graph scale
+    * this is the census you actually run — the edge list halves, the
+    * wedge stream (the O(m^1.5) cost center) quarters, and the exact
+    * pass's plan shape is reused unchanged, for a variance of
+    * Var(T̂) ≈ T(1/p³−1) plus shared-edge covariance terms.
+    *
+    * Sampling is a deterministic integer hash of the canonical edge
+    * ([[edgeKeep]]) rather than an RNG, so the estimate is reproducible
+    * run-to-run AND bit-identical in the DuckDB oracle — the oracle
+    * hash-matches the estimate itself, a stronger check than the
+    * q44/q45 bound-only convention. `within_bound` (estimate within
+    * 50% + 400 absolute of exact — many sigmas past the estimator's
+    * standard deviation at every test SF) is additionally asserted = 1
+    * in GraphOpsSpec so an estimator regression fails loudly instead
+    * of green-matching a broken value. */
+  def triangleEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val e  = materialize(edges(spark, dir, minSupport = 1))
+    val es = e.filter(edgeKeep(col("pa"), col("pb")))
+    val p3inv = (TriSampleMod / TriSampleKeep) // 1/p, integer by construction
+    val scale = p3inv * p3inv * p3inv
+    orientedTriangles(e)
+      .crossJoin(orientedTriangles(es)
+        .select((col("n_triangles") * scale).as("n_triangles_est")))
+      .select(col("n_triangles"), col("n_triangles_est"),
+        (abs(col("n_triangles_est") - col("n_triangles")) <=
+          expr("n_triangles div 2") + 400L).cast("int").as("within_bound"))
+  }
+
+  val triangleEstimateSql: String = {
+    def census(eName: String, out: String): String =
+      s"""d_$out AS (SELECT n, count(*) AS deg FROM
+         |  (SELECT pa AS n FROM $eName UNION ALL SELECT pb FROM $eName) GROUP BY 1),
+         |o_$out AS (SELECT CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pa ELSE e.pb END AS u,
+         |                  CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pb ELSE e.pa END AS v
+         |           FROM $eName e JOIN d_$out da ON da.n = e.pa JOIN d_$out db ON db.n = e.pb),
+         |w_$out AS (SELECT o1.u AS a, o2.v AS c FROM o_$out o1 JOIN o_$out o2 ON o1.v = o2.u),
+         |t_$out AS (SELECT count(*) AS n FROM w_$out w JOIN $eName e
+         |             ON least(w.a, w.c) = e.pa AND greatest(w.a, w.c) = e.pb)""".stripMargin
+    val scale = {
+      val pInv = TriSampleMod / TriSampleKeep; pInv * pInv * pInv
+    }
+    s"""WITH ${edgesSql(1)},
+       |es AS (SELECT pa, pb FROM e0
+       |       WHERE ((((pa * $TriSampleP1 + pb) % $TriSampleM) * $TriSampleP2)
+       |              % $TriSampleM) % $TriSampleMod < $TriSampleKeep),
+       |${census("e0", "x")},
+       |${census("es", "s")}
+       |SELECT t_x.n AS n_triangles,
+       |       $scale * t_s.n AS n_triangles_est,
+       |       CAST(CASE WHEN abs($scale * t_s.n - t_x.n) <= t_x.n // 2 + 400
+       |            THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+       |FROM t_x, t_s""".stripMargin
+  }
 }

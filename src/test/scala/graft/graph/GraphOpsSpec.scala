@@ -58,6 +58,37 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(bp >= 0L && bp <= 10000L)
   }
 
+  test("DOULION estimate: deterministic sample, exact 1/p^3 scale-up, bound holds (q128)") {
+    import spark.implicits._
+    val row = GraphOps.triangleEstimate(spark, dir).head()
+    val (exact, est, within) = (row.getLong(0), row.getLong(1), row.getInt(2))
+    assert(within === 1, s"estimator bound failed: exact=$exact est=$est")
+    // independent oracle: thin the in-memory edge list with the same
+    // hash and count triangles by adjacency intersection — the operator
+    // must report exactly 8x that count
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct().as[(Long, Long)].collect()
+    def keep(pa: Long, pb: Long): Boolean = {
+      val h1 = (pa * GraphOps.TriSampleP1 + pb) % GraphOps.TriSampleM
+      val h  = h1 * GraphOps.TriSampleP2 % GraphOps.TriSampleM
+      h % GraphOps.TriSampleMod < GraphOps.TriSampleKeep
+    }
+    val sampled = edges.filter((keep _).tupled)
+    // the sample must be a genuine thinning, not all-or-nothing
+    assert(sampled.length > 0 && sampled.length < edges.length)
+    val adj = sampled.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val sampledTris = sampled.iterator.map { case (a, b) =>
+      (adj(a) & adj(b)).size.toLong
+    }.sum / 3
+    assert(est === 8L * sampledTris)
+  }
+
   test("closure_bp is the genuine GCC: a K3 reads exactly 10000 bp") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_graph_k3_").toString
