@@ -265,7 +265,16 @@ object SparkEntry {
     "q127_bfs_converged"    -> (G.graphBfsConverged _),
     // DOULION edge-sampled triangle estimate: deterministic hash
     // sampling, 1/p^3 scale-up, oracle hash-matches the estimate.
-    "q128_triangle_est"     -> (G.triangleEstimate _)
+    "q128_triangle_est"     -> (G.triangleEstimate _),
+    // q110's conversion funnel on a live stream: per-user
+    // mapGroupsWithState machine, update-mode sink, batch rollup —
+    // same oracle as the batch funnel.
+    "q129_stream_funnel"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.funnelRollup(
+        graft.streaming.EventsStream.runAvailableNow(
+          s, graft.streaming.EventsStream.funnelStages(
+            graft.streaming.EventsStream.source(s, dir)), "q129_stream_funnel",
+          outputMode = "update")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +405,7 @@ object SparkEntry {
     "q125_copurchase_topk"  -> R.copurchaseTopKSql,
     "q126_decode_stats"     -> graft.multimodal.MultimodalOps.decodeStatsSql,
     "q127_bfs_converged"    -> G.graphBfsConvergedSql,
-    "q128_triangle_est"     -> G.triangleEstimateSql
+    "q128_triangle_est"     -> G.triangleEstimateSql,
+    "q129_stream_funnel"    -> E.eventFunnelSql
   )
 }

@@ -24,6 +24,14 @@ case class EventChunk(
     user_id: Long, chunk_id: Int, first_ms: Long, last_ms: Long,
     sum_value: Double)
 
+/** Per-user funnel state for [[EventsStream.funnelStages]]: first-view,
+  * first-click-after-view, first-purchase-after-that-click epoch ms
+  * (−1 = stage not reached). */
+case class FunnelState(v_ms: Long, c_ms: Long, p_ms: Long)
+
+/** Emitted per-user funnel position (0 = none … 3 = purchased). */
+case class FunnelStage(user_id: Long, stage: Int)
+
 /** Structured Streaming forms of the event-stream operators
   * (SURVEY.md §1: the reference's Airflow sensor→process loop
   * (`composer/sales_etl_dag.py:42-48`) maps onto Spark's file source +
@@ -247,6 +255,70 @@ object EventsStream {
     events.withWatermark("ts", "60 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
+
+  /** The q110 conversion funnel ON A LIVE STREAM: one [[FunnelState]]
+    * state machine per user via `mapGroupsWithState` (view → click-at-
+    * or-after-first-view → purchase-at-or-after-that-click), emitting
+    * the user's current funnel position each micro-batch in Update
+    * mode. The global rollup happens OFF the sink ([[funnelRollup]]) —
+    * stage is monotone per user, so the max row is the final state;
+    * keeping the stateful operator per-key and the 1-row rollup in
+    * batch avoids chaining a second stateful aggregate behind the
+    * arbitrary-state operator.
+    *
+    * Within a batch, rows are processed in (ms, stage-rank, event_id)
+    * order: the stage rank breaks ms ties the way the batch funnel's
+    * `>=` comparisons do (a click at the exact first-view timestamp
+    * counts, so the view must apply first). Across batches, time-
+    * ordered arrival is assumed — the file-source default, same as
+    * [[chunkEvents]].
+    *
+    * State is one 3-long record per user, key-partitioned across
+    * executors — constant per key, the funnel's natural scale shape. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val rank = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1)
+      .when(col("event_type") === "purchase", 2).otherwise(3)
+    val ds = events
+      .select(col("user_id"), rank.as("r"), unix_millis(col("ts")).as("ms"),
+        col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelStage](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Int, Long, Long)],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy(r => (r._3, r._2, r._4)).foreach { case (_, r, ms, _) =>
+            r match {
+              case 0 if s.v_ms < 0                           => s = s.copy(v_ms = ms)
+              case 1 if s.c_ms < 0 && s.v_ms >= 0 && ms >= s.v_ms => s = s.copy(c_ms = ms)
+              case 2 if s.p_ms < 0 && s.c_ms >= 0 && ms >= s.c_ms => s = s.copy(p_ms = ms)
+              case _ =>
+            }
+          }
+          state.update(s)
+          val stage =
+            if (s.p_ms >= 0) 3 else if (s.c_ms >= 0) 2 else if (s.v_ms >= 0) 1 else 0
+          FunnelStage(uid, stage)
+      }
+      .toDF()
+  }
+
+  /** Batch rollup of an update-mode [[funnelStages]] sink to the q110
+    * output row: stage is monotone non-decreasing per user, so max =
+    * final position; counts and basis-point rates match the batch
+    * funnel column-for-column (same /0 guard). */
+  def funnelRollup(sink: DataFrame): DataFrame =
+    sink.groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .agg(count(when(col("stage") >= 1, 1)).as("n_view"),
+           count(when(col("stage") >= 2, 1)).as("n_click"),
+           count(when(col("stage") >= 3, 1)).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        when(col("n_view") === 0, lit(0L))
+          .otherwise(expr("(n_click * 10000) div n_view")).as("click_bp"),
+        when(col("n_view") === 0, lit(0L))
+          .otherwise(expr("(n_purchase * 10000) div n_view")).as("purchase_bp"))
 
   /** Collapse an UPDATE-mode sink of [[userStats]] rows to the final
     * state per user. The memory sink accumulates one row per user per

@@ -37,6 +37,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
 
+  test("streaming funnel state machine equals the batch funnel (q129 vs q110)") {
+    val streamed = EventsStream.funnelRollup(EventsStream.runAvailableNow(
+      spark, EventsStream.funnelStages(EventsStream.source(spark, dir)),
+      "stream_funnel", outputMode = "update"))
+    val batch = EventOps.eventFunnel(spark, dir)
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+    // and the funnel is non-degenerate on the corpus
+    val r = streamed.collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
   test("streaming sliding windows equal the batch result") {
     val streamed = EventsStream.runAvailableNow(
       spark, EventsStream.slidingCounts(EventsStream.source(spark, dir)),
