@@ -35,16 +35,24 @@ object DedupOps {
     * recomputing the upstream tokenize→hash pipeline (cache substitution
     * on self-joined subtrees proved unreliable).
     *
-    * NOT fault-tolerant: `localCheckpoint` pins the materialized blocks
-    * to executors, so losing an executor kills the job instead of
-    * recomputing. Right trade for the single-JVM bench; on a real
-    * cluster set `graft.dedup.eagerMaterialize=false` and either let
-    * lineage stand or use reliable `checkpoint()` with a DFS checkpoint
-    * dir. */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get("graft.dedup.eagerMaterialize", "true") == "true")
-      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else df
+    * The default `localCheckpoint` is NOT fault-tolerant: it pins the
+    * materialized blocks to executors, so losing an executor kills the
+    * job instead of recomputing. Right trade for the single-JVM bench.
+    * On a real cluster either set `graft.dedup.eagerMaterialize=false`
+    * (lineage stands; stages recompute upstream on loss) or
+    * `graft.dedup.materializeMode=reliable` (Dataset.checkpoint to the
+    * DFS dir from `SparkContext.setCheckpointDir` — survives executor
+    * loss at the price of a write+read round trip per barrier). All
+    * three paths are hash-equal by MaterializeModesSpec. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    if (conf.get("graft.dedup.eagerMaterialize", "true") != "true") df
+    else conf.get("graft.dedup.materializeMode", "local") match {
+      case "reliable" => df.checkpoint(true)
+      case _ => df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+  }
 
   // ------------------------------------------------ capped bucket pair join
 
