@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed heap (Xms = Xmx: no growth pauses mid-pass) + ParallelGC
+  // (throughput collector — bench passes are batch jobs, not
+  // latency-sensitive; G1's concurrent cycles added run-to-run jitter)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+UseParallelGC",
 )

@@ -65,23 +65,34 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def stddev(xs: Seq[Double]): Double =
+      if (xs.size < 2) 0.0
+      else {
+        val m = xs.sum / xs.size
+        math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+      }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, _) =>
       val rs = runs.map(_.toMap.apply(name))
       val ok = rs.collect { case Right(t) => t }
-      if (ok.nonEmpty) name -> median(ok)
+      if (ok.nonEmpty) name -> (median(ok), stddev(ok))
       else {
         errors(name) = rs.collectFirst { case Left(m) => m }.getOrElse("?")
-        name -> -1.0
+        name -> (-1.0, 0.0)
       }
     }.toMap
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query run-to-run stddev across the timed passes: the noise
+    // floor a regression must clear to be believed
+    val sd = results.toSeq.sortBy(_._1).map { case (k, (_, s)) => s"\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"stddev":$sd,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
