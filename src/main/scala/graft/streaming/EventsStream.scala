@@ -52,15 +52,25 @@ object EventsStream {
   /** Streaming source over the events parquet directory, normalizing the
     * nanosecond `ts` (see Tables.events) to a microsecond timestamp.
     * The nanos legacy conf is scoped to schema inference and restored
-    * (see Tables.withNanosAsLong). */
+    * (see Tables.withNanosAsLong).
+    *
+    * `events.parquet` may be either a single file (driver testdata) or a
+    * Spark-written DIRECTORY of part files (derived corpora such as the
+    * 10x scale run). A file needs the pathGlobFilter trick — the file
+    * source wants a directory basePath, so we point it at `dir` and
+    * filter to the one leaf name; a directory IS a valid basePath, and
+    * the glob would match nothing (leaves are part-*.parquet), so we
+    * stream it directly. */
   def source(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(hPath).isDirectory
     val (schema: StructType, raw) = graft.tables.Tables.withNanosAsLong(spark) {
-      val s = spark.read.parquet(s"$dir/events.parquet").schema
-      // The file source needs a directory basePath; select just the
-      // events file from the shared testdata dir via pathGlobFilter.
-      (s, spark.readStream.schema(s)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      val s = spark.read.parquet(path).schema
+      val reader = spark.readStream.schema(s)
+      (s, if (isDir) reader.parquet(path)
+          else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
     }
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
