@@ -274,7 +274,10 @@ object SparkEntry {
         graft.streaming.EventsStream.runAvailableNow(
           s, graft.streaming.EventsStream.funnelStages(
             graft.streaming.EventsStream.source(s, dir)), "q129_stream_funnel",
-          outputMode = "update")))
+          outputMode = "update"))),
+    // Gopher-style n-gram repetition rules: modal/duplicated gram mass
+    // per doc via the GramFreqStats native expression — zero shuffle.
+    "q130_repetition_rules" -> (T.repetitionRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,6 +409,7 @@ object SparkEntry {
     "q126_decode_stats"     -> graft.multimodal.MultimodalOps.decodeStatsSql,
     "q127_bfs_converged"    -> G.graphBfsConvergedSql,
     "q128_triangle_est"     -> G.triangleEstimateSql,
-    "q129_stream_funnel"    -> E.eventFunnelSql
+    "q129_stream_funnel"    -> E.eventFunnelSql,
+    "q130_repetition_rules" -> T.repetitionRulesSql
   )
 }

@@ -38,6 +38,10 @@ object NativeExprs {
     ExpressionUtils.column(
       GramHashesExpr(ExpressionUtils.expression(tokens), w, p))
 
+  def gramFreqStats(tokens: Column, w: Int, p: Long): Column =
+    ExpressionUtils.column(
+      GramFreqStatsExpr(ExpressionUtils.expression(tokens), w, p))
+
   def simHash(hs: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(hs), bits))
 
@@ -289,6 +293,55 @@ object GramHashesExpr {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Per-document w-gram frequency statistics in ONE in-row pass —
+  * `[n_pos, top_cnt, dup_pos]`: total gram positions, occurrences of
+  * the most frequent gram, and positions whose gram occurs more than
+  * once. The Gopher-style repetition rules (top-n-gram mass, duplicated
+  * n-gram mass) become a zero-shuffle narrow map instead of an
+  * explode→groupBy per gram size; the DuckDB twin re-derives the same
+  * three numbers from an unnest of the positional gram-hash list. */
+case class GramFreqStatsExpr(child: Expression, w: Int, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    GramFreqStatsExpr.stats(input.asInstanceOf[ArrayData], w, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramFreqStatsExpr.stats($c, $w, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): GramFreqStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_freq_stats"
+}
+
+object GramFreqStatsExpr {
+  def stats(tokens: ArrayData, w: Int, p: Long): ArrayData = {
+    val grams = GramHashesExpr.hashes(tokens, w, p)
+    val nPos = grams.numElements()
+    if (nPos == 0)
+      return new GenericArrayData(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    var i = 0
+    while (i < nPos) {
+      val c = counts.computeIfAbsent(grams.getLong(i), _ => new Array[Int](1))
+      c(0) += 1
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toLong
+      if (c > top) top = c
+      if (c > 1L) dup += c
+    }
+    new GenericArrayData(Array(nPos.toLong, top, dup))
   }
 }
 

@@ -593,6 +593,89 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------- Gopher-style n-gram repetition rules
+
+  /** Position-share thresholds (basis points) for [[repetitionRules]] —
+    * Gopher §A1.1-inspired: the paper caps the character mass of the
+    * most frequent {2,3,4}-gram at 20/18/16% and of duplicated
+    * {5..10}-grams at ≤15%; this corpus has no newlines or long n-gram
+    * tails, so the rules are re-expressed on the POSITIONAL token-gram
+    * scale (the q107 accounting convention): the share of w-gram
+    * positions held by the modal gram, and the share of 5-gram
+    * positions whose gram occurs more than once. */
+  val RepTop2MaxBp = 2000L
+  val RepTop3MaxBp = 1800L
+  val RepTop4MaxBp = 1600L
+  val RepDup5MaxBp = 1500L
+
+  /** Intra-document repetition rule bundle (q130) — the complement of
+    * q78's distinct-shingle ratio: q78 asks "how much of this doc is
+    * repeated AT ALL", these rules ask "is the repetition CONCENTRATED"
+    * (one runaway phrase — boilerplate headers, template spam, decode
+    * loops — versus diffuse reuse). Per doc and gram size w∈{2,3,4,5},
+    * [[graft.functions.GramFreqStatsExpr]] computes (positions, modal
+    * count, duplicated positions) in ONE in-row hash-map pass, so the
+    * whole bundle is a zero-shuffle codegen'd narrow map — no explode,
+    * no per-gram groupBy, O(doc length) state per row at any corpus
+    * size. Docs under 5 tokens have no 5-gram positions and drop out
+    * (same filter on both engines); all-integer basis points. */
+  def repetitionRules(spark: SparkSession, dir: String): DataFrame = {
+    val N = graft.functions.NativeExprs
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        N.gramFreqStats(col("t"), 2, P).as("s2"),
+        N.gramFreqStats(col("t"), 3, P).as("s3"),
+        N.gramFreqStats(col("t"), 4, P).as("s4"),
+        N.gramFreqStats(col("t"), 5, P).as("s5"))
+      .select(col("doc_id"),
+        expr("(s2[1] * 10000) div s2[0]").as("top2_bp"),
+        expr("(s3[1] * 10000) div s3[0]").as("top3_bp"),
+        expr("(s4[1] * 10000) div s4[0]").as("top4_bp"),
+        expr("(s5[2] * 10000) div s5[0]").as("dup5_bp"))
+      .withColumn("keep",
+        when(col("top2_bp") <= RepTop2MaxBp &&
+             col("top3_bp") <= RepTop3MaxBp &&
+             col("top4_bp") <= RepTop4MaxBp &&
+             col("dup5_bp") <= RepDup5MaxBp, lit(1L)).otherwise(lit(0L)))
+  }
+
+  val repetitionRulesSql: String = {
+    val t = tokensSql("text")
+    def gramAgg(w: Int): String =
+      s"""(SELECT doc_id,
+         |        CAST(sum(c) AS BIGINT) AS n_pos,
+         |        CAST(max(c) AS BIGINT) AS top_cnt,
+         |        CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_pos
+         |   FROM (SELECT doc_id, h, count(*) AS c
+         |           FROM (SELECT doc_id,
+         |                        unnest(list_transform(range(1, len(t) - ${w - 2}),
+         |                               i -> ${polyHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')")})) AS h
+         |                   FROM f)
+         |          GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id, $t AS t FROM documents WHERE len($t) >= 5),
+       |a2 AS ${gramAgg(2)},
+       |a3 AS ${gramAgg(3)},
+       |a4 AS ${gramAgg(4)},
+       |a5 AS ${gramAgg(5)},
+       |bp AS (
+       |  SELECT a2.doc_id,
+       |         (a2.top_cnt * 10000) // a2.n_pos AS top2_bp,
+       |         (a3.top_cnt * 10000) // a3.n_pos AS top3_bp,
+       |         (a4.top_cnt * 10000) // a4.n_pos AS top4_bp,
+       |         (a5.dup_pos * 10000) // a5.n_pos AS dup5_bp
+       |  FROM a2 JOIN a3 USING (doc_id) JOIN a4 USING (doc_id)
+       |          JOIN a5 USING (doc_id))
+       |SELECT doc_id, top2_bp, top3_bp, top4_bp, dup5_bp,
+       |       CASE WHEN top2_bp <= $RepTop2MaxBp AND top3_bp <= $RepTop3MaxBp
+       |             AND top4_bp <= $RepTop4MaxBp AND dup5_bp <= $RepDup5MaxBp
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM bp""".stripMargin
+  }
+
   // -------------------------------------------- mixture sampling under budget
 
   /** Per-(source, lang) token budget for [[mixtureSample]]. */

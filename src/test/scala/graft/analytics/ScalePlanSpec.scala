@@ -195,6 +195,17 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition rules are a zero-keyed-shuffle narrow map (q130)") {
+    withPlanConfs(noBroadcast = false) {
+      val df = graft.text.TextOps.repetitionRules(spark, dir)
+      // all four gram sizes fold inside the projection — the only
+      // exchange permitted is spread's round-robin testdata workaround
+      assert(keyedExchangeSchemas(df).isEmpty,
+        s"q130: repetition rules acquired a keyed shuffle:\n" +
+          df.queryExecution.executedPlan.treeString)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key holding ~90% of the fact side — the shape that stalls
     // a static plan on one straggler task at 100 TB

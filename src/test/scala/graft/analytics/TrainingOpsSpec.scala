@@ -178,6 +178,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition rules: bounds, and concentration separates spam from diverse text (q130)") {
+    val rules = TextOps.repetitionRules(spark, dir).collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      (1 to 4).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 10000,
+          s"doc ${r.getLong(0)} col $i out of [0,10000]") }
+      assert(r.getLong(5) == 0L || r.getLong(5) == 1L)
+    }
+    // adversarial corpus: a one-phrase spam doc must trip every rule,
+    // a doc of all-distinct tokens must trip none
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    Seq(
+      (1L, Seq.fill(30)("spam").mkString(" "), "en", "srcA"),
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" "), "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val adv = TextOps.repetitionRules(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(adv(1L).getLong(1) === 10000L, "spam modal 2-gram share")
+    assert(adv(1L).getLong(4) === 10000L, "spam duplicated 5-gram share")
+    assert(adv(1L).getLong(5) === 0L, "spam must be dropped")
+    assert(adv(2L).getLong(4) === 0L, "distinct doc has no duplicated 5-grams")
+    assert(adv(2L).getLong(5) === 1L, "distinct doc must be kept")
+  }
+
   test("PQ kNN returns K ranked neighbors per probe with nonzero recall (q79)") {
     val pq = VectorOps.knnPq(spark, dir)
     val perQuery = pq.groupBy("query_id").count().collect()

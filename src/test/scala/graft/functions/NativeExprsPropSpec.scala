@@ -104,6 +104,22 @@ class NativeExprsPropSpec extends AnyFunSuite {
     assertAgree(df, NativeExprs.shingleHashes(col("t"), ShingleW, P), hofShingles)
   }
 
+  test("GramFreqStatsExpr == [positions, modal count, duplicated positions] of gramHashes") {
+    import graft.functions.TextExprs.P
+    val df = sample(words, 300).map(Tuple1(_)).toDF("t")
+    for (w <- Seq(2, 5)) {
+      val g = NativeExprs.gramHashes(col("t"), w, P)
+      val nPos = size(g).cast("long")
+      val topCnt = coalesce(
+        array_max(transform(array_distinct(g),
+          x => size(filter(g, y => y === x)).cast("long"))), lit(0L))
+      val dupPos = size(filter(g,
+        x => size(filter(g, y => y === x)) > 1)).cast("long")
+      assertAgree(df, NativeExprs.gramFreqStats(col("t"), w, P),
+        array(nPos, topCnt, dupPos))
+    }
+  }
+
   test("DotProductExpr == zip_with+aggregate fold (exact: same fold order)") {
     val vec = Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0))
     val df = sample(Gen.zip(vec, vec), 300).toDF("x", "y")
