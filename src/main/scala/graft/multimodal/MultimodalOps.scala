@@ -395,4 +395,170 @@ object MultimodalOps {
       |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
       |       md5(text) AS digest
       |FROM documents""".stripMargin
+
+  // ---------------------------------------- perceptual hash (q131/q132)
+
+  /** Hamming radius for perceptual near-dup pairs. With the 64-bit
+    * hash split into 8 one-byte bands, any pair within 7 bits differs
+    * in at most 7 bands, so at least ONE band matches exactly
+    * (pigeonhole) — band blocking is EXACT at this radius, not
+    * approximate. */
+  val PHashHamming = 7
+
+  /** 64-bit average hash (aHash) of a decoded image: nearest-neighbor
+    * sample an 8×8 grid of RGB-sum cells (the q92 index map at a fixed
+    * 8×8 target), set bit `p` iff its cell exceeds the grid mean
+    * (`64·cell > Σcells`, all-integer — no float mean). Returned as
+    * two unsigned 32-bit halves packed in Longs so BOTH engines can do
+    * the arithmetic in plain signed 64-bit without overflow. */
+  private[multimodal] def ahashHalves(img: Ppm.Image): (Long, Long) = {
+    val cells = new Array[Long](64)
+    var tot = 0L
+    var p = 0
+    while (p < 64) {
+      val sy = (p / 8) * img.height / 8
+      val sx = (p % 8) * img.width / 8
+      val base = (sy * img.width + sx) * 3
+      val cell = (img.pixels(base) & 0xff).toLong +
+        (img.pixels(base + 1) & 0xff) + (img.pixels(base + 2) & 0xff)
+      cells(p) = cell; tot += cell; p += 1
+    }
+    var hi = 0L; var lo = 0L
+    p = 0
+    while (p < 64) {
+      if (64L * cells(p) > tot) {
+        if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+      }
+      p += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-image perceptual hash rows — REAL codec path (P6 parse →
+    * pixel grid → bits), one narrow pass, payloads never leave the
+    * partition; only (asset_id, two longs) ever moves. */
+  private def imageHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusAssets(spark, dir)
+      .filter((a: Asset) => a.kind == "image")
+      .mapPartitions { it =>
+        it.map { a =>
+          val (hi, lo) = ahashHalves(Ppm.decode(a.bytes))
+          (a.asset_id, hi, lo)
+        }
+      }.toDF("asset_id", "phash_hi", "phash_lo")
+  }
+
+  /** Perceptual exact-dup grouping (q131): every image keyed by its
+    * aHash; per class the representative is the min asset_id. This is
+    * the collapsed, LINEAR form of image dedup — classes are rows,
+    * members point at reps, and the quadratic pair set inside a class
+    * (the 100 TB killer: popular thumbnails repeat millions of times)
+    * is never emitted. One hash-keyed shuffle of fixed-width rows. */
+  def phashGroups(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageHashes(spark, dir)
+    val cls = h.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n_same"))
+    h.join(cls, Seq("phash_hi", "phash_lo"))
+      .select(col("asset_id"), col("phash_hi"), col("phash_lo"),
+        col("rep_id"), col("n_same"))
+  }
+
+  /** Perceptual NEAR-dup pairs (q132) at hamming ≤ [[PHashHamming]],
+    * computed over DISTINCT hashes only — the q21 collapse idea
+    * applied to images: exact-dup classes (the quadratic mass) are
+    * first collapsed to one row each by [[phashGroups]]' keyed agg,
+    * then the 8 one-byte bands of each distinct hash block the
+    * candidate join (exact at this radius — see [[PHashHamming]]),
+    * and `bit_count(xor)` verifies. Shuffles carry only id/long rows;
+    * candidate volume is O(distinct-hashes × 8), independent of how
+    * often each image repeats. */
+  def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val cls = imageHashes(spark, dir)
+      .groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n"))
+    val bandCols = (0 until 8).map { k =>
+      val half = if (k < 4) col("phash_lo") else col("phash_hi")
+      struct(lit(k).as("bk"),
+        shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val bands = cls.select(col("rep_id"), col("phash_hi"), col("phash_lo"),
+      col("n"), explode(array(bandCols: _*)).as("band"))
+      .select(col("rep_id"), col("phash_hi"), col("phash_lo"), col("n"),
+        col("band.bk").as("bk"), col("band.bv").as("bv"))
+    val a = bands.alias("a"); val b = bands.alias("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+        col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("a1"), col("b.rep_id").as("a2"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))) +
+          bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= PHashHamming)
+      .distinct()
+  }
+
+  /** Shared oracle CTE: re-derives every image's aHash ARITHMETICALLY
+    * from the generator formula (per-cell byte index map exactly as the
+    * q92 resize oracle, RGB-triple sum with the 254/255 wrap cases),
+    * never touching a byte — the Spark side hashes genuinely decoded
+    * pixels, so a green hash certifies codec + grid + threshold. */
+  private val phashHashesSql: String =
+    s"""dims AS (
+       |  SELECT doc_id AS asset_id,
+       |         (doc_id * 97) % 256 AS c,
+       |         64 + (doc_id % 8) * 32 AS w,
+       |         64 + (doc_id % 5) * 48 AS h
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |grid AS (
+       |  SELECT asset_id, c, w, h, unnest(range(0, 64)) AS p
+       |  FROM dims),
+       |cellv AS (
+       |  SELECT asset_id, p,
+       |         (c + (((p // 8) * h // 8) * w + (p % 8) * w // 8) * 3) % 256 AS m
+       |  FROM grid),
+       |cells AS (
+       |  SELECT asset_id, p,
+       |         CASE WHEN m = 254 THEN 509 WHEN m = 255 THEN 256
+       |              ELSE 3 * m + 3 END AS cell
+       |  FROM cellv),
+       |tots AS (SELECT asset_id, sum(cell) AS tot FROM cells GROUP BY 1),
+       |bits AS (
+       |  SELECT c.asset_id, p,
+       |         CASE WHEN 64 * cell > tot THEN 1 ELSE 0 END AS bit
+       |  FROM cells c JOIN tots t ON c.asset_id = t.asset_id),
+       |hashes AS (
+       |  SELECT asset_id,
+       |         CAST(sum(CASE WHEN bit = 1 AND p >= 32
+       |                       THEN (1::BIGINT << (p - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+       |         CAST(sum(CASE WHEN bit = 1 AND p < 32
+       |                       THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS phash_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  val phashGroupsSql: String =
+    s"""WITH $phashHashesSql,
+       |cls AS (
+       |  SELECT phash_hi, phash_lo, min(asset_id) AS rep_id,
+       |         CAST(count(*) AS BIGINT) AS n_same
+       |  FROM hashes GROUP BY 1, 2)
+       |SELECT h.asset_id, h.phash_hi, h.phash_lo, c.rep_id, c.n_same
+       |FROM hashes h JOIN cls c
+       |  ON h.phash_hi = c.phash_hi AND h.phash_lo = c.phash_lo""".stripMargin
+
+  /** Oracle verifies the BANDED Spark result against brute-force
+    * popcount over all distinct-hash pairs — the strongest possible
+    * check that band blocking lost nothing (cheap in DuckDB because
+    * distinct hashes are few; the Spark side must never do this). */
+  val phashNeardupSql: String =
+    s"""WITH $phashHashesSql,
+       |cls AS (
+       |  SELECT phash_hi, phash_lo, min(asset_id) AS rep_id,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM hashes GROUP BY 1, 2)
+       |SELECT a.rep_id AS a1, b.rep_id AS a2, a.n AS n_a, b.n AS n_b,
+       |       CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+       |            + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT) AS hamming
+       |FROM cls a JOIN cls b ON a.rep_id < b.rep_id
+       |WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+       |      + bit_count(xor(a.phash_lo, b.phash_lo)) <= $PHashHamming""".stripMargin
 }

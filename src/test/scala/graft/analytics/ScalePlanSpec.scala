@@ -172,12 +172,16 @@ class ScalePlanSpec extends AnyFunSuite {
   test("multimodal pipelines: media payloads never enter ANY exchange (q82/q92/q126)") {
     withPlanConfs(noBroadcast = false) {
       val M = graft.multimodal.MultimodalOps
-      for ((df, name) <- Seq(
-          (M.frameSamples(spark, dir), "q82"),
-          (M.resizePlans(spark, dir), "q92"),
-          (M.decodeStats(spark, dir), "q126"))) {
+      for ((df, name, narrow) <- Seq(
+          (M.frameSamples(spark, dir), "q82", true),
+          (M.resizePlans(spark, dir), "q92", true),
+          (M.decodeStats(spark, dir), "q126", true),
+          // the phash family DOES shuffle — keyed on the two hash
+          // longs — but only fixed-width rows ever move
+          (M.phashGroups(spark, dir), "q131", false),
+          (M.phashNeardup(spark, dir), "q132", false))) {
         // decode/resize/frame-sum is a narrow map: no keyed shuffle at all
-        assert(keyedExchangeSchemas(df).isEmpty,
+        if (narrow) assert(keyedExchangeSchemas(df).isEmpty,
           s"$name: multimodal pipeline acquired a keyed shuffle")
         // and NO exchange of any kind (incl. the spread round-robin)
         // may carry the binary payload or any string-typed column —

@@ -165,6 +165,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash over real decoded pixels matches independent generator arithmetic (q131)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MultimodalOps.phashGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent re-derivation straight from the byte formula — never
+    // touches the codec, the buffer, or ahashHalves
+    val expected = (for (id <- docIds if id % 3 != 0) yield {
+      val c = (id * 97) % 256
+      val w = (64 + (id % 8) * 32).toInt
+      val h = (64 + (id % 5) * 48).toInt
+      val cells = Array.tabulate(64) { p =>
+        val base = (((p / 8) * h / 8) * w.toLong + (p % 8) * w / 8) * 3
+        (0 until 3).map(k => (c + base + k) % 256).sum
+      }
+      val tot = cells.sum
+      var hi = 0L; var lo = 0L
+      for (p <- 0 until 64 if 64L * cells(p) > tot)
+        if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+      id -> ((hi, lo))
+    }).toMap
+    assert(got === expected)
+  }
+
+  test("phash grouping: reps share the hash, class sizes sum to the image count (q131)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.phashGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byHash = rows.groupBy(r => (r._2, r._3))
+    byHash.values.foreach { members =>
+      val rep = members.map(_._4).distinct
+      assert(rep.length === 1)                       // one rep per class
+      assert(rep.head === members.map(_._1).min)     // rep = min asset
+      assert(members.forall(_._5 == members.length)) // n_same consistent
+    }
+    assert(rows.length === rows.map(_._1).distinct.length) // one row per image
+  }
+
+  test("phash near-dup banding is EXACT: equals brute-force popcount over distinct hashes (q132)") {
+    val dir = "/root/testdata/sf0.001"
+    val banded = MultimodalOps.phashNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val cls = MultimodalOps.phashGroups(spark, dir).collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3), r.getLong(4)))
+      .distinct
+    val brute = (for {
+      i <- cls.indices; j <- cls.indices
+      if cls(i)._2 < cls(j)._2
+      d = java.lang.Long.bitCount(cls(i)._1._1 ^ cls(j)._1._1) +
+        java.lang.Long.bitCount(cls(i)._1._2 ^ cls(j)._1._2)
+      if d <= MultimodalOps.PHashHamming
+    } yield (cls(i)._2, cls(j)._2, cls(i)._3, cls(j)._3, d.toLong)).toSet
+    assert(brute.nonEmpty)
+    assert(banded === brute)
+  }
+
   test("frame sampling emits every stride-th frame index") {
     val sampled = MultimodalOps.frameSample(decoded, stride = 10)
     val perAsset = sampled.groupBy("asset_id").count()
