@@ -277,7 +277,18 @@ object SparkEntry {
           outputMode = "update"))),
     // Gopher-style n-gram repetition rules: modal/duplicated gram mass
     // per doc via the GramFreqStats native expression — zero shuffle.
-    "q130_repetition_rules" -> (T.repetitionRules _)
+    "q130_repetition_rules" -> (T.repetitionRules _),
+    // Perceptual (aHash) exact-dup grouping over REAL decoded pixels:
+    // linear collapsed form, one fixed-width hash-keyed shuffle.
+    "q131_phash_groups"     -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.phashGroups(s, dir)),
+    // Perceptual NEAR-dup pairs over DISTINCT hashes: 8-band blocking,
+    // pigeonhole-exact at hamming<=7, bit_count(xor) verify.
+    "q132_phash_neardup"    -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.phashNeardup(s, dir)),
+    // Unigram-LM-style commonality scoring: corpus token counts joined
+    // back per doc, all-integer (sum/min freq + rare-token bp).
+    "q133_token_commonality" -> (T.tokenCommonality _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,6 +421,9 @@ object SparkEntry {
     "q127_bfs_converged"    -> G.graphBfsConvergedSql,
     "q128_triangle_est"     -> G.triangleEstimateSql,
     "q129_stream_funnel"    -> E.eventFunnelSql,
-    "q130_repetition_rules" -> T.repetitionRulesSql
+    "q130_repetition_rules" -> T.repetitionRulesSql,
+    "q131_phash_groups"     -> graft.multimodal.MultimodalOps.phashGroupsSql,
+    "q132_phash_neardup"    -> graft.multimodal.MultimodalOps.phashNeardupSql,
+    "q133_token_commonality" -> T.tokenCommonalitySql
   )
 }

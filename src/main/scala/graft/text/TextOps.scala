@@ -912,4 +912,68 @@ object TextOps {
        |SELECT term, n, CAST(1 AS BIGINT) AS in_sketch
        |FROM c CROSS JOIN tot
        |WHERE n * ${MgCapacity + 1} > total""".stripMargin
+
+  // --------------------------------------------- token commonality (q133)
+
+  /** A token is "rare" when it holds under 1% of the corpus token mass
+    * (`100·count < total`) — a RELATIVE threshold, so the rule keeps
+    * meaning at any corpus size. */
+  val RareMult = 100L
+
+  /** Corpus-frequency scoring per document (q133): every token is
+    * priced at its corpus-wide occurrence count, and each document
+    * reports total/min token commonality plus the rare-token share —
+    * the unigram-LM-style quality signal (docs made of corpus-typical
+    * tokens score high; docs carrying out-of-distribution tokens show
+    * a low `min_freq` and a positive `rare_bp`). All-integer: counts,
+    * sums, and a basis-point integer division — bit-identical across
+    * engines.
+    *
+    * Scale shape: one token-keyed count agg (map-side combined; vocab-
+    * sized result), one token-keyed join of the exploded corpus back
+    * to those counts — Zipf-hot tokens ('the') are exactly the AQE
+    * skew-join case, and the count table is vocab-sized so AQE turns
+    * the join broadcast when it fits — then one doc_id-keyed re-agg.
+    * The 1-row corpus total is an explicit broadcast. Zero-token
+    * documents survive via the final left join (guarded division). */
+  def tokenCommonality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val toks = docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum(col("c")).cast("long").as("total"))
+    val per = toks.join(cnt, "t").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).cast("long").as("sum_freq"),
+        min(col("c")).cast("long").as("min_freq"),
+        sum(when(col("c") * RareMult < col("total"), 1L).otherwise(0L))
+          .as("n_rare"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("min_freq"), lit(0L)).as("min_freq"),
+        when(coalesce(col("n"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("n_rare * 10000 DIV n")).as("rare_bp"))
+  }
+
+  val tokenCommonalitySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT sum(c) AS total FROM cnt),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n,
+       |         CAST(sum(c) AS BIGINT) AS sum_freq,
+       |         CAST(min(c) AS BIGINT) AS min_freq,
+       |         CAST(sum(CASE WHEN c * $RareMult < total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM toks JOIN cnt USING (t) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+       |       coalesce(p.sum_freq, 0) AS sum_freq,
+       |       coalesce(p.min_freq, 0) AS min_freq,
+       |       CAST(CASE WHEN coalesce(p.n, 0) = 0 THEN 0
+       |                 ELSE p.n_rare * 10000 // p.n END AS BIGINT) AS rare_bp
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
 }

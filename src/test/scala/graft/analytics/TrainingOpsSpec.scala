@@ -398,6 +398,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     led.unpersist()
   }
 
+  test("token commonality matches an independent in-memory recomputation (q133)") {
+    val got = TextOps.tokenCommonality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // plain-Scala twin: tokenize (lowercase, strip non-alnum, split),
+    // count corpus-wide, price each doc
+    val texts = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    val all = texts.flatMap { case (_, t) => toks(t) }
+    val cnt = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = all.length.toLong
+    val expected = texts.map { case (id, t) =>
+      val tk = toks(t)
+      if (tk.isEmpty) id -> ((0L, 0L, 0L, 0L))
+      else {
+        val freqs = tk.map(cnt)
+        val nRare = freqs.count(_ * TextOps.RareMult < total).toLong
+        id -> ((tk.length.toLong, freqs.sum, freqs.min,
+          nRare * 10000 / tk.length))
+      }
+    }.toMap
+    assert(got === expected)
+    // the corpus carries a deliberately rare marker token: the rule
+    // must actually separate docs (some rare_bp > 0, never all)
+    val bps = got.values.map(_._4)
+    assert(bps.exists(_ > 0) && bps.exists(_ == 0))
+  }
+
   test("consensus adjudication is the exact overlay of both signals (q98)") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
