@@ -288,7 +288,10 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.phashNeardup(s, dir)),
     // Unigram-LM-style commonality scoring: corpus token counts joined
     // back per doc, all-integer (sum/min freq + rare-token bp).
-    "q133_token_commonality" -> (T.tokenCommonality _)
+    "q133_token_commonality" -> (T.tokenCommonality _),
+    // q72's cluster map via alternating large-star/small-star: O(log n)
+    // rounds instead of O(diameter); same output, same oracle.
+    "q134_cc_star"          -> (D.dedupClustersStar _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,6 +427,7 @@ object SparkEntry {
     "q130_repetition_rules" -> T.repetitionRulesSql,
     "q131_phash_groups"     -> graft.multimodal.MultimodalOps.phashGroupsSql,
     "q132_phash_neardup"    -> graft.multimodal.MultimodalOps.phashNeardupSql,
-    "q133_token_commonality" -> T.tokenCommonalitySql
+    "q133_token_commonality" -> T.tokenCommonalitySql,
+    "q134_cc_star"          -> D.dedupClustersSql
   )
 }

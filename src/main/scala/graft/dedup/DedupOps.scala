@@ -618,6 +618,78 @@ object DedupOps {
     labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
   }
 
+  /** Connected components over the verified near-dup pairs via
+    * alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the published
+    * scale form of q72's min-label propagation. Propagation needs
+    * O(diameter) rounds (a 10M-node chain of paraphrased mirror pages
+    * is 10M rounds); star contraction halves path lengths every
+    * iteration and converges in O(log n) rounds on ANY topology, each
+    * round two groupBy-min + join passes over id-pair rows (no
+    * adjacency lists are ever collected, so a 100M-member component
+    * hub is an AQE skew-join, not an OOM). Same output contract and
+    * ORACLE as q72: (doc_id, component-min rep_id) for every node of
+    * the pair graph — the two forms are interchangeable, proven
+    * hash-equal in the spec and by the shared oracle. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    starComponents(minhashLsh(spark, dir).select(col("d1"), col("d2")))._1
+
+  /** (cluster map, rounds-to-fixpoint). Edges are held canonically
+    * (a < b, no self-loops, distinct); at the fixpoint every edge is
+    * (component-min, member), so the map is one left join from the
+    * node set (isolated reps label themselves). Each round is
+    * materialized — lineage truncation, the q127 convention — and the
+    * fixpoint test is EXACT: same cardinality + empty one-sided
+    * except over the distinct canonical sets. */
+  private[graft] def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = materialize(pairs.select(col("d1").as("node"))
+      .unionAll(pairs.select(col("d2").as("node"))).distinct())
+    var edges = materialize(pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) — one map-side-combined aggregate
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+
+    // large-star: every neighbor ABOVE u links to u's local min
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.join(mins(s), "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star: neighbors BELOW u (and u itself) re-link to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = mins(s)
+      s.join(m, "u").filter(col("v") < col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(m.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < 64) { // log2-bounded; 64 = overflow guard
+      val next = materialize(smallStar(largeStar(edges)))
+      rounds += 1
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    val map = nodes
+      .join(edges.select(col("b").as("node"), col("a").as("rep")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("rep"), col("node")).as("rep_id"))
+    (map, rounds)
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS ($minhashLshSql),
        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),

@@ -398,6 +398,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     led.unpersist()
   }
 
+  test("star CC equals min-label propagation on the corpus pair graph (q134 vs q72)") {
+    val star = DedupOps.dedupClustersStar(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.nonEmpty)
+    assert(star === prop)
+  }
+
+  test("star CC converges in O(log n) rounds on a diameter-199 path (q134)") {
+    import spark.implicits._
+    // path 0-1-2-...-199: min-label propagation would need ~199 rounds
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (map, rounds) = DedupOps.starComponents(pairs)
+    val labels = map.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 200)
+    assert(labels.values.forall(_ == 0L), "every node must reach the component min")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a 200-node path")
+  }
+
+  test("star CC: singleton and two-component graphs label correctly (q134)") {
+    import spark.implicits._
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("d1", "d2")
+    val (map, _) = DedupOps.starComponents(pairs)
+    val labels = map.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("token commonality matches an independent in-memory recomputation (q133)") {
     val got = TextOps.tokenCommonality(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
