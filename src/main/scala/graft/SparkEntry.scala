@@ -291,7 +291,11 @@ object SparkEntry {
     "q133_token_commonality" -> (T.tokenCommonality _),
     // q72's cluster map via alternating large-star/small-star: O(log n)
     // rounds instead of O(diameter); same output, same oracle.
-    "q134_cc_star"          -> (D.dedupClustersStar _)
+    "q134_cc_star"          -> (D.dedupClustersStar _),
+    // VAD-style audio energy segmentation over real decoded PCM:
+    // zero-shuffle narrow emit, gaps-and-islands oracle twin.
+    "q135_audio_segments"   -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.audioSegments(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -428,6 +432,7 @@ object SparkEntry {
     "q131_phash_groups"     -> graft.multimodal.MultimodalOps.phashGroupsSql,
     "q132_phash_neardup"    -> graft.multimodal.MultimodalOps.phashNeardupSql,
     "q133_token_commonality" -> T.tokenCommonalitySql,
-    "q134_cc_star"          -> D.dedupClustersSql
+    "q134_cc_star"          -> D.dedupClustersSql,
+    "q135_audio_segments"   -> graft.multimodal.MultimodalOps.audioSegmentsSql
   )
 }

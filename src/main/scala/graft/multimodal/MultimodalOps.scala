@@ -498,6 +498,95 @@ object MultimodalOps {
       .distinct()
   }
 
+  // ------------------------------------------ audio segmentation (q135)
+
+  /** A frame is "active" when its mean |sample| is ≥ 64 (half full
+    * scale of the int8-ish generator stream) — Σ|s| ≥ 160·64. */
+  val EnergyThreshold: Long = FrameLen * 64L
+
+  /** Voice-activity-style energy segmentation (q135): every audio
+    * asset is DECODED (real RIFF walk, int16 samples), per-frame
+    * Σ|sample| energies are classified against [[EnergyThreshold]],
+    * and maximal runs of the same class become segment rows — the
+    * silence-trim / speech-extent primitive an audio training
+    * pipeline runs before chunking.
+    *
+    * Scale shape: segmentation is per-asset-LOCAL, so the whole
+    * operator is one narrow mapPartitions pass emitting small segment
+    * rows — zero shuffle, no window function, payloads never move.
+    * The DuckDB oracle rebuilds the same segments relationally
+    * (per-sample generator arithmetic → frame energies →
+    * gaps-and-islands), so the imperative run-builder is value-checked
+    * against a declarative twin. */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusAssets(spark, dir)
+      .filter((a: Asset) => a.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val au = Wav.decode(a.bytes)
+          val nFrames = au.samples.length / FrameLen
+          val segs = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long)]
+          var segActive = -1L; var segStart = 0L; var segEnergy = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L; var k = f * FrameLen; val end = k + FrameLen
+            while (k < end) { e += math.abs(au.samples(k).toLong); k += 1 }
+            val act = if (e >= EnergyThreshold) 1L else 0L
+            if (segActive < 0) { segActive = act; segStart = 0; segEnergy = e }
+            else if (act == segActive) segEnergy += e
+            else {
+              segs += ((a.asset_id, segs.length.toLong, segActive,
+                segStart, f - segStart, segEnergy))
+              segActive = act; segStart = f; segEnergy = e
+            }
+            f += 1
+          }
+          if (segActive >= 0)
+            segs += ((a.asset_id, segs.length.toLong, segActive,
+              segStart, nFrames - segStart, segEnergy))
+          segs.iterator
+        }
+      }.toDF("asset_id", "seg_idx", "is_active", "start_frame",
+        "n_frames", "energy_sum")
+  }
+
+  /** Oracle: per-sample |((c+i) mod 256) − 128| energies summed per
+    * frame, then textbook gaps-and-islands (`f − row_number` within
+    * (asset, class)) — never sees a byte. */
+  val audioSegmentsSql: String =
+    s"""WITH au AS (
+       |  SELECT doc_id AS asset_id, (doc_id * 97) % 256 AS c,
+       |         100 + doc_id % 50 AS fr
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |smp AS (
+       |  SELECT asset_id, c, unnest(range(0, fr * $FrameLen)) AS i FROM au),
+       |fe AS (
+       |  SELECT asset_id, i // $FrameLen AS f,
+       |         sum(abs(((c + i) % 256) - 128)) AS e
+       |  FROM smp GROUP BY 1, 2),
+       |cl AS (
+       |  SELECT asset_id, f, e,
+       |         CASE WHEN e >= $EnergyThreshold THEN 1 ELSE 0 END AS act
+       |  FROM fe),
+       |isl AS (
+       |  SELECT asset_id, f, e, act,
+       |         f - row_number() OVER (PARTITION BY asset_id, act ORDER BY f) AS grp
+       |  FROM cl),
+       |seg AS (
+       |  SELECT asset_id, act, min(f) AS start_frame,
+       |         count(*) AS n_frames, sum(e) AS energy_sum
+       |  FROM isl GROUP BY asset_id, act, grp)
+       |SELECT asset_id,
+       |       CAST(row_number() OVER (PARTITION BY asset_id ORDER BY start_frame) - 1
+       |            AS BIGINT) AS seg_idx,
+       |       CAST(act AS BIGINT) AS is_active,
+       |       CAST(start_frame AS BIGINT) AS start_frame,
+       |       CAST(n_frames AS BIGINT) AS n_frames,
+       |       CAST(energy_sum AS BIGINT) AS energy_sum
+       |FROM seg""".stripMargin
+
   /** Shared oracle CTE: re-derives every image's aHash ARITHMETICALLY
     * from the generator formula (per-cell byte index map exactly as the
     * q92 resize oracle, RGB-triple sum with the 254/255 wrap cases),

@@ -176,6 +176,7 @@ class ScalePlanSpec extends AnyFunSuite {
           (M.frameSamples(spark, dir), "q82", true),
           (M.resizePlans(spark, dir), "q92", true),
           (M.decodeStats(spark, dir), "q126", true),
+          (M.audioSegments(spark, dir), "q135", true),
           // the phash family DOES shuffle — keyed on the two hash
           // longs — but only fixed-width rows ever move
           (M.phashGroups(spark, dir), "q131", false),

@@ -223,6 +223,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("audio segmentation: segments match generator arithmetic and tile each asset (q135)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.audioSegments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent twin from the byte formula (never touches the codec)
+    val expected = (for (id <- docIds if id % 3 == 0) yield {
+      val c = (id * 97) % 256
+      val nFrames = (100 + id % 50).toInt
+      val cls = (0 until nFrames).map { f =>
+        val e = (f * 160 until (f + 1) * 160)
+          .map(i => math.abs((c + i) % 256 - 128).toLong).sum
+        (e, if (e >= MultimodalOps.EnergyThreshold) 1L else 0L)
+      }
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      var start = 0
+      for (f <- 1 to nFrames)
+        if (f == nFrames || cls(f)._2 != cls(start)._2) {
+          segs += ((id, segs.length.toLong, cls(start)._2, start.toLong,
+            (f - start).toLong, cls.slice(start, f).map(_._1).sum))
+          start = f
+        }
+      segs
+    }).flatten.toSet
+    assert(rows.toSet === expected)
+    // structural invariants: per asset the segments alternate class and
+    // tile [0, nFrames) without gaps
+    rows.groupBy(_._1).values.foreach { segs =>
+      val s = segs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(p._3 != n._3, "adjacent segments must alternate class")
+          assert(p._4 + p._5 === n._4, "segments must be contiguous")
+        case _ =>
+      }
+      assert(s.head._4 === 0L)
+    }
+  }
+
   test("frame sampling emits every stride-th frame index") {
     val sampled = MultimodalOps.frameSample(decoded, stride = 10)
     val perAsset = sampled.groupBy("asset_id").count()
