@@ -295,7 +295,13 @@ object SparkEntry {
     // VAD-style audio energy segmentation over real decoded PCM:
     // zero-shuffle narrow emit, gaps-and-islands oracle twin.
     "q135_audio_segments"   -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.audioSegments(s, dir))
+      graft.multimodal.MultimodalOps.audioSegments(s, dir)),
+    // Matryoshka prefix-dim kNN: free-slice truncated shortlist,
+    // exact full-dim re-rank — q84's shape without a projection.
+    "q136_knn_matryoshka"   -> (V.knnMatryoshka _),
+    // Last-touch purchase attribution: strictly-preceding range-frame
+    // window, 30-min lookback, per-channel revenue rollup.
+    "q137_attribution"      -> (E.purchaseAttribution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,6 +439,8 @@ object SparkEntry {
     "q132_phash_neardup"    -> graft.multimodal.MultimodalOps.phashNeardupSql,
     "q133_token_commonality" -> T.tokenCommonalitySql,
     "q134_cc_star"          -> D.dedupClustersSql,
-    "q135_audio_segments"   -> graft.multimodal.MultimodalOps.audioSegmentsSql
+    "q135_audio_segments"   -> graft.multimodal.MultimodalOps.audioSegmentsSql,
+    "q136_knn_matryoshka"   -> V.knnMatryoshkaSql,
+    "q137_attribution"      -> E.purchaseAttributionSql
   )
 }

@@ -537,4 +537,73 @@ object EventOps {
       |       CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events
       |FROM spine CROSS JOIN types
       |LEFT JOIN hourly ON hourly.ws = spine.ws AND hourly.event_type = types.event_type""".stripMargin
+
+  // --------------------------------------------- purchase attribution (q137)
+
+  /** Attribution lookback: a click/view only earns the purchase if it
+    * happened within this many microseconds before it (30 min). */
+  val AttribLookbackUs: Long = 30L * 60 * 1000000
+
+  /** Last-touch purchase attribution (q137): each purchase is credited
+    * to the user's most recent STRICTLY-preceding click within the
+    * lookback, else the most recent view, else 'direct', and the
+    * result rolls up revenue per channel. "Strictly preceding" is a
+    * RANGE frame ending at 1-preceding on epoch-micros — unlike a ROWS
+    * frame it is deterministic when a click and a purchase share a
+    * timestamp (the tie counts as NOT preceding on both engines).
+    *
+    * Scale shape: ONE user-keyed window pass over the events (running
+    * conditional max carries the last click/view timestamp — no
+    * self-join of purchases against the event history), then a
+    * channel-keyed rollup of purchase rows only. At 100 TB this is the
+    * sessionize shape: per-user state, map-side-combined rollup,
+    * nothing ever pairs events across users. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+    val before = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_click",
+        max(when(col("event_type") === "click", col("tus"))).over(before))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("tus"))).over(before))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_click").isNotNull &&
+          col("tus") - col("last_click") <= AttribLookbackUs, "click")
+          .when(col("last_view").isNotNull &&
+            col("tus") - col("last_view") <= AttribLookbackUs, "view")
+          .otherwise("direct"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val purchaseAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+       |w AS (
+       |  SELECT user_id, event_type, value, tus,
+       |         max(CASE WHEN event_type = 'click' THEN tus END)
+       |           OVER (PARTITION BY user_id ORDER BY tus
+       |                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+       |         max(CASE WHEN event_type = 'view' THEN tus END)
+       |           OVER (PARTITION BY user_id ORDER BY tus
+       |                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+       |  FROM e),
+       |p AS (
+       |  SELECT CASE WHEN last_click IS NOT NULL
+       |                   AND tus - last_click <= $AttribLookbackUs THEN 'click'
+       |              WHEN last_view IS NOT NULL
+       |                   AND tus - last_view <= $AttribLookbackUs THEN 'view'
+       |              ELSE 'direct' END AS channel,
+       |         user_id, value
+       |  FROM w WHERE event_type = 'purchase')
+       |SELECT channel,
+       |       CAST(count(*) AS BIGINT) AS n_purchases,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       round(sum(value), 2) AS total_value
+       |FROM p GROUP BY 1""".stripMargin
 }

@@ -40,6 +40,49 @@ class Round5OpsSpec extends AnyFunSuite {
       ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("attribution: lookback, precedence, and the same-timestamp tie (q137)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attrib_").toString
+    Seq(
+      // u1: click 10 min before the purchase → click
+      (1L, "view", "2024-01-01 00:00:00", 0.0),
+      (1L, "click", "2024-01-01 00:10:00", 0.0),
+      (1L, "purchase", "2024-01-01 00:20:00", 10.0),
+      // u2: only a view, 25 min before → view
+      (2L, "view", "2024-01-01 00:00:00", 0.0),
+      (2L, "purchase", "2024-01-01 00:25:00", 20.0),
+      // u3: cold purchase → direct
+      (3L, "purchase", "2024-01-01 00:00:00", 40.0),
+      // u4: click at the SAME micros as the purchase — the tie is NOT
+      // strictly preceding, so it must not earn the credit → direct
+      (4L, "click", "2024-01-01 00:00:00", 0.0),
+      (4L, "purchase", "2024-01-01 00:00:00", 80.0),
+      // u5: click 31 min before (outside lookback), view 25 min before → view
+      (5L, "click", "2024-01-01 00:00:00", 0.0),
+      (5L, "view", "2024-01-01 00:06:00", 0.0),
+      (5L, "purchase", "2024-01-01 00:31:00", 160.0))
+      .toDF("user_id", "event_type", "ts_s", "value")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("ts_s")).as("ts"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.purchaseAttribution(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      "click"  -> ((1L, 1L, 10.0)),
+      "view"   -> ((2L, 2L, 180.0)),
+      "direct" -> ((2L, 2L, 120.0))))
+  }
+
+  test("attribution on the corpus partitions all purchases (q137)") {
+    val rows = EventOps.purchaseAttribution(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val purchases = graft.tables.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(total === purchases)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "direct")))
+  }
+
   test("gap-filled hourly grid is dense and loses no events (q111)") {
     val g = EventOps.gapfillHourly(spark, dir).cache()
     val hours = g.select(col("window_start")).distinct().count()

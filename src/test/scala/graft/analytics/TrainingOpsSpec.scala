@@ -398,6 +398,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     led.unpersist()
   }
 
+  test("matryoshka kNN: K exact-scored ranks per probe, measured recall vs brute (q136)") {
+    val mrl = VectorOps.knnMatryoshka(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val perQuery = mrl.groupBy(_._1)
+    assert(perQuery.nonEmpty)
+    perQuery.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to VectorOps.KLsh))
+      // ranks ordered by the EXACT full-dim score (re-rank happened)
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // re-rank runs in the ORIGINAL space: every reported score must
+    // equal the brute-force score for that (query, neighbor)
+    val brute = VectorOps.knnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scored = mrl.flatMap(t => brute.get((t._1, t._2)).map(b => (t._3, b)))
+    assert(scored.forall { case (a, b) => a == b })
+    // recall@K of the 16-dim prefix shortlist vs the exact top-K —
+    // measured, q84 convention. The corpus is RANDOM synthetic
+    // vectors (no MRL training nests the prefix), so this is the
+    // recall floor; real Matryoshka embeddings concentrate mass in
+    // the prefix by construction.
+    val bruteK = VectorOps.knnBrute(spark, dir).collect()
+      .filter(_.getInt(3) <= VectorOps.KLsh)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mrl.count(t => bruteK((t._1, t._2))).toDouble / bruteK.size
+    info(f"matryoshka recall@${VectorOps.KLsh} = $recall%.2f")
+    assert(recall > 0.0, "prefix shortlist found no true neighbors at all")
+  }
+
   test("star CC equals min-label propagation on the corpus pair graph (q134 vs q72)") {
     val star = DedupOps.dedupClustersStar(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
