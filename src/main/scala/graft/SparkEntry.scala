@@ -301,7 +301,14 @@ object SparkEntry {
     "q136_knn_matryoshka"   -> (V.knnMatryoshka _),
     // Last-touch purchase attribution: strictly-preceding range-frame
     // window, 30-min lookback, per-channel revenue rollup.
-    "q137_attribution"      -> (E.purchaseAttribution _)
+    "q137_attribution"      -> (E.purchaseAttribution _),
+    // Per-language lower-median quality routing: exact integer
+    // quantile threshold per stratum, keep/drop verdicts.
+    "q138_quality_route"    -> (T.qualityQuantileRoute _),
+    // Incremental perceptual ingest gate: batch images probe the
+    // corpus phash index, (hamming, rep)-elected verdicts.
+    "q139_phash_ingest"     -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.phashIngestGate(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,6 +448,8 @@ object SparkEntry {
     "q134_cc_star"          -> D.dedupClustersSql,
     "q135_audio_segments"   -> graft.multimodal.MultimodalOps.audioSegmentsSql,
     "q136_knn_matryoshka"   -> V.knnMatryoshkaSql,
-    "q137_attribution"      -> E.purchaseAttributionSql
+    "q137_attribution"      -> E.purchaseAttributionSql,
+    "q138_quality_route"    -> T.qualityQuantileRouteSql,
+    "q139_phash_ingest"     -> graft.multimodal.MultimodalOps.phashIngestGateSql
   )
 }

@@ -587,6 +587,95 @@ object MultimodalOps {
        |       CAST(energy_sum AS BIGINT) AS energy_sum
        |FROM seg""".stripMargin
 
+  /** Incremental perceptual ingest gate (q139): every image asset with
+    * `asset_id ≡ 4 (mod 5)` plays the ARRIVING batch (the q88
+    * convention), the rest the standing corpus, and each batch image
+    * gets a verdict: does the corpus already hold a perceptual
+    * near-dup (hamming ≤ [[PHashHamming]])? The verdict is elected
+    * per DISTINCT batch hash — (best hamming, then lowest corpus rep)
+    * — and expanded back to batch members, so per-run work is
+    * O(batch-distinct × 8 bands) probing a corpus-side index,
+    * INDEPENDENT of corpus size per probe: the incremental shape a
+    * daily image-ingest pipeline needs (contrast q132, which pairs the
+    * whole corpus). All joins carry only ids and hash longs. */
+  def phashIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageHashes(spark, dir)
+    val isNew = col("asset_id") % graft.dedup.DedupOps.IngestMod ===
+      graft.dedup.DedupOps.IngestMod - 1
+    val bCls = h.filter(isNew).groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(count(lit(1)).as("nb"))
+    val cCls = h.filter(!isNew).groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("asset_id")).as("crep"))
+    def bands(cls: DataFrame, pfx: String): DataFrame = {
+      val bandCols = (0 until 8).map { k =>
+        val half = if (k < 4) col("phash_lo") else col("phash_hi")
+        struct(lit(k).as("bk"),
+          shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)).as("bv"))
+      }
+      cls.select(col("phash_hi").as(s"${pfx}_hi"),
+          col("phash_lo").as(s"${pfx}_lo"),
+          explode(array(bandCols: _*)).as("band"))
+        .select(col(s"${pfx}_hi"), col(s"${pfx}_lo"),
+          col("band.bk").as("bk"), col("band.bv").as("bv"))
+    }
+    val cand = bands(bCls, "b")
+      .join(bands(cCls.select(col("phash_hi"), col("phash_lo")), "c"),
+        Seq("bk", "bv"))
+      .select(col("b_hi"), col("b_lo"), col("c_hi"), col("c_lo"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("b_hi").bitwiseXOR(col("c_hi"))) +
+          bit_count(col("b_lo").bitwiseXOR(col("c_lo")))).cast("long"))
+      .filter(col("hamming") <= PHashHamming)
+    val best = cand
+      .join(cCls.select(col("phash_hi").as("c_hi"),
+        col("phash_lo").as("c_lo"), col("crep")), Seq("c_hi", "c_lo"))
+      .groupBy(col("b_hi"), col("b_lo"))
+      .agg(min(struct(col("hamming"), col("crep"))).as("m"))
+      .select(col("b_hi").as("phash_hi"), col("b_lo").as("phash_lo"),
+        col("m.hamming").as("best_hamming"), col("m.crep").as("dup_of"))
+    h.filter(isNew)
+      .join(best, Seq("phash_hi", "phash_lo"), "left")
+      .select(col("asset_id"), col("phash_hi"), col("phash_lo"),
+        when(col("dup_of").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("best_hamming"), lit(-1L)).as("best_hamming"))
+  }
+
+  /** Oracle: brute-force popcount join of distinct batch hashes against
+    * distinct corpus hashes, same (hamming, rep) election. */
+  lazy val phashIngestGateSql: String =
+    s"""WITH $phashHashesSql,
+       |bh AS (
+       |  SELECT * FROM hashes
+       |  WHERE asset_id % ${graft.dedup.DedupOps.IngestMod} = ${graft.dedup.DedupOps.IngestMod - 1}),
+       |ch AS (
+       |  SELECT * FROM hashes
+       |  WHERE asset_id % ${graft.dedup.DedupOps.IngestMod} != ${graft.dedup.DedupOps.IngestMod - 1}),
+       |bcls AS (SELECT DISTINCT phash_hi, phash_lo FROM bh),
+       |ccls AS (
+       |  SELECT phash_hi, phash_lo, min(asset_id) AS crep
+       |  FROM ch GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT b.phash_hi AS b_hi, b.phash_lo AS b_lo, c.crep,
+       |         CAST(bit_count(xor(b.phash_hi, c.phash_hi))
+       |              + bit_count(xor(b.phash_lo, c.phash_lo)) AS BIGINT) AS hamming
+       |  FROM bcls b JOIN ccls c
+       |    ON bit_count(xor(b.phash_hi, c.phash_hi))
+       |       + bit_count(xor(b.phash_lo, c.phash_lo)) <= $PHashHamming),
+       |best AS (
+       |  SELECT b_hi, b_lo, hamming AS best_hamming, crep AS dup_of
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY b_hi, b_lo
+       |                                     ORDER BY hamming, crep) AS rn
+       |        FROM cand)
+       |  WHERE rn = 1)
+       |SELECT h.asset_id, h.phash_hi, h.phash_lo,
+       |       CAST(CASE WHEN best.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+       |       coalesce(best.dup_of, -1) AS dup_of,
+       |       coalesce(best.best_hamming, -1) AS best_hamming
+       |FROM bh h LEFT JOIN best
+       |  ON h.phash_hi = best.b_hi AND h.phash_lo = best.b_lo""".stripMargin
+
   /** Shared oracle CTE: re-derives every image's aHash ARITHMETICALLY
     * from the generator formula (per-cell byte index map exactly as the
     * q92 resize oracle, RGB-triple sum with the 254/255 wrap cases),

@@ -957,6 +957,62 @@ object TextOps {
           .otherwise(expr("n_rare * 10000 DIV n")).as("rare_bp"))
   }
 
+  // ------------------------------------- quality quantile routing (q138)
+
+  /** Per-language quality-median routing (q138): each document is kept
+    * iff its q17 quality score reaches its OWN language's lower median
+    * — the per-stratum quantile filter a curation pipeline applies so
+    * a low-resource language is not judged by the dominant language's
+    * score distribution. The median is the exact LOWER median (element
+    * at rank ⌊(n+1)/2⌋ under (score, doc_id) order) — an integer the
+    * engines agree on bit-for-bit, no interpolation.
+    *
+    * Scale shape: scores are a narrow map (q17); the median needs one
+    * rank sort PER LANGUAGE partition (the q76/q114 designed-sort
+    * convention — per-shard at 100 TB, or swap in a t-digest sketch
+    * when approximate thresholds suffice); the threshold table is
+    * languages-sized and broadcasts back onto the scored docs. */
+  def qualityQuantileRoute(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+    val scored = docs.join(
+      qualityScore(spark, dir).select(col("doc_id"), col("quality_bp")),
+      "doc_id")
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_bp"), col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
+    val medians = scored
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wLang))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("lang"), col("quality_bp").as("lang_median"))
+    scored.join(medians, "lang")
+      .select(col("doc_id"), col("lang"), col("quality_bp"),
+        col("lang_median"),
+        when(col("quality_bp") >= col("lang_median"), 1L).otherwise(0L)
+          .as("keep"))
+  }
+
+  val qualityQuantileRouteSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, q.quality_bp
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |ranked AS (
+       |  SELECT lang, quality_bp,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY quality_bp, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored),
+       |med AS (
+       |  SELECT lang, quality_bp AS lang_median
+       |  FROM ranked WHERE rn = (n + 1) // 2)
+       |SELECT s.doc_id, s.lang, s.quality_bp, m.lang_median,
+       |       CAST(CASE WHEN s.quality_bp >= m.lang_median
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM scored s JOIN med m ON s.lang = m.lang""".stripMargin
+
   val tokenCommonalitySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents),

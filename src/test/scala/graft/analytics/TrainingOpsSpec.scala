@@ -398,6 +398,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     led.unpersist()
   }
 
+  test("quality routing: per-language lower median, keep iff >= own stratum's bar (q138)") {
+    val rows = TextOps.qualityQuantileRoute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      // one threshold per language, and it IS the lower median
+      val medians = docs.map(_._4).distinct
+      assert(medians.length === 1)
+      val sorted = docs.map(d => (d._3, d._1)).sortBy(identity).map(_._1)
+      assert(medians.head === sorted((sorted.length + 1) / 2 - 1))
+      // keep flag is exactly the >= comparison; roughly half survive
+      docs.foreach(d => assert((d._5 == 1L) === (d._3 >= d._4)))
+      val kept = docs.count(_._5 == 1L)
+      assert(kept * 2 >= docs.length, "lower median must keep at least half")
+    }
+  }
+
   test("matryoshka kNN: K exact-scored ranks per probe, measured recall vs brute (q136)") {
     val mrl = VectorOps.knnMatryoshka(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

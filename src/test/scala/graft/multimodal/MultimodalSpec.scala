@@ -266,6 +266,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash ingest gate agrees with a brute-force probe of the corpus index (q139)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MultimodalOps.phashIngestGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val hashes = MultimodalOps.phashGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mod = graft.dedup.DedupOps.IngestMod
+    val (batch, corpus) = hashes.partition(_._1 % mod == mod - 1)
+    val corpusCls = corpus.groupBy(h => (h._2, h._3))
+      .map { case (k, v) => k -> v.map(_._1).min }
+    val expected = batch.map { case (id, hi, lo) =>
+      val matches = corpusCls.toSeq.flatMap { case ((chi, clo), crep) =>
+        val d = java.lang.Long.bitCount(hi ^ chi) + java.lang.Long.bitCount(lo ^ clo)
+        if (d <= MultimodalOps.PHashHamming) Some((d.toLong, crep)) else None
+      }
+      if (matches.isEmpty) id -> ((0L, -1L, -1L))
+      else { val (d, rep) = matches.min; id -> ((1L, rep, d)) }
+    }.toMap
+    assert(got === expected)
+    assert(got.values.exists(_._1 == 1L), "the corpus should catch some batch dups")
+    assert(got.values.exists(_._1 == 0L), "some batch images should be novel")
+  }
+
   test("frame sampling emits every stride-th frame index") {
     val sampled = MultimodalOps.frameSample(decoded, stride = 10)
     val perAsset = sampled.groupBy("asset_id").count()
