@@ -308,7 +308,11 @@ object SparkEntry {
     // Incremental perceptual ingest gate: batch images probe the
     // corpus phash index, (hamming, rep)-elected verdicts.
     "q139_phash_ingest"     -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.phashIngestGate(s, dir))
+      graft.multimodal.MultimodalOps.phashIngestGate(s, dir)),
+    // Multimodal training-sample manifest: dedup canonicality +
+    // quality routing + decoded asset features, composed verbatim.
+    "q140_manifest"         -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.trainingManifest(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -450,6 +454,7 @@ object SparkEntry {
     "q136_knn_matryoshka"   -> V.knnMatryoshkaSql,
     "q137_attribution"      -> E.purchaseAttributionSql,
     "q138_quality_route"    -> T.qualityQuantileRouteSql,
-    "q139_phash_ingest"     -> graft.multimodal.MultimodalOps.phashIngestGateSql
+    "q139_phash_ingest"     -> graft.multimodal.MultimodalOps.phashIngestGateSql,
+    "q140_manifest"         -> graft.multimodal.MultimodalOps.trainingManifestSql
   )
 }

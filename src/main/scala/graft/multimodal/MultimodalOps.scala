@@ -587,6 +587,66 @@ object MultimodalOps {
        |       CAST(energy_sum AS BIGINT) AS energy_sum
        |FROM seg""".stripMargin
 
+  /** Multimodal training-sample manifest (q140): the end-to-end
+    * curation join a dataset build finishes with — every document
+    * paired with its media asset's decoded features, its exact-dedup
+    * canonicality (first-wins fingerprint rep), and its per-language
+    * quality-routing verdict (q138); `sample_ok` marks the rows a
+    * training run would actually emit (canonical AND quality-kept).
+    * Composes the stage operators VERBATIM (the q109 funnel
+    * convention), so the manifest certifies the stages agree when
+    * joined, not just individually.
+    *
+    * Scale shape: three doc_id-keyed equi-joins of fixed-width
+    * verdict/feature rows (text and payloads stay in their narrow
+    * stages); the fingerprint agg is the q19 shuffle. Nothing here
+    * adds a new scale risk — that is the point of manifest assembly. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExprs._
+    val docs = graft.tables.Tables.spread(
+        graft.tables.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
+    val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val route = graft.text.TextOps.qualityQuantileRoute(spark, dir)
+      .select(col("doc_id"), col("quality_bp"),
+        col("keep").as("quality_keep"))
+    val assets = decodeStats(spark, dir)
+      .select(col("asset_id").as("doc_id"), col("kind"), col("byte_len"))
+    docs.join(keep, "fp")
+      .withColumn("is_canonical",
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+      .join(route, "doc_id")
+      .join(assets, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("is_canonical"), col("quality_bp"), col("quality_keep"),
+        col("kind"), col("byte_len"),
+        when(col("is_canonical") === 1L && col("quality_keep") === 1L, 1L)
+          .otherwise(0L).as("sample_ok"))
+  }
+
+  /** Nests the stage oracles verbatim (q19 fingerprint, q138 routing,
+    * q126 decode arithmetic) as parenthesized subqueries. */
+  lazy val trainingManifestSql: String = {
+    import graft.functions.TextExprs.{polyHashSql, tokensSql}
+    s"""WITH fps AS (
+       |  SELECT doc_id, lang, source,
+       |         ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
+       |  FROM documents),
+       |keepids AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1),
+       |route AS (${graft.text.TextOps.qualityQuantileRouteSql}),
+       |assets AS ($decodeStatsSql)
+       |SELECT f.doc_id, f.lang, f.source,
+       |       CAST(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+       |       r.quality_bp, r.keep AS quality_keep, a.kind, a.byte_len,
+       |       CAST(CASE WHEN f.doc_id = k.keep_id AND r.keep = 1
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS sample_ok
+       |FROM fps f
+       |JOIN keepids k ON f.fp = k.fp
+       |JOIN route r ON f.doc_id = r.doc_id
+       |JOIN assets a ON f.doc_id = a.asset_id""".stripMargin
+  }
+
   /** Incremental perceptual ingest gate (q139): every image asset with
     * `asset_id ≡ 4 (mod 5)` plays the ARRIVING batch (the q88
     * convention), the rest the standing corpus, and each batch image

@@ -290,6 +290,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 == 0L), "some batch images should be novel")
   }
 
+  test("training manifest: one row per doc, verdicts re-derive from the stage operators (q140)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.trainingManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5), r.getString(6), r.getLong(8)))
+    val nDocs = graft.tables.Tables.documents(spark, dir).count()
+    assert(rows.length.toLong === nDocs)
+    // sample_ok is exactly canonical AND quality-kept, and both
+    // verdict populations are non-trivial on this corpus
+    rows.foreach { case (_, canon, qkeep, _, ok) =>
+      assert(ok === (if (canon == 1L && qkeep == 1L) 1L else 0L))
+    }
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L))
+    // kind agrees with the asset generator's id rule
+    rows.foreach { case (id, _, _, kind, _) =>
+      assert(kind === (if (id % 3 != 0) "image" else "audio"))
+    }
+  }
+
   test("frame sampling emits every stride-th frame index") {
     val sampled = MultimodalOps.frameSample(decoded, stride = 10)
     val perAsset = sampled.groupBy("asset_id").count()
