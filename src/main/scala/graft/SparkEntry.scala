@@ -312,7 +312,15 @@ object SparkEntry {
     // Multimodal training-sample manifest: dedup canonicality +
     // quality routing + decoded asset features, composed verbatim.
     "q140_manifest"         -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.trainingManifest(s, dir))
+      graft.multimodal.MultimodalOps.trainingManifest(s, dir)),
+    // q137's attribution on a live stream: per-user mapGroupsWithState
+    // replay in event-time order, update-mode sink, channel rollup.
+    "q141_stream_attrib"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.attributionRollup(
+        graft.streaming.EventsStream.runAvailableNow(
+          s, graft.streaming.EventsStream.attributionStages(
+            graft.streaming.EventsStream.source(s, dir)), "q141_stream_attrib",
+          outputMode = "update")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -455,6 +463,7 @@ object SparkEntry {
     "q137_attribution"      -> E.purchaseAttributionSql,
     "q138_quality_route"    -> T.qualityQuantileRouteSql,
     "q139_phash_ingest"     -> graft.multimodal.MultimodalOps.phashIngestGateSql,
-    "q140_manifest"         -> graft.multimodal.MultimodalOps.trainingManifestSql
+    "q140_manifest"         -> graft.multimodal.MultimodalOps.trainingManifestSql,
+    "q141_stream_attrib"    -> E.purchaseAttributionSql
   )
 }

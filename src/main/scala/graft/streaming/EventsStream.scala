@@ -32,6 +32,19 @@ case class FunnelState(v_ms: Long, c_ms: Long, p_ms: Long)
 /** Emitted per-user funnel position (0 = none … 3 = purchased). */
 case class FunnelStage(user_id: Long, stage: Int)
 
+/** Per-user attribution state for [[EventsStream.attributionStages]]:
+  * last click/view micros (−1 = never seen), events processed so far
+  * (the monotone collapse key), and running per-channel purchase
+  * tallies. */
+case class AttribState(
+    last_c: Long, last_v: Long, n_seen: Long,
+    nc: Long, nv: Long, nd: Long, vc: Double, vv: Double, vd: Double)
+
+/** Emitted per-user cumulative attribution tallies. */
+case class AttribUser(
+    user_id: Long, n_seen: Long,
+    nc: Long, nv: Long, nd: Long, vc: Double, vv: Double, vd: Double)
+
 /** Structured Streaming forms of the event-stream operators
   * (SURVEY.md §1: the reference's Airflow sensor→process loop
   * (`composer/sales_etl_dag.py:42-48`) maps onto Spark's file source +
@@ -313,6 +326,80 @@ object EventsStream {
           FunnelStage(uid, stage)
       }
       .toDF()
+  }
+
+  /** q137's last-touch attribution as a live per-user state machine
+    * (q141): state carries (last click µs, last view µs, running
+    * channel tallies); each micro-batch replays its rows in event-time
+    * order, attributing every purchase against state from STRICTLY
+    * earlier timestamps — equal-timestamp groups attribute first, then
+    * update, reproducing the batch form's 1-PRECEDING range frame
+    * exactly (a click sharing the purchase's micros earns nothing).
+    * Emits cumulative per-user tallies in update mode; `n_seen` is
+    * strictly increasing, so the rollup's max-collapse picks each
+    * user's final row (the userStats convention). Same oracle as the
+    * batch q137. */
+  def attributionStages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val L = graft.analytics.EventOps.AttribLookbackUs
+    val ds = events
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[AttribState, AttribUser](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Double, Long)],
+         state: GroupState[AttribState]) =>
+          var s = state.getOption.getOrElse(
+            AttribState(-1L, -1L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0))
+          // replay in event-time order, one equal-timestamp group at a
+          // time: purchases in the group see only state from earlier µs
+          rows.toSeq.sortBy(_._4).groupBy(_._4).toSeq.sortBy(_._1)
+            .foreach { case (tus, group) =>
+              group.foreach { case (_, et, v, _) =>
+                if (et == "purchase") {
+                  if (s.last_c >= 0 && tus - s.last_c <= L)
+                    s = s.copy(nc = s.nc + 1, vc = s.vc + v)
+                  else if (s.last_v >= 0 && tus - s.last_v <= L)
+                    s = s.copy(nv = s.nv + 1, vv = s.vv + v)
+                  else s = s.copy(nd = s.nd + 1, vd = s.vd + v)
+                }
+              }
+              group.foreach { case (_, et, _, _) =>
+                if (et == "click") s = s.copy(last_c = tus)
+                else if (et == "view") s = s.copy(last_v = tus)
+              }
+              s = s.copy(n_seen = s.n_seen + group.length)
+            }
+          state.update(s)
+          AttribUser(uid, s.n_seen, s.nc, s.nv, s.nd, s.vc, s.vv, s.vd)
+      }
+      .toDF()
+  }
+
+  /** Collapse an update-mode [[attributionStages]] sink (max-`n_seen`
+    * row per user = final state) and roll up to q137's channel table:
+    * purchases, distinct users, rounded revenue per channel — only
+    * channels that attributed at least one purchase appear, matching
+    * the batch groupBy. */
+  def attributionRollup(sink: DataFrame): DataFrame = {
+    val fin = sink.groupBy(col("user_id")).agg(max(struct(
+        col("n_seen"), col("nc"), col("nv"), col("nd"),
+        col("vc"), col("vv"), col("vd"))).as("s"))
+      .select(col("user_id"), col("s.nc").as("nc"), col("s.nv").as("nv"),
+        col("s.nd").as("nd"), col("s.vc").as("vc"), col("s.vv").as("vv"),
+        col("s.vd").as("vd"))
+    Seq(("click", "nc", "vc"), ("view", "nv", "vv"), ("direct", "nd", "vd"))
+      .map { case (ch, n, v) =>
+        fin.select(lit(ch).as("channel"), col(n).as("np"),
+          col(v).as("pv"), col("user_id"))
+      }
+      .reduce(_ unionAll _)
+      .filter(col("np") > 0)
+      .groupBy(col("channel"))
+      .agg(sum(col("np")).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("pv")), 2).as("total_value"))
   }
 
   /** Batch rollup of an update-mode [[funnelStages]] sink to the q110

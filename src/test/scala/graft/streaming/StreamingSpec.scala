@@ -48,6 +48,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(0) > 0 && r.getLong(1) > 0)
   }
 
+  test("streaming attribution state machine equals the batch attribution (q141 vs q137)") {
+    val streamed = EventsStream.attributionRollup(EventsStream.runAvailableNow(
+      spark, EventsStream.attributionStages(EventsStream.source(spark, dir)),
+      "stream_attrib", outputMode = "update"))
+    val batch = EventOps.purchaseAttribution(spark, dir)
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+    // non-degenerate: at least two channels earn purchases on the corpus
+    assert(streamed.collect().length >= 2)
+  }
+
   test("streaming sliding windows equal the batch result") {
     val streamed = EventsStream.runAvailableNow(
       spark, EventsStream.slidingCounts(EventsStream.source(spark, dir)),
