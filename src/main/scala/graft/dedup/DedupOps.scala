@@ -607,13 +607,15 @@ object DedupOps {
         .join(labels.select(col("node").as("d2"), col("rep").as("nbr_rep")), "d2")
         .groupBy(col("d1").as("node"))
         .agg(min(col("nbr_rep")).as("nbr_min"))
+      // Carry the previous label through the propagation join so the
+      // convergence test is a filter over the checkpointed rows — no
+      // second join/shuffle per round just to count changes.
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      changed = next.join(labels.select(col("node"), col("rep").as("old_rep")), "node")
-        .filter(col("rep") =!= col("old_rep")).count()
-      labels = next
+      changed = next.filter(col("rep") =!= col("old_rep")).count()
+      labels = next.select(col("node"), col("rep"))
     }
     labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
   }
@@ -639,8 +641,8 @@ object DedupOps {
     * (component-min, member), so the map is one left join from the
     * node set (isolated reps label themselves). Each round is
     * materialized — lineage truncation, the q127 convention — and the
-    * fixpoint test is EXACT: same cardinality + empty one-sided
-    * except over the distinct canonical sets. */
+    * fixpoint test is EXACT and single-action: the signed-count
+    * symmetric difference of the two distinct canonical sets is empty. */
   private[graft] def starComponents(pairs: DataFrame): (DataFrame, Int) = {
     val nodes = materialize(pairs.select(col("d1").as("node"))
       .unionAll(pairs.select(col("d2").as("node"))).distinct())
@@ -678,8 +680,13 @@ object DedupOps {
     while (!converged && rounds < 64) { // log2-bounded; 64 = overflow guard
       val next = materialize(smallStar(largeStar(edges)))
       rounds += 1
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // Single-action exact fixpoint test: both sets are distinct, so
+      // they are equal iff the signed-count symmetric difference is
+      // empty — one union + one aggregate, not count + exceptAll.
+      converged = next.select(col("a"), col("b"), lit(1L).as("side"))
+        .unionAll(edges.select(col("a"), col("b"), lit(-1L).as("side")))
+        .groupBy(col("a"), col("b")).agg(sum(col("side")).as("s"))
+        .filter(col("s") =!= 0L).isEmpty
       edges = next
     }
     val map = nodes
