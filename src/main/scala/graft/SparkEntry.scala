@@ -320,7 +320,12 @@ object SparkEntry {
         graft.streaming.EventsStream.runAvailableNow(
           s, graft.streaming.EventsStream.attributionStages(
             graft.streaming.EventsStream.source(s, dir)), "q141_stream_attrib",
-          outputMode = "update")))
+          outputMode = "update"))),
+    // Compressed-container decode gate: our PNG encoder (real deflate)
+    // round-tripped through the JDK's independent ImageIO reader;
+    // checksum + aHash over the decoded pixels, oracled in closed form.
+    "q142_png_decode"       -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.pngDecodeStats(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -464,6 +469,7 @@ object SparkEntry {
     "q138_quality_route"    -> T.qualityQuantileRouteSql,
     "q139_phash_ingest"     -> graft.multimodal.MultimodalOps.phashIngestGateSql,
     "q140_manifest"         -> graft.multimodal.MultimodalOps.trainingManifestSql,
-    "q141_stream_attrib"    -> E.purchaseAttributionSql
+    "q141_stream_attrib"    -> E.purchaseAttributionSql,
+    "q142_png_decode"       -> graft.multimodal.MultimodalOps.pngDecodeStatsSql
   )
 }

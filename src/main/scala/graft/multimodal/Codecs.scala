@@ -72,6 +72,104 @@ object Ppm {
   }
 }
 
+/** Real COMPRESSED image container: PNG (8-bit truecolor, color type
+  * 2). The encoder is ours — IHDR/IDAT/IEND chunk framing, filter-0
+  * scanlines, a genuine zlib/deflate stream via `java.util.zip.
+  * Deflater`, CRC-32 chunk trailers — and the decoder is the JDK's own
+  * ImageIO PNG reader (inflate + unfilter), so encode and decode are
+  * INDEPENDENT implementations: pixels that round-trip bit-exactly
+  * certify both. PNG is lossless, which is what keeps the decoded
+  * pixels generator-deterministic for the DuckDB oracle even though
+  * the container bytes are deflate-compressed (their length is
+  * compression-dependent and deliberately never oracled). */
+object Png {
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && {
+      var i = 0; var ok = true
+      while (i < 8) { ok &&= bytes(i) == Signature(i); i += 1 }
+      ok
+    }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    out.write(ByteBuffer.allocate(4).putInt(data.length).array())
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** Encode an interleaved-RGB buffer (`width*height*3`, row-major) as
+    * a real deflate-compressed PNG. Deflater level 1: a genuine
+    * LZ77+Huffman stream (any PNG viewer opens it) at ingest-pipeline
+    * throughput — ratio is irrelevant here, losslessness is not. */
+  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)   // bit depth
+      .put(2.toByte)     // color type: truecolor RGB
+      .put(0.toByte)     // compression: deflate
+      .put(0.toByte)     // filter method 0
+      .put(0.toByte)     // no interlace
+    writeChunk(out, "IHDR", ihdr.array())
+    // one filter byte (0 = None) per scanline, then the raw row
+    val stride = 1 + width * 3
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      System.arraycopy(pixels, y * width * 3, raw, y * stride + 1, width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(1)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf); idat.write(buf, 0, n)
+    }
+    deflater.end()
+    writeChunk(out, "IDAT", idat.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode via the JDK's ImageIO PNG reader — a full independent
+    * implementation of inflate + scanline unfiltering. Pixel order is
+    * read back through `getRGB` so the result is layout-independent
+    * of whatever BufferedImage type the reader picked. */
+  def decode(bytes: Array[Byte]): Ppm.Image = {
+    require(isPng(bytes), "not a PNG payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "PNG: ImageIO found no reader for payload")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val v = row(x); val o = (y * w + x) * 3
+        out(o) = ((v >> 16) & 0xff).toByte
+        out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Ppm.Image(w, h, 255, out)
+  }
+}
+
 object Wav {
 
   /** Encode mono 16-bit little-endian PCM as a canonical 44-byte-header

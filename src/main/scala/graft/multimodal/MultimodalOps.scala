@@ -108,6 +108,12 @@ object MultimodalOps {
           while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
           DecodedAsset(a.asset_id, "image", img.width, img.height, 0, 1,
             a.bytes.length, sum)
+        } else if (Png.isPng(a.bytes)) {
+          val img = Png.decode(a.bytes)
+          var sum = 0L; var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          DecodedAsset(a.asset_id, "image", img.width, img.height, 0, 1,
+            a.bytes.length, sum)
         } else {
           val au = Wav.decode(a.bytes)
           var sum = 0L; var i = 0
@@ -343,6 +349,62 @@ object MultimodalOps {
        |       CAST(sum(CASE WHEN mm = 254 THEN 509 WHEN mm = 255 THEN 256
        |                     ELSE 3 * mm + 3 END) AS BIGINT) AS resized_sum
        |FROM m GROUP BY asset_id, w, h, nw, nh""".stripMargin
+
+  /** COMPRESSED-container decode gate (q142): every image document's
+    * generator pixels are encoded as a REAL deflate-compressed PNG
+    * ([[Png.encode]]: our chunk framing + a genuine `Deflater` stream)
+    * and decoded back through the JDK's INDEPENDENT ImageIO PNG reader
+    * (inflate + unfilter), then the decoded buffer is checksummed and
+    * aHashed — so the q131 perceptual family's arithmetic runs over
+    * bytes that really traversed a compressed container. The DuckDB
+    * oracle re-derives checksum (closed-form prefix sum) and the aHash
+    * halves (the q131 cell map) from generator arithmetic alone; the
+    * container length is compression-dependent and deliberately NOT a
+    * column. A green hash therefore certifies our encoder and the
+    * JDK's decoder agree pixel-exactly on every image. Same scale
+    * shape as q126: synthesize → encode → decode → fixed-width feature
+    * row in ONE narrow pass; payload bytes never shuffle. */
+  def pngDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.spread(
+        graft.tables.Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .filter((id: Long) => id % 3 != 0)
+      .mapPartitions { it =>
+        it.map { id =>
+          val c = seed(id)
+          val w = (64 + (id % 8) * 32).toInt
+          val h = (64 + (id % 5) * 48).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) { px(i) = ((c + i) % 256).toByte; i += 1 }
+          val png = Png.encode(w, h, px)
+          val img = Png.decode(png)
+          require(img.width == w && img.height == h,
+            s"PNG round trip changed dimensions for asset $id")
+          var sum = 0L; var k = 0
+          while (k < img.pixels.length) { sum += img.pixels(k) & 0xff; k += 1 }
+          val (hi, lo) = ahashHalves(img)
+          (id, w, h, sum, hi, lo)
+        }
+      }.toDF("asset_id", "width", "height", "checksum", "phash_hi", "phash_lo")
+  }
+
+  /** Oracle: image dims + prefix-sum checksum (q126 arithmetic) joined
+    * to the q131 aHash CTE — never sees a byte. */
+  lazy val pngDecodeStatsSql: String = {
+    val sHi = prefixSql("c + n"); val sLo = prefixSql("c")
+    s"""WITH $phashHashesSql,
+       |d2 AS (
+       |  SELECT doc_id AS asset_id, (doc_id * 97) % 256 AS c,
+       |         64 + (doc_id % 8) * 32 AS w, 64 + (doc_id % 5) * 48 AS h
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |s2 AS (SELECT asset_id, c, w, h, w * h * 3 AS n FROM d2)
+       |SELECT s2.asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |       CAST($sHi - ($sLo) AS BIGINT) AS checksum,
+       |       hh.phash_hi, hh.phash_lo
+       |FROM s2 JOIN hashes hh ON s2.asset_id = hh.asset_id""".stripMargin
+  }
 
   /** Binary-column metadata extraction with a cross-engine oracle: the
     * documents' text bytes stand in for an opaque media payload (this

@@ -66,6 +66,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(au.samples.toSeq === samples.toSeq)
   }
 
+  test("PNG codec: encode/decode round trip is pixel-exact through a real deflate stream") {
+    val px = Array.tabulate(7 * 5 * 3)(i => ((i * 131 + 17) % 256).toByte)
+    val png = Png.encode(7, 5, px)
+    // genuine PNG container: signature + the round trip goes through
+    // the JDK's INDEPENDENT ImageIO reader (inflate + unfilter)
+    assert(Png.isPng(png))
+    val img = Png.decode(png)
+    assert((img.width, img.height) === ((7, 5)))
+    assert(img.pixels.toSeq === px.toSeq)
+  }
+
+  test("PNG encoder emits a real compressed stream on repetitive pixels") {
+    // constant image: deflate must beat the raw raster by a wide margin
+    val px = Array.fill(64 * 64 * 3)(42.toByte)
+    val png = Png.encode(64, 64, px)
+    assert(png.length < px.length / 4,
+      s"PNG of constant 64x64 image is ${png.length}B — not compressed")
+    assert(Png.decode(png).pixels.toSeq === px.toSeq)
+  }
+
+  test("PNG decode rejects non-PNG payloads") {
+    intercept[IllegalArgumentException](Png.decode("not a png at all".getBytes))
+    val ppm = Ppm.encode(2, 2, Array.fill(12)(1.toByte))
+    intercept[IllegalArgumentException](Png.decode(ppm))
+  }
+
+  test("generic decode sniffs PNG beside PPM and WAV") {
+    import spark.implicits._
+    val px = Array.tabulate(3 * 3 * 3)(i => (i * 5).toByte)
+    val asset = Asset(7L, "image", Png.encode(3, 3, px), "s")
+    val d = MultimodalOps.decode(Seq(asset).toDS()).collect().head
+    assert((d.kind, d.width, d.height, d.n_frames) === (("image", 3, 3, 1)))
+    assert(d.checksum === px.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("nearest-neighbor resize: exact source-index mapping") {
     // 4x2 image, pixel value = its flat byte index
     val px = Array.tabulate(4 * 2 * 3)(_.toByte)
@@ -186,6 +221,33 @@ class MultimodalSpec extends AnyFunSuite {
       for (p <- 0 until 64 if 64L * cells(p) > tot)
         if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
       id -> ((hi, lo))
+    }).toMap
+    assert(got === expected)
+  }
+
+  test("PNG decode gate: checksums and aHashes over ImageIO-decoded pixels match the generator (q142)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MultimodalOps.pngDecodeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent re-derivation from the byte formula — never touches
+    // the PNG encoder, ImageIO, or ahashHalves
+    val expected = (for (id <- docIds if id % 3 != 0) yield {
+      val c = (id * 97) % 256
+      val w = (64 + (id % 8) * 32).toInt
+      val h = (64 + (id % 5) * 48).toInt
+      val n = w.toLong * h * 3
+      val cells = Array.tabulate(64) { p =>
+        val base = (((p / 8) * h / 8) * w.toLong + (p % 8) * w / 8) * 3
+        (0 until 3).map(k => (c + base + k) % 256).sum
+      }
+      val tot = cells.sum
+      var hi = 0L; var lo = 0L
+      for (p <- 0 until 64 if 64L * cells(p) > tot)
+        if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+      id -> ((w, h, prefix(c + n) - prefix(c), hi, lo))
     }).toMap
     assert(got === expected)
   }
