@@ -609,11 +609,15 @@ object DedupOps {
         .agg(min(col("nbr_rep")).as("nbr_min"))
       // Carry the previous label through the propagation join so the
       // convergence test is a filter over the checkpointed rows — no
-      // second join/shuffle per round just to count changes.
+      // second join/shuffle per round just to count changes. The
+      // checkpoint is LAZY: the count action below both materializes
+      // the round's labels and measures convergence, so each round is
+      // exactly ONE Spark job (driver-side round latency — not data
+      // volume — dominates this fixpoint loop at bench scale).
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       changed = next.filter(col("rep") =!= col("old_rep")).count()
       labels = next.select(col("node"), col("rep"))
     }
