@@ -325,7 +325,11 @@ object SparkEntry {
     // round-tripped through the JDK's independent ImageIO reader;
     // checksum + aHash over the decoded pixels, oracled in closed form.
     "q142_png_decode"       -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.pngDecodeStats(s, dir))
+      graft.multimodal.MultimodalOps.pngDecodeStats(s, dir)),
+    // HTML/boilerplate extraction (C4/WET first stage): deterministic
+    // page wrap -> head/script/style/comment/tag strip + entity decode;
+    // oracle asserts the round trip lands exactly on the source text.
+    "q143_html_extract"     -> (T.htmlExtractStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -470,6 +474,7 @@ object SparkEntry {
     "q139_phash_ingest"     -> graft.multimodal.MultimodalOps.phashIngestGateSql,
     "q140_manifest"         -> graft.multimodal.MultimodalOps.trainingManifestSql,
     "q141_stream_attrib"    -> E.purchaseAttributionSql,
-    "q142_png_decode"       -> graft.multimodal.MultimodalOps.pngDecodeStatsSql
+    "q142_png_decode"       -> graft.multimodal.MultimodalOps.pngDecodeStatsSql,
+    "q143_html_extract"     -> T.htmlExtractStatsSql
   )
 }

@@ -1032,4 +1032,175 @@ object TextOps {
        |       CAST(CASE WHEN coalesce(p.n, 0) = 0 THEN 0
        |                 ELSE p.n_rare * 10000 // p.n END AS BIGINT) AS rare_bp
        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
+  // ----------------------------------------- HTML extraction (q143)
+
+  /** The wrapper template, split at its dynamic holes. ONE set of
+    * constants generates both the Spark `concat` and the oracle's SQL
+    * `||` chain, so the two engines build byte-identical pages (the
+    * q143 `html_chars` column certifies that). The page is a realistic
+    * boilerplate gauntlet: a <head> with title/style/script (the style
+    * holds a `>` combinator, the script holds `<`, `&&`, and a literal
+    * `"</p>"` string), comments carrying metadata, an inline-tagged
+    * lead word, a second <style> in body position, an `&nbsp;` entity
+    * in content position, and two <p> blocks splitting the document at
+    * a space boundary. No single quotes — the strings embed directly
+    * in SQL literals. */
+  private val Hw1 = "<html><head><title>Doc "
+  private val Hw2 = " | "
+  private val Hw3 = "</title><style type=\"text/css\">body { margin: 0; } p > em { color: #001; }</style>" +
+    "<script type=\"text/javascript\">if (1 < 2 && 3 > 2) { track(\"</p>\"); }</script></head><body><!-- lang="
+  private val Hw4 = " chars="
+  private val Hw5 = " --><h1 class=\"x\">&nbsp;</h1><p id=\"p1\"><b>"
+  private val Hw6 = "</b> "
+  private val Hw7 = "</p>&nbsp;<style>div > p { margin: 1px }</style><div data-x=\"1\"><p>"
+  private val Hw8 = "</p></div><script src=\"t.js\"></script><!-- end --></body></html>"
+
+  /** Extraction pipeline patterns (Spark side only — the oracle never
+    * extracts; that is the point of q143's closed-form check). Order:
+    * head (title and head-resident style/script are boilerplate, the
+    * C4/WET convention), then body script/style blocks (lazy up to
+    * their close tag, so a `"</p>"` inside script code cannot leak),
+    * comments, then remaining tags, each replaced by a space so tag
+    * boundaries never glue words together. */
+  private val HeadPat    = "(?is)<head\\b[^>]*>.*?</head\\s*>"
+  private val ScriptPat  = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  private val StylePat   = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  private val CommentPat = "(?s)<!--.*?-->"
+  private val TagPat     = "<[^>]*>"
+
+  /** Entity decode map, applied in order: named/numeric entities first,
+    * `&amp;` LAST — the single-pass convention, so `&amp;lt;` decodes
+    * to the literal text `&lt;` (exactly inverting [[escHtml]], which
+    * encodes `&` FIRST — the pair round-trips arbitrary text). */
+  private val Entities = Seq("&nbsp;" -> " ", "&quot;" -> "\"",
+    "&#39;" -> "'", "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+
+  /** HTML-escape text for element content (`&` first, then angles). */
+  def escHtml(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(c) { case (x, (s, r)) => replace(x, lit(s), lit(r)) }
+
+  private def escHtmlSql(e: String): String =
+    s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+  /** Boilerplate extraction — the C4/WET first stage: drop <head>,
+    * drop script/style/comment blocks, strip remaining tags (each to a
+    * space), decode entities, collapse whitespace. Pure codegen'd
+    * string functions (`regexp_replace`/`replace`), one narrow map —
+    * embarrassingly parallel at 100 TB like the rest of this file. */
+  def htmlExtract(html: Column): Column = {
+    val stripped = Seq(HeadPat, ScriptPat, StylePat, CommentPat, TagPat)
+      .foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val decoded = Entities.foldLeft(stripped) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** First whitespace-delimited word of raw `text` ('' never occurs in
+    * this corpus; a spaceless doc is its own first word). */
+  private def firstWord(text: Column): Column = {
+    val sp = instr(text, " ")
+    when(sp > 0, text.substr(lit(1), greatest(sp - 1, lit(0))))
+      .otherwise(text)
+  }
+
+  /** Deterministic HTML page for a document — the synthetic "web
+    * corpus" q143 extracts back out of. The document text is HTML-
+    * escaped and split at a space boundary into a <b>-led first
+    * paragraph and a <div>-nested second one. */
+  def htmlWrap(docId: Column, source: Column, lang: Column,
+      text: Column): Column = {
+    val sp   = instr(text, " ")
+    val w1   = firstWord(text)
+    val rest = when(sp > 0, text.substr(sp + 1, length(text)))
+      .otherwise(lit(""))
+    val h  = floor(length(rest) / 2).cast("int")
+    val k  = instr(rest.substr(h + 1, length(rest)), " ")
+    val pa = when(k > 0, rest.substr(lit(1), greatest(h + k - 1, lit(0))))
+      .otherwise(rest)
+    val pb = when(k > 0, rest.substr(h + k + 1, length(rest)))
+      .otherwise(lit(""))
+    concat(lit(Hw1), docId.cast("string"), lit(Hw2), source, lit(Hw3),
+      lang, lit(Hw4), length(text).cast("string"), lit(Hw5), escHtml(w1),
+      lit(Hw6), escHtml(pa), lit(Hw7), escHtml(pb), lit(Hw8))
+  }
+
+  /** Entity-probe template: wraps the doc's first word in every entity
+    * the decoder knows, in content position — decodes to
+    * `<tag> & "w1's"`. */
+  private val Ep1 = "<p>&lt;tag&gt; &amp; &quot;"
+  private val Ep2 = "&#39;s&quot;</p>"
+
+  /** HTML/boilerplate extraction gate (q143): every document is
+    * deterministically wrapped as a full HTML page ([[htmlWrap]]) and
+    * extracted back ([[htmlExtract]]); the oracle NEVER extracts — it
+    * asserts the round trip lands exactly on the (already whitespace-
+    * normal) source text, re-derives the word/char stats from that
+    * text, re-derives `ent_fp` from the closed-form decode of the
+    * entity probe, and rebuilds the page with SQL `||` to pin
+    * `html_chars`. A green hash therefore certifies: head/script/
+    * style/comment/tag stripping leaves exactly the content, the
+    * entity decoder inverts the escape, and both engines agree on the
+    * page bytes. Composition proof (spec): extracted == text, so every
+    * downstream operator (q113 rules, tokenize, dedup) is invariant
+    * under the wrap→extract cycle.
+    *
+    * Scale shape: one narrow codegen'd map over the scan — no shuffle,
+    * no UDF; the regex chain is per-row bounded by page length. */
+  def htmlExtractStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    docs.select(col("doc_id"),
+        htmlWrap(col("doc_id"), col("source"), col("lang"), col("text"))
+          .as("html"),
+        firstWord(col("text")).as("w1"))
+      .select(col("doc_id"),
+        htmlExtract(col("html")).as("extracted"),
+        length(htmlExtract(col("html"))).cast("long").as("n_chars"),
+        size(split(htmlExtract(col("html")), " ")).cast("long")
+          .as("n_words"),
+        polyHashCol(htmlExtract(concat(lit(Ep1), escHtml(col("w1")),
+          lit(Ep2)))).as("ent_fp"),
+        length(col("html")).cast("long").as("html_chars"))
+  }
+
+  val htmlExtractStatsSql: String = {
+    val norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    val probe = "'<tag> & \"' || w1 || '''s\"'"
+    s"""WITH w AS (
+       |  SELECT doc_id, source, lang, text, length(text) AS n,
+       |         instr(text, ' ') AS sp
+       |  FROM documents),
+       |p0 AS (
+       |  SELECT *,
+       |         CASE WHEN sp > 0 THEN substr(text, 1, greatest(sp - 1, 0))
+       |              ELSE text END AS w1,
+       |         CASE WHEN sp > 0 THEN substr(text, sp + 1, n)
+       |              ELSE '' END AS rest
+       |  FROM w),
+       |p1 AS (SELECT *, CAST(floor(length(rest) / 2) AS INT) AS h FROM p0),
+       |p2 AS (SELECT *, instr(substr(rest, h + 1, length(rest)), ' ') AS k
+       |       FROM p1),
+       |parts AS (
+       |  SELECT doc_id, source, lang, text, n, w1,
+       |         CASE WHEN k > 0 THEN substr(rest, 1, greatest(h + k - 1, 0))
+       |              ELSE rest END AS pa,
+       |         CASE WHEN k > 0 THEN substr(rest, h + k + 1, length(rest))
+       |              ELSE '' END AS pb
+       |  FROM p2),
+       |pages AS (
+       |  SELECT doc_id, text, w1,
+       |         '$Hw1' || CAST(doc_id AS VARCHAR) || '$Hw2' || source
+       |         || '$Hw3' || lang || '$Hw4' || CAST(n AS VARCHAR) || '$Hw5'
+       |         || ${escHtmlSql("w1")} || '$Hw6' || ${escHtmlSql("pa")}
+       |         || '$Hw7' || ${escHtmlSql("pb")} || '$Hw8' AS html
+       |  FROM parts)
+       |SELECT doc_id, $norm AS extracted,
+       |       CAST(length($norm) AS BIGINT) AS n_chars,
+       |       CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_words,
+       |       ${polyHashSql(probe)} AS ent_fp,
+       |       CAST(length(html) AS BIGINT) AS html_chars
+       |FROM pages""".stripMargin
+  }
 }
