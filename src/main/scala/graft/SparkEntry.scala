@@ -329,7 +329,11 @@ object SparkEntry {
     // HTML/boilerplate extraction (C4/WET first stage): deterministic
     // page wrap -> head/script/style/comment/tag strip + entity decode;
     // oracle asserts the round trip lands exactly on the source text.
-    "q143_html_extract"     -> (T.htmlExtractStats _)
+    "q143_html_extract"     -> (T.htmlExtractStats _),
+    // Learned BPE: distributed merge-table training (1-row argmax per
+    // round) + native codegen'd application; the oracle re-learns the
+    // merges relationally and re-applies them via a vocab join.
+    "q144_bpe_tokens"       -> (graft.text.BpeOps.bpeTokenStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,6 +479,7 @@ object SparkEntry {
     "q140_manifest"         -> graft.multimodal.MultimodalOps.trainingManifestSql,
     "q141_stream_attrib"    -> E.purchaseAttributionSql,
     "q142_png_decode"       -> graft.multimodal.MultimodalOps.pngDecodeStatsSql,
-    "q143_html_extract"     -> T.htmlExtractStatsSql
+    "q143_html_extract"     -> T.htmlExtractStatsSql,
+    "q144_bpe_tokens"       -> graft.text.BpeOps.bpeTokenStatsSql
   )
 }

@@ -75,6 +75,10 @@ object NativeExprs {
 
   def tokenize(s: Column): Column =
     ExpressionUtils.column(TokenizeExpr(ExpressionUtils.expression(s)))
+
+  def bpeSegment(s: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeSegmentExpr(ExpressionUtils.expression(s),
+      merges.flatMap(p => Seq(p._1, p._2)).toArray))
 }
 
 /** h = fold(codepoints(s), 0, (acc, cp) => (acc*31 + cp) mod P) —
@@ -902,4 +906,106 @@ case class MisraGriesAggExpr(
   override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAggExpr =
     copy(inputAggBufferOffset = newOffset)
   override def prettyName: String = "graft_misra_gries"
+}
+
+/** Learned-BPE segmentation of a document: tokenize (TokenizeExpr
+  * semantics — lowercase, alnum runs), then apply the learned merge
+  * table to each word — merges in learned order, each one exact greedy
+  * left-to-right (non-overlapping; in a run of identical symbols the
+  * 1st/3rd/... positions merge) — and emit all resulting subword
+  * symbols joined by single spaces. The merge table is a tiny collected
+  * artifact (the PQ-codebook convention), held flat as
+  * [a0, b0, a1, b1, ...] and shipped to codegen as a reference object
+  * that also carries a bounded word→segmentation memo (corpus word
+  * frequencies are Zipfian — the memo turns the per-row cost into a
+  * hash probe for all but first-sight words). */
+case class BpeSegmentExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  require(merges.length % 2 == 0, "merges must be (a, b) pairs, flattened")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  @transient private lazy val table = new BpeSegmentExpr.Table(merges)
+  override def nullSafeEval(input: Any): Any =
+    BpeSegmentExpr.segment(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      "graft.functions.BpeSegmentExpr.Table")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeSegmentExpr.segment($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_segment"
+  // Array field would use reference equality; compare by content.
+  override def equals(o: Any): Boolean = o match {
+    case m: BpeSegmentExpr =>
+      m.child == child && java.util.Arrays.equals(
+        m.merges.asInstanceOf[Array[AnyRef]], merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])))
+}
+
+object BpeSegmentExpr {
+
+  /** Merge table + bounded memo (word → segmentation). */
+  final class Table(val merges: Array[String]) extends Serializable {
+    @transient lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val MemoCap = 1 << 16
+  }
+
+  /** One word → its space-joined subword symbols. */
+  private def segmentWord(word: String, merges: Array[String]): String = {
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    var m = 0
+    while (m < merges.length) {
+      val a = merges(m); val b = merges(m + 1)
+      val out = new java.util.ArrayList[String](syms.size)
+      var j = 0
+      while (j < syms.size) {
+        if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
+          out.add(a + b); j += 2
+        } else { out.add(syms.get(j)); j += 1 }
+      }
+      syms = out
+      m += 2
+    }
+    String.join(" ", syms)
+  }
+
+  /** Static so generated code can call it directly. */
+  def segment(s: UTF8String, table: Table): UTF8String = {
+    val str = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(str.length * 2)
+    var i = 0
+    var start = -1
+    def emit(word: String): Unit = {
+      var seg = table.memo.get(word)
+      if (seg == null) {
+        seg = segmentWord(word, table.merges)
+        if (table.memo.size < table.MemoCap) table.memo.put(word, seg)
+      }
+      if (sb.length > 0) sb.append(' ')
+      sb.append(seg)
+    }
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum && start < 0) start = i
+      else if (!alnum && start >= 0) { emit(str.substring(start, i)); start = -1 }
+      i += 1
+    }
+    if (start >= 0) emit(str.substring(start))
+    UTF8String.fromString(sb.toString)
+  }
 }
