@@ -85,9 +85,7 @@ object EventsStream {
       (s, if (isDir) reader.parquet(path)
           else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
     }
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.tables.Tables.normalizeTs(raw)
   }
 
   /** Tumbling 1-hour window counts with a 1-hour watermark — the

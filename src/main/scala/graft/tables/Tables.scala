@@ -30,11 +30,23 @@ object Tables {
     * reset still succeeds), so it is restored immediately — no lasting
     * session-state side effect for concurrent users.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = withNanosAsLong(spark)(table(spark, dir, "events"))
-    if (raw.schema("ts").dataType == LongType)
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(withNanosAsLong(spark)(table(spark, dir, "events")))
+
+  /** Normalize `ts` to a session-zone TIMESTAMP regardless of how the
+    * driver generated the parquet: TIMESTAMP(NANOS) arrives as a
+    * nano-epoch long (via nanosAsLong) and is truncated to micros;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    * and is cast — value-preserving under the UTC session this library
+    * pins, and required because the epoch functions (`unix_micros` in
+    * q137/q141, `unix_millis` in q14/q60) reject NTZ inputs. */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => raw
   }
 
   /** Runs `body` with spark.sql.legacy.parquet.nanosAsLong=true and
