@@ -83,16 +83,49 @@ object Bench {
     }.toMap
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.toSeq.sortBy(_._1).map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // values are 4-decimal (not raw doubles): the driver captures this
+    // line with a bounded tail, and raw 17-char doubles over 144
+    // queries previously pushed the line past the capture window
+    val qs = results.toSeq.sortBy(_._1).map { case (k, (v, _)) =>
+      s"\"" + k + "\":" + (if (v < 0) v else fmt(v)) }
       .mkString("{", ",", "}")
     // per-query run-to-run stddev across the timed passes: the noise
     // floor a regression must clear to be believed
     val sd = results.toSeq.sortBy(_._1).map { case (k, (_, s)) => s"\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+    // Streaming drain telemetry (one extra drain per stateful family
+    // member): rows/s and per-micro-batch trigger latency — the numbers
+    // the end-to-end seconds in `queries` cannot show. Failures record
+    // as an error, never kill the bench line.
+    import graft.streaming.EventsStream
+    val streamTargets: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q93_stream_dedup_wm", "append",
+        () => EventsStream.dedupKeysWithinWatermark(EventsStream.source(spark, sfDir))),
+      ("q129_stream_funnel", "update",
+        () => EventsStream.funnelStages(EventsStream.source(spark, sfDir))),
+      ("q141_stream_attrib", "update",
+        () => EventsStream.attributionStages(EventsStream.source(spark, sfDir))))
+    val streaming = streamTargets.flatMap { case (name, mode, mk) =>
+      val r = try {
+        val (_, st) = EventsStream.runAvailableNowStats(
+          spark, mk(), s"bench_$name", outputMode = mode)
+        Some(s"\"$name\":{\"input_rows\":${st.inputRows}," +
+          s"\"wall_secs\":${fmt(st.wallSecs)},\"batches\":${st.batches}," +
+          s"\"avg_batch_ms\":${fmt(st.avgBatchMs)}," +
+          s"\"max_batch_ms\":${fmt(st.maxBatchMs)}," +
+          s"\"rows_per_sec\":${fmt(st.rowsPerSec)}}")
+      } catch { case e: Throwable =>
+        errors(s"streaming:$name") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(200)
+        None
+      }
+      reset()
+      r
+    }.mkString("{", ",", "}")
+    val es2 = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"stddev":$sd,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

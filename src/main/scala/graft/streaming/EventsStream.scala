@@ -502,14 +502,26 @@ object EventsStream {
     * skipped (the checkpoint is a temp dir, discarded on exit).
     */
   def runAvailableNow(spark: SparkSession, agg: DataFrame, name: String,
-                      outputMode: String = "complete"): DataFrame = {
+                      outputMode: String = "complete"): DataFrame =
+    runAvailableNowStats(spark, agg, name, outputMode)._1
+
+  /** Per-drain telemetry, rolled up from the query's progress events:
+    * total input rows, wall seconds, micro-batch count, per-batch
+    * trigger latency (avg/max), and drain throughput. */
+  final case class DrainStats(inputRows: Long, wallSecs: Double,
+      batches: Int, avgBatchMs: Double, maxBatchMs: Double,
+      rowsPerSec: Double)
+
+  def runAvailableNowStats(spark: SparkSession, agg: DataFrame, name: String,
+                           outputMode: String = "complete"): (DataFrame, DrainStats) = {
     val conf = spark.conf
     val saved = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.checkpoint.fileChecksum.enabled")
       .map(k => k -> conf.getOption(k))
     conf.set("spark.sql.shuffle.partitions", "8")
     conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    try {
+    val stats = try {
+      val t0 = System.nanoTime()
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
@@ -517,10 +529,19 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ps = q.recentProgress.toSeq
+      val rows = ps.map(_.numInputRows).sum
+      val batchMs = ps.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      DrainStats(rows, wall, ps.size,
+        if (batchMs.nonEmpty) batchMs.sum / batchMs.size else 0.0,
+        if (batchMs.nonEmpty) batchMs.max else 0.0,
+        if (wall > 0) rows / wall else 0.0)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
     }
-    spark.table(name)
+    (spark.table(name), stats)
   }
 }
