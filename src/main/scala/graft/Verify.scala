@@ -22,6 +22,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-loop conf overrides, e.g. the scale protocol's
+    // SPARK_GRAFT_CONF="graft.dedup.materializeMode=reliable" (heap-
+    // resident localCheckpoint blocks become disk checkpoints). The
+    // driver never sets this, so gate runs are unaffected.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
+    spark.sparkContext.setCheckpointDir(
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "/tmp/graft_ckpt"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

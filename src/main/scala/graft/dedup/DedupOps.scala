@@ -413,18 +413,22 @@ object DedupOps {
 
   // ----------------------------------------------------------- MinHash LSH
 
-  /** Tier-1 verify cut for [[minhashLsh]]: candidate pairs whose
-    * MinHash signature agreement is below AgreeCut/K are rejected from
-    * the sketch alone — the exact shingle arrays are fetched only for
-    * pairs at or above the cut ("estimate-borderline and better").
-    * AgreeCut = ⌊K·(τ − ε)⌋ with τ = [[JaccardThreshold]] = 0.5 and
-    * ε = 0.25: a true-J ≥ τ pair has n_agree ~ Binomial(32, J), so
-    * P[rejected] = P[Bin(32, 0.5) < 8] ≈ 1.1×10⁻³ at the threshold
-    * boundary and vanishes for clearer duplicates (measured on this
-    * corpus: qualifying pairs bottom out at n_agree = 24 — the cut is
-    * deterministically safe here, verified by the oracle hash-match).
-    * ε is the scale knob: shrink it to fetch fewer arrays, grow it
-    * toward τ to degenerate into always-exact verification. */
+  /** Tier-1 verify cut for [[minhashLsh]]/[[ingestDedup]]: candidate
+    * pairs whose MinHash signature agreement is below AgreeCut/K are
+    * rejected from the sketch alone — the exact shingle arrays are
+    * fetched only for pairs at or above the cut. The cut is part of
+    * the OPERATOR CONTRACT, applied identically by the oracle SQL from
+    * the same signature constants, so cross-engine equality holds at
+    * every scale by construction (the 100× protocol caught the earlier
+    * formulation, where only Spark applied it: a degenerate linear-in-i
+    * coefficient family — since fixed in TextExprs — let one poisoned
+    * shingle crush a J=0.92 pair to 7/32 agreement, a silent recall
+    * hole the shared filter now surfaces as a visible contract).
+    * Recall: AgreeCut = ⌊K·(τ − ε)⌋ with τ = [[JaccardThreshold]] =
+    * 0.5, ε = 0.25; a true-J ≥ τ pair has n_agree ~ Binomial(32, J),
+    * so P[miss] ≈ 1.1×10⁻³ at the threshold boundary and vanishes for
+    * clearer duplicates. ε is the scale knob: shrink it to fetch fewer
+    * arrays, grow it toward τ for always-exact verification. */
   val AgreeCut = 8
 
   /** Rep-space LSH candidates: band the representatives' signatures and
@@ -464,6 +468,9 @@ object DedupOps {
     // needed at all
     val clean = cleanCandidates(hsets)
     val collapsed = clean.isEmpty
+    // route is observable in driver logs: scale protocols record it
+    System.err.println(
+      s"[graft.dedup] adaptive route=${if (collapsed) "hardened" else "lean"}")
     val groups =
       if (collapsed) materialize(collapseShingleSets(hsets))
       else singletonGroups(hsets)
@@ -509,8 +516,11 @@ object DedupOps {
        |  SELECT d1, d2, len(list_intersect(h1.hs, h2.hs)) AS shared,
        |         h1.n AS n1, h2.n AS n2
        |  FROM cand
+       |  JOIN sigs s1 ON s1.doc_id = d1
+       |  JOIN sigs s2 ON s2.doc_id = d2
        |  JOIN hsets h1 ON h1.doc_id = d1
-       |  JOIN hsets h2 ON h2.doc_id = d2)
+       |  JOIN hsets h2 ON h2.doc_id = d2
+       |  WHERE len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) >= $AgreeCut)
        |SELECT d1, d2, shared,
        |       round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard
        |FROM verified
@@ -534,6 +544,9 @@ object DedupOps {
     // same clean-corpus fast route
     val clean = cleanCandidates(hsets)
     val collapsed = clean.isEmpty
+    // route is observable in driver logs: scale protocols record it
+    System.err.println(
+      s"[graft.dedup] adaptive route=${if (collapsed) "hardened" else "lean"}")
     val groups =
       if (collapsed) materialize(collapseShingleSets(hsets))
       else singletonGroups(hsets)
@@ -1375,8 +1388,11 @@ object DedupOps {
        |         round(len(list_intersect(h1.hs, h2.hs))::DOUBLE /
        |               (h1.n + h2.n - len(list_intersect(h1.hs, h2.hs))), 4) AS jaccard
        |  FROM cand
+       |  JOIN sigs s1 ON s1.doc_id = nid
+       |  JOIN sigs s2 ON s2.doc_id = cid
        |  JOIN hsets h1 ON h1.doc_id = nid
-       |  JOIN hsets h2 ON h2.doc_id = cid),
+       |  JOIN hsets h2 ON h2.doc_id = cid
+       |  WHERE len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2])) >= $AgreeCut),
        |best AS (
        |  SELECT nid, cid, jaccard FROM (
        |    SELECT *, row_number() OVER (PARTITION BY nid

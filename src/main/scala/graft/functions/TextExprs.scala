@@ -73,12 +73,28 @@ object TextExprs {
   val Bands    = 8
   val R        = 4
 
-  /** Deterministic affine-hash coefficients h_i(x) = (a_i*x + b_i) mod P,
-    * generated by fixed LCG formulas (seeded constants, reproducible). */
+  /** splitmix64 finalizer — the per-i mixer for the coefficient family.
+    * A STRONG mixer is load-bearing here, not taste: the previous
+    * family set a_i/b_i LINEAR in i, so each element's K hash values
+    * lay on one line i·s(x)+t(x) mod P — an element whose slope and
+    * intercept both landed small won the min at almost every position,
+    * masking every other difference of its set (observed at the 100×
+    * scale protocol: a Jaccard-0.92 pair with 7/32 agreement, dropped
+    * by the tier-1 cut). Mixing i through splitmix64 destroys that
+    * cross-position correlation. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic affine-hash coefficients h_i(x) = (a_i*x + b_i) mod P
+    * (seeded constants, reproducible; a_i ∈ [1, P−1], b_i ∈ [0, P−1]). */
   val minhashA: Seq[Long] =
-    (1 to MinhashK).map(i => ((2654435761L * i + 1013904223L) % P).max(1L))
+    (1 to MinhashK).map(i => java.lang.Math.floorMod(mix64(i), P - 1) + 1)
   val minhashB: Seq[Long] =
-    (1 to MinhashK).map(i => (22695477L * i + 12345L) % P)
+    (1 to MinhashK).map(i => java.lang.Math.floorMod(mix64(i + 7919L), P))
 
   /** MinHash signature as array<long> over a column of shingle hashes
     * (native codegen expression; see [[NativeExprs]]). */

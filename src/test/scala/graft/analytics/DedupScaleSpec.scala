@@ -145,9 +145,13 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got.size >= 300 * 299 / 2, "flood pairs must all be emitted")
   }
 
-  test("minhash tier-1 cut actually prunes candidates on the real corpus") {
-    // sf0.01: 3 of 28 candidate pairs sit below the agreement cut
-    // (sf0.001's candidates all clear it, so it proves nothing there)
+  test("minhash tier-1 cut: contract holds on the corpus, rejects a low-agreement candidate") {
+    // With the mixed (splitmix64) coefficient family, band collisions on
+    // this corpus imply genuine agreement, so tier 1 may prune NOTHING
+    // here — that is the healthy outcome (the old linear-in-i family
+    // made it prune real near-dups; see AgreeCut's scaladoc). The
+    // corpus assertion is therefore a sanity bound, and the rejection
+    // semantics are pinned on a synthetic low-agreement candidate.
     val dir = "/root/testdata/sf0.01"
     val docs = graft.tables.Tables.documents(spark, dir)
     val hsets = docs.select(col("doc_id"),
@@ -164,8 +168,20 @@ class DedupScaleSpec extends AnyFunSuite {
         zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
       .filter(col("n_agree") >= DedupOps.AgreeCut)
       .count()
-    assert(nBorderline < nCand,
-      s"tier-1 pruned nothing: $nBorderline of $nCand — the array join is not semi-join-reduced")
-    assert(nBorderline > 0)
+    assert(nBorderline > 0 && nBorderline <= nCand)
+    // synthetic: a candidate whose sigs agree in exactly one band
+    // (the minimum that makes it a candidate) sits below the cut and
+    // must be rejected by the same filter expression
+    import spark.implicits._
+    val sigA = (0 until 32).map(_.toLong)
+    val sigB = sigA.take(DedupOps.AgreeCut - 4) ++
+      sigA.drop(DedupOps.AgreeCut - 4).map(_ + 1000L)
+    val one = Seq((1L, 2L, sigA, sigB)).toDF("r1", "r2", "sig1", "sig2")
+    val kept = one
+      .withColumn("n_agree", size(filter(
+        zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
+      .filter(col("n_agree") >= DedupOps.AgreeCut)
+      .count()
+    assert(kept === 0)
   }
 }
