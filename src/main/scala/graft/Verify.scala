@@ -15,21 +15,22 @@ object Verify {
       case None => _ => true
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     // Dev-loop conf overrides, e.g. the scale protocol's
-    // SPARK_GRAFT_CONF="graft.dedup.materializeMode=reliable" (heap-
-    // resident localCheckpoint blocks become disk checkpoints). The
-    // driver never sets this, so gate runs are unaffected.
+    // SPARK_GRAFT_CONF="graft.dedup.materializeMode=reliable;
+    // spark.executor.heartbeatInterval=60s". Applied on the BUILDER so
+    // context-init confs (heartbeats, network timeouts) take effect
+    // too. The driver never sets this, so gate runs are unaffected.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      builder.config(k.trim, v.trim)
     })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(
       sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "/tmp/graft_ckpt"))
     new java.io.File(outDir).mkdirs()
