@@ -333,7 +333,12 @@ object SparkEntry {
     // Learned BPE: distributed merge-table training (1-row argmax per
     // round) + native codegen'd application; the oracle re-learns the
     // merges relationally and re-applies them via a vocab join.
-    "q144_bpe_tokens"       -> (graft.text.BpeOps.bpeTokenStats _)
+    "q144_bpe_tokens"       -> (graft.text.BpeOps.bpeTokenStats _),
+    // Asymmetric containment dedup (prefix-filtered set-similarity
+    // join): catches quote-inclusion/boilerplate-expansion pairs whose
+    // symmetric Jaccard — and therefore the whole MinHash family — sits
+    // below threshold; oracle is the brute-force inverted-index form.
+    "q145_containment"      -> (D.containmentDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -480,6 +485,7 @@ object SparkEntry {
     "q141_stream_attrib"    -> E.purchaseAttributionSql,
     "q142_png_decode"       -> graft.multimodal.MultimodalOps.pngDecodeStatsSql,
     "q143_html_extract"     -> T.htmlExtractStatsSql,
-    "q144_bpe_tokens"       -> graft.text.BpeOps.bpeTokenStatsSql
+    "q144_bpe_tokens"       -> graft.text.BpeOps.bpeTokenStatsSql,
+    "q145_containment"      -> D.containmentDedupSql
   )
 }

@@ -1153,6 +1153,97 @@ object DedupOps {
        |FROM grams LEFT JOIN inc ON g = ig
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ containment dedup
+
+  /** Containment threshold τ: doc A is flagged as contained in doc B
+    * when at least τ of A's distinct shingles also occur in B. Applied
+    * as the EXACT integer predicate 5·shared ≥ 4·n_A (τ = 0.8) in both
+    * engines — no float boundary can disagree across engines. */
+  val ContainmentTau = 0.8
+
+  /** Asymmetric containment near-dup pairs (q145) — the subset relation
+    * symmetric Jaccard is blind to. A short document quoted wholesale
+    * inside a longer one has containment C(A→B) = |A∩B| / |A| ≈ 1 while
+    * J = |A∩B| / |A∪B| sits far below any Jaccard threshold (the
+    * container's extra text dilutes the union). MinHash estimates J, so
+    * the LSH family (q21/q34/q88) cannot see these pairs either; this is
+    * the curation stage that catches quote-inclusion, boilerplate
+    * expansion, and truncated mirrors.
+    *
+    * Candidate generation is the PREFIX FILTER of the set-similarity-
+    * join literature (AllPairs/PPJoin, adapted to containment): order
+    * each doc's shingles by global document frequency ascending (ties by
+    * hash — a total order both engines share) and index only the first
+    * K_A = ⌊n_A/5⌋ + 1 as probes. Pigeonhole-exact: a container B misses
+    * at most n_A − shared ≤ ⌊(1−τ)·n_A⌋ = ⌊n_A/5⌋ of A's shingles, so at
+    * least one probe occurs in B — every qualifying pair survives
+    * candidate generation, proven against brute force in
+    * `DedupScaleSpec`. Rare-first ordering makes probes the shingles
+    * with the SHORTEST posting lists, so probe×posting fan-out
+    * concentrates where postings are small; [[cappedProbeJoin]] grids
+    * any residual hot shingle (all-boilerplate docs) into cap-bounded
+    * tasks.
+    *
+    * Scale shape: postings shuffle (hash, doc_id) — never text; the
+    * df-rank window partitions by doc_id; candidates are distinct
+    * (d1, d2) id pairs; exact verification joins the two
+    * distinct-shingle arrays for CANDIDATE pairs only. Output: ordered
+    * pairs (contained, container) passing τ with shared/Jaccard
+    * evidence, plus `sym_blind` marking pairs a Jaccard-threshold dedup
+    * would miss (3·shared < n1 + n2 ⟺ J < 0.5, exact in integers). */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentFrom(shingleHashes(spark, dir))
+
+  /** [[containmentDedup]] over a prebuilt (doc_id, hs, n) hset table —
+    * the from-hsets seam the crafted-corpus specs drive directly. */
+  private[graft] def containmentFrom(hsets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = materialize(hsets)
+    val post = materialize(hs.select(
+      col("doc_id"), col("n"), explode(col("hs")).as("h")))
+    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val probes = post.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))))
+      .filter(expr("rn <= n div 5 + 1"))
+      .select(col("h"), col("doc_id").as("d1"))
+    val cands = cappedProbeJoin(
+        probes, post.select(col("h"), col("doc_id").as("d2")),
+        Seq("h"), "d1", "d2", Nil, Nil)
+      .filter(col("d1") =!= col("d2"))
+    cands
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n").as("n1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n").as("n2")), "d2")
+      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
+      .filter(expr("5 * shared >= 4 * n1"))
+      .select(col("d1").as("contained"), col("d2").as("container"),
+        col("shared").cast("long").as("shared"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(col("shared").cast("double") / col("n1"), 4).as("containment"),
+        round(col("shared").cast("double")
+          / (col("n1") + col("n2") - col("shared")), 4).as("jaccard"),
+        expr("3 * shared < n1 + n2").as("sym_blind"))
+  }
+
+  /** Oracle: the brute-force inverted-index form (every ordered pair
+    * sharing ≥ 1 shingle — pairs with shared = 0 cannot pass τ > 0, so
+    * this IS the full pair space), against which the prefix-filtered
+    * Spark plan must be exactly equal. */
+  val containmentDedupSql: String =
+    s"""WITH $shingleHashesSql,
+       |ex AS (SELECT doc_id, n, unnest(hs) AS h FROM hsets),
+       |pairs AS (
+       |  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS shared,
+       |         any_value(a.n) AS n1, any_value(b.n) AS n2
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id != b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT contained, container, CAST(shared AS BIGINT) AS shared,
+       |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |       round(shared::DOUBLE / n1, 4) AS containment,
+       |       round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard,
+       |       (3 * shared < n1 + n2) AS sym_blind
+       |FROM pairs WHERE 5 * shared >= 4 * n1""".stripMargin
+
   // ----------------------------------------------------------- dedup funnel
 
   /** A document whose removable-span share reaches this (basis points of

@@ -145,6 +145,45 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got.size >= 300 * 299 / 2, "flood pairs must all be emitted")
   }
 
+  // ---------------------------------------------- containment dedup (q145)
+
+  test("containment: finds the subset pairs the Jaccard family misses, prefix filter brute-force-exact") {
+    // A (21 shingles incl. shared boilerplate 0L) quoted inside B
+    // (A + 180 extra): C(A→B) = 1.0 but J ≈ 0.10 — invisible to any
+    // Jaccard-threshold dedup. C is an exact copy of A (mutual
+    // containment). The boilerplate shingle sits in EVERY doc, so
+    // common-gram postings are maximal; rare-first probe ordering plus
+    // the capped probe join must keep the output brute-force-exact
+    // anyway.
+    val boiler = Seq(0L)
+    val docA = 1L -> ((1L to 20L) ++ boiler)
+    val docB = 2L -> ((1L to 20L) ++ (100L to 279L) ++ boiler)
+    val docC = 3L -> ((1L to 20L) ++ boiler)
+    val noise = (0 until 50).map(i =>
+      (10L + i) -> (((1000L + i * 37L) to (1030L + i * 37L)) ++ boiler))
+    val all: Seq[(Long, Seq[Long])] =
+      (Seq(docA, docB, docC) ++ noise).map { case (d, hs) => (d, hs.toSeq.distinct) }
+    val hsets = all.toDF("doc_id", "hs").withColumn("n", size(col("hs")))
+    val got = DedupOps.containmentFrom(hsets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(7))).toSet
+    val expect = (for {
+      (d1, h1) <- all; (d2, h2) <- all if d1 != d2
+      shared = (h1.toSet & h2.toSet).size.toLong
+      if 5 * shared >= 4 * h1.size
+    } yield (d1, d2, shared, 3 * shared < h1.size + h2.size)).toSet
+    assert(got === expect)
+    // the quote-inclusion pair is found and flagged Jaccard-blind; the
+    // reverse direction (B in A) is impossible and absent
+    assert(got.contains((1L, 2L, 21L, true)))
+    assert(!got.exists { case (d1, d2, _, _) => d1 == 2L && d2 == 1L })
+    // the symmetric MinHash family really is blind to it at the same corpus
+    val lsh = DedupOps.minhashLshFrom(hsets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.contains((1L, 2L)) && !lsh.contains((2L, 1L)))
+    // while the mutual exact-copy pair is seen by both families
+    assert(lsh.contains((1L, 3L)) && got.contains((1L, 3L, 21L, false)))
+  }
+
   test("minhash tier-1 cut: contract holds on the corpus, rejects a low-agreement candidate") {
     // With the mixed (splitmix64) coefficient family, band collisions on
     // this corpus imply genuine agreement, so tier 1 may prune NOTHING
