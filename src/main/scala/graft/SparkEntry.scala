@@ -338,7 +338,14 @@ object SparkEntry {
     // join): catches quote-inclusion/boilerplate-expansion pairs whose
     // symmetric Jaccard — and therefore the whole MinHash family — sits
     // below threshold; oracle is the brute-force inverted-index form.
-    "q145_containment"      -> (D.containmentDedup _)
+    "q145_containment"      -> (D.containmentDedup _),
+    // Trained quality classifier: distributed full-batch GD in integer
+    // micro-units with an algebraic-sigmoid link, engineered to be
+    // cross-engine bit-exact; the oracle re-runs the whole training
+    // relationally (q144's unrolled-CTE convention) and must land on
+    // identical weights (w_fp pins it per row).
+    "q146_quality_classifier" -> ((s: SparkSession, dir: String) =>
+      graft.text.QualityClassifier.classify(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -486,6 +493,7 @@ object SparkEntry {
     "q142_png_decode"       -> graft.multimodal.MultimodalOps.pngDecodeStatsSql,
     "q143_html_extract"     -> T.htmlExtractStatsSql,
     "q144_bpe_tokens"       -> graft.text.BpeOps.bpeTokenStatsSql,
-    "q145_containment"      -> D.containmentDedupSql
+    "q145_containment"      -> D.containmentDedupSql,
+    "q146_quality_classifier" -> graft.text.QualityClassifier.classifySql
   )
 }

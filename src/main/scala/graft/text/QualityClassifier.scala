@@ -1,0 +1,188 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextExprs._
+
+/** Trained linear quality classifier (q146) — the fastText-style
+  * learned filter stage of an LLM data pipeline (CCNet / GPT-3 "quality
+  * classifier" stage): instead of hand-tuned rule thresholds (q17/q113),
+  * LEARN a linear model over cheap text features against a weak label
+  * and route documents by its score. Weak label here: the metadata
+  * min-length gate `n_chars >= 300` — the distillation shape (learn to
+  * imitate a rule/metadata gate from cheap TEXT features, then apply
+  * the linear scorer where the metadata is absent). On this synthetic
+  * corpus the learnable text signal is length-shaped by construction
+  * (generator text is i.i.d. across langs and sources), so the label
+  * choice is the honest one; on a real corpus the identical operator
+  * learns real quality labels (wiki-vs-crawl, etc.). Features:
+  * capped length, average word length, digit/uppercase density, and
+  * stopword hit rate — all single-pass, shuffle-free projections.
+  *
+  * TRAINING is distributed full-batch gradient descent in the exact
+  * shape Spark MLlib uses: each of [[Rounds]] rounds is ONE map-side-
+  * combined 6-column aggregate over the feature table (fixed-width,
+  * materialized once); the only driver artifact is 6 longs per round.
+  * At 100 TB the gradient pass is embarrassingly parallel and the
+  * feature table is a narrow projection of the corpus — the canonical
+  * "collect only model-sized artifacts" convention (q80 Lloyd, q144
+  * BPE).
+  *
+  * DETERMINISM is engineered to be cross-engine BIT-EXACT, so the
+  * oracle can re-run the whole training relationally (q144's unrolled-
+  * CTE convention) and land on identical weights:
+  *  - the link is the ALGEBRAIC sigmoid σ̃(z) = 0.5 + z/(2(1+|z|)) —
+  *    only IEEE +,−,×,÷,|·| (no libm exp whose last-ulp may differ
+  *    between engines), smooth, bounded in (0,1), overflow-free;
+  *  - per-doc gradient contributions are quantized to integer
+  *    micro-units via floor(g·10⁶ + 0.5) — LONG sums are order-free, so
+  *    1 partition or 1000 executors give the same gradient;
+  *  - weights live in integer micro-units; the update
+  *    w ← w − 4G/n uses truncating integer division (Scala `/` and
+  *    DuckDB `//` agree on truncation toward zero);
+  *  - every double expression (features, z, σ̃) is written with the
+  *    SAME operation tree in both engines — IEEE arithmetic is
+  *    deterministic given identical ops in identical order.
+  * The output carries no raw floats at all: the score is the micro-unit
+  * logit as a BIGINT (`logit_u`), so no rounding/−0.0 hash hazard
+  * exists, and `w_fp` fingerprints the learned weight vector itself —
+  * training equality is pinned per row. */
+object QualityClassifier {
+
+  /** Full-batch GD rounds; with the ×4 learning rate this converges on
+    * the corpus (spec-pinned > majority + 0.15) while keeping the
+    * oracle's unrolled CTE chain compact. */
+  val Rounds = 16
+
+  /** Fixed-point scale: micro-units per 1.0. */
+  val Micro = 1000000L
+
+  /** English stopword probe list (distinct-hit rate is feature x5). */
+  val Stops: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "was", "for", "on", "with", "as", "at", "by", "it",
+    "this", "that", "be")
+
+  private def stopsSql: String = Stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Per-doc label + feature projection: one narrow pass, no shuffle.
+    * x1 capped length, x2 scaled avg word length, x3 digit density,
+    * x4 ASCII-uppercase density, x5 distinct-stopword hit rate. */
+  private def feats(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"),
+        tokensCol(col("text")).as("tk"),
+        length(col("text")).as("lc"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("nd"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).as("nu"))
+      .select(col("doc_id"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"),
+        (least(size(col("tk")), lit(500)) / lit(100.0)).as("x1"),
+        (col("lc") / (greatest(size(col("tk")), lit(1)) * lit(10.0))).as("x2"),
+        (col("nd") / greatest(col("lc"), lit(1))).as("x3"),
+        (col("nu") / greatest(col("lc"), lit(1))).as("x4"),
+        (size(array_intersect(col("tk"), array(Stops.map(lit): _*)))
+          / greatest(size(col("tk")), lit(1))).as("x5"))
+
+  /** z = w·x with micro-unit weights, left-associated exactly as the
+    * oracle writes it. */
+  private def zCol(w: Array[Long]): Column = {
+    val wd = w.map(_.toDouble / 1000000.0)
+    lit(wd(0)) + lit(wd(1)) * col("x1") + lit(wd(2)) * col("x2") +
+      lit(wd(3)) * col("x3") + lit(wd(4)) * col("x4") + lit(wd(5)) * col("x5")
+  }
+
+  /** σ̃(z) − y in the oracle's exact operation tree. */
+  private def residCol(z: Column): Column =
+    (lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))) - col("y")
+
+  /** Learn micro-unit weights: [[Rounds]] × (one 6-column long-sum
+    * aggregate + 6-long collect). Returns (weights, materialized
+    * feature table) so scoring reuses the same barrier. */
+  def learn(spark: SparkSession, dir: String): (Array[Long], DataFrame) = {
+    val f = feats(spark, dir).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = f.count()
+    var w = Array.fill(6)(0L)
+    for (_ <- 0 until Rounds) {
+      val r = residCol(zCol(w))
+      val xs: Seq[Column] = Seq(lit(1.0), col("x1"), col("x2"),
+        col("x3"), col("x4"), col("x5"))
+      val g = f.select(xs.zipWithIndex.map { case (x, j) =>
+        sum(floor((r * x) * lit(1000000.0) + lit(0.5))).as(s"g$j") }: _*)
+        .collect()(0)
+      w = w.indices.map(j => w(j) - (4L * g.getLong(j)) / n).toArray
+    }
+    (w, f)
+  }
+
+  /** q146: per-doc learned score. `logit_u` is the micro-unit logit
+    * (BIGINT — no float in the output), `pred` the learned routing
+    * decision, `correct` its agreement with the weak label, `w_fp` the
+    * fingerprint of the learned weight vector (pins training equality
+    * on every row). */
+  def classify(spark: SparkSession, dir: String): DataFrame = {
+    val (w, f) = learn(spark, dir)
+    val wFp = graft.functions.PolyHashExpr.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w.mkString(" ")))
+    f.select(col("doc_id"), col("y"),
+        floor(zCol(w) * lit(1000000.0) + lit(0.5)).as("logit_u"))
+      .select(col("doc_id"), col("y"), col("logit_u"),
+        (col("logit_u") > 0L).as("pred"),
+        ((col("logit_u") > 0L) === (col("y") === 1L)).as("correct"),
+        lit(wFp).as("w_fp"))
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  private def zSql(wq: String, fq: String): String =
+    s"($wq.w0/1000000.0) + ($wq.w1/1000000.0)*$fq.x1 + ($wq.w2/1000000.0)*$fq.x2 + " +
+      s"($wq.w3/1000000.0)*$fq.x3 + ($wq.w4/1000000.0)*$fq.x4 + ($wq.w5/1000000.0)*$fq.x5"
+
+  /** The oracle re-runs training relationally: the same feature SQL,
+    * then [[Rounds]] unrolled CTE rounds of (score → integer gradient
+    * sums → integer weight update), then the same scoring — an
+    * independent engine arriving at bit-identical weights. */
+  lazy val classifySql: String = {
+    val ctes = new StringBuilder
+    ctes ++=
+      s"""feats AS MATERIALIZED (
+         |  SELECT doc_id, CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |         least(len(tk), 500) / 100.0 AS x1,
+         |         lc / (greatest(len(tk), 1) * 10.0) AS x2,
+         |         nd / greatest(lc, 1) AS x3,
+         |         nu / greatest(lc, 1) AS x4,
+         |         len(list_intersect(tk, $stopsSql)) / greatest(len(tk), 1) AS x5
+         |  FROM (SELECT doc_id, n_chars, ${tokensSql("text")} AS tk, length(text) AS lc,
+         |               length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+         |               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu
+         |        FROM documents)),
+         |st AS (SELECT count(*) AS n FROM feats),
+         |w0 AS (SELECT ${(0 to 5).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})""".stripMargin
+    for (r <- 0 until Rounds) {
+      val resid = s"((0.5 + z/(2.0*(1.0+abs(z)))) - y)"
+      val xref = Seq("1.0", "x1", "x2", "x3", "x4", "x5")
+      ctes ++= ",\n"
+      ctes ++=
+        s"""p$r AS (SELECT f.*, ${zSql("w", "f")} AS z
+           |        FROM feats f CROSS JOIN w$r w),
+           |g$r AS (SELECT ${(0 to 5).map(j =>
+                      s"sum(CAST(floor(($resid * ${xref(j)}) * 1000000.0 + 0.5) AS BIGINT)) AS g$j")
+                      .mkString(",\n           ")}
+           |        FROM p$r),
+           |w${r + 1} AS MATERIALIZED (
+           |  SELECT ${(0 to 5).map(j => s"w.w$j - ((4*g.g$j) // s.n) AS w$j").mkString(", ")}
+           |  FROM w$r w CROSS JOIN g$r g CROSS JOIN st s)""".stripMargin
+    }
+    val wcat = (0 to 5).map(j => s"CAST(w$j AS VARCHAR)")
+      .mkString(" || ' ' || ")
+    s"""WITH $ctes,
+       |fin AS (SELECT f.doc_id, f.y,
+       |               CAST(floor((${zSql("w", "f")}) * 1000000.0 + 0.5) AS BIGINT) AS logit_u
+       |        FROM feats f CROSS JOIN w$Rounds w),
+       |wf AS (SELECT ${polyHashSql(wcat)} AS fp FROM w$Rounds)
+       |SELECT doc_id, y, logit_u, logit_u > 0 AS pred,
+       |       (logit_u > 0) = (y = 1) AS correct, wf.fp AS w_fp
+       |FROM fin CROSS JOIN wf""".stripMargin
+  }
+}

@@ -1,0 +1,32 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.SparkTestSession
+
+/** The oracle gate proves cross-engine training equality; these specs
+  * pin what the oracle cannot see — that the trained model actually
+  * LEARNED something (beats the majority class on its weak label) and
+  * that training is run-to-run deterministic (identical weights from
+  * independent sessions of the same corpus). */
+class QualityClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.01"
+
+  test("training is deterministic: two independent runs land on identical weights") {
+    val (w1, _) = QualityClassifier.learn(spark, dir)
+    val (w2, _) = QualityClassifier.learn(spark, dir)
+    assert(w1.toSeq === w2.toSeq)
+    assert(w1.exists(_ != 0L), "all-zero weights — training did not move")
+  }
+
+  test("learned model beats the majority class on the weak label") {
+    val rows = QualityClassifier.classify(spark, dir)
+      .select("y", "correct").collect()
+    val n = rows.length
+    val acc = rows.count(_.getBoolean(1)).toDouble / n
+    val majority = math.max(
+      rows.count(_.getLong(0) == 1L), rows.count(_.getLong(0) == 0L)).toDouble / n
+    assert(acc > majority + 0.05,
+      s"accuracy $acc does not beat majority baseline $majority")
+  }
+}
