@@ -345,7 +345,12 @@ object SparkEntry {
     // relationally (q144's unrolled-CTE convention) and must land on
     // identical weights (w_fp pins it per row).
     "q146_quality_classifier" -> ((s: SparkSession, dir: String) =>
-      graft.text.QualityClassifier.classify(s, dir))
+      graft.text.QualityClassifier.classify(s, dir)),
+    // Char-bigram LM fluency scoring (the CCNet perplexity-filter
+    // shape, log-free): all-integer mean transition likelihood +
+    // head/middle/tail routing; model is a broadcast-sized count table.
+    "q147_lm_fluency"       -> ((s: SparkSession, dir: String) =>
+      graft.text.LmFluency.lmFluency(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -494,6 +499,7 @@ object SparkEntry {
     "q143_html_extract"     -> T.htmlExtractStatsSql,
     "q144_bpe_tokens"       -> graft.text.BpeOps.bpeTokenStatsSql,
     "q145_containment"      -> D.containmentDedupSql,
-    "q146_quality_classifier" -> graft.text.QualityClassifier.classifySql
+    "q146_quality_classifier" -> graft.text.QualityClassifier.classifySql,
+    "q147_lm_fluency"       -> graft.text.LmFluency.lmFluencySql
   )
 }

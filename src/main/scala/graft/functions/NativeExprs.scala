@@ -79,6 +79,9 @@ object NativeExprs {
   def bpeSegment(s: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeSegmentExpr(ExpressionUtils.expression(s),
       merges.flatMap(p => Seq(p._1, p._2)).toArray))
+
+  def charBigrams(s: Column): Column =
+    ExpressionUtils.column(CharBigramsExpr(ExpressionUtils.expression(s)))
 }
 
 /** h = fold(codepoints(s), 0, (acc, cp) => (acc*31 + cp) mod P) —
@@ -1007,5 +1010,48 @@ object BpeSegmentExpr {
     }
     if (start >= 0) emit(str.substring(start))
     UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Positional character-bigram ids over a string: one long per adjacent
+  * code-point pair, id = cp1 * 1114112 + cp2 (1114112 = 0x110000, one
+  * past the max code point — the encoding is a bijection, so the DuckDB
+  * twin `unicode(substr(s,i,1))*1114112 + unicode(substr(s,i+1,1))`
+  * produces identical ids). Multiplicity preserved (the LM counts
+  * occurrences); < 2 code points → empty array. */
+case class CharBigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    CharBigramsExpr.bigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharBigramsExpr.bigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharBigramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_bigrams"
+}
+
+object CharBigramsExpr {
+  private val CpBase = 1114112L // 0x110000
+
+  def bigrams(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - 1)
+    var prev = str.codePointAt(0)
+    var j = Character.charCount(prev)
+    var i = 0
+    while (j < str.length) {
+      val cp = str.codePointAt(j)
+      out(i) = prev * CpBase + cp
+      prev = cp
+      j += Character.charCount(cp)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
