@@ -350,7 +350,12 @@ object SparkEntry {
     // shape, log-free): all-integer mean transition likelihood +
     // head/middle/tail routing; model is a broadcast-sized count table.
     "q147_lm_fluency"       -> ((s: SparkSession, dir: String) =>
-      graft.text.LmFluency.lmFluency(s, dir))
+      graft.text.LmFluency.lmFluency(s, dir)),
+    // Audio resample ladder: real RIFF decode + integer box-mean
+    // decimation to canonical rates, per-asset-local (zero shuffle);
+    // sample-level oracle re-derived from generator arithmetic.
+    "q148_audio_resample"   -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.audioResample(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,6 +505,7 @@ object SparkEntry {
     "q144_bpe_tokens"       -> graft.text.BpeOps.bpeTokenStatsSql,
     "q145_containment"      -> D.containmentDedupSql,
     "q146_quality_classifier" -> graft.text.QualityClassifier.classifySql,
-    "q147_lm_fluency"       -> graft.text.LmFluency.lmFluencySql
+    "q147_lm_fluency"       -> graft.text.LmFluency.lmFluencySql,
+    "q148_audio_resample"   -> graft.multimodal.MultimodalOps.audioResampleSql
   )
 }

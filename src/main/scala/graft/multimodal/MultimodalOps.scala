@@ -649,6 +649,89 @@ object MultimodalOps {
        |       CAST(energy_sum AS BIGINT) AS energy_sum
        |FROM seg""".stripMargin
 
+  // ---------------------------------------------- audio resampling (q148)
+
+  /** Resample-ladder target rates (Hz). ASR/speech pipelines normalize
+    * every asset to canonical rates before chunking; the corpus's WAVs
+    * are 8 kHz, so the ladder exercises ×2 and ×4 integer decimation. */
+  val ResampleTargets: Seq[Int] = Seq(4000, 2000)
+
+  /** Audio resampling (q148): every audio asset DECODED (real RIFF
+    * walk) and resampled to each [[ResampleTargets]] rate by integer
+    * box-mean decimation — out[j] = ⌊Σₜ(in[jk+t]+128)/k⌋ − 128 with
+    * k = sr/target (the +128 shift keeps the integer division on
+    * non-negative values, where Scala `/` and DuckDB `//` agree). The
+    * k-sample mean IS a crude anti-alias low-pass, so this is the
+    * honest zero-order pipeline form, not bare sample-dropping.
+    *
+    * Scale shape: per-asset-LOCAL like q135 — one narrow mapPartitions
+    * pass, zero shuffle, payloads never move; each asset emits
+    * |ladder| fixed-width rows whose `checksum_rs` summarizes every
+    * resampled sample, which the oracle re-derives from generator
+    * arithmetic (certifying encoder + RIFF parser + resampler). */
+  /** Box-mean ×k decimation summary: (output length, Σ output samples).
+    * The +128 shift keeps the per-window integer division non-negative
+    * (where truncation and floor agree across engines). */
+  private[multimodal] def resampleChecksum(samples: Array[Short], k: Int): (Long, Long) = {
+    val nOut = samples.length / k
+    var j = 0
+    var cs = 0L
+    while (j < nOut) {
+      var s = 0L
+      var t = 0
+      while (t < k) { s += samples(j * k + t) + 128; t += 1 }
+      cs += s / k - 128
+      j += 1
+    }
+    (nOut.toLong, cs)
+  }
+
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets = ResampleTargets
+    corpusAssets(spark, dir)
+      .filter((a: Asset) => a.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val au = Wav.decode(a.bytes)
+          targets.iterator.map { tgt =>
+            require(au.sampleRate % tgt == 0, s"non-integer ratio ${au.sampleRate}/$tgt")
+            val k = au.sampleRate / tgt
+            val (nOut, cs) = resampleChecksum(au.samples, k)
+            (a.asset_id, au.sampleRate.toLong, tgt.toLong,
+              au.samples.length.toLong, nOut, cs)
+          }
+        }
+      }.toDF("asset_id", "sr_in", "target", "n_in", "n_out", "checksum_rs")
+  }
+
+  /** Oracle: generator arithmetic — in[i]+128 = (c+i) mod 256, so each
+    * output sample is a k-term modular sum; never sees a byte. */
+  val audioResampleSql: String =
+    s"""WITH au AS (
+       |  SELECT doc_id AS asset_id, (doc_id * 97) % 256 AS c,
+       |         8000 AS sr, (100 + doc_id % 50) * $FrameLen AS n_in
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |tg AS (SELECT unnest([${ResampleTargets.mkString(", ")}]) AS target),
+       |ax AS (
+       |  SELECT asset_id, c, sr, n_in, target, sr // target AS k,
+       |         n_in // (sr // target) AS n_out
+       |  FROM au CROSS JOIN tg),
+       |smp AS (
+       |  SELECT asset_id, c, sr, target, n_in, n_out, k,
+       |         unnest(range(0, n_out)) AS j
+       |  FROM ax),
+       |o AS (
+       |  SELECT asset_id, sr, target, n_in, n_out,
+       |         (list_sum(list_transform(range(0, k), t -> (c + j*k + t) % 256)) // k) - 128 AS s
+       |  FROM smp)
+       |SELECT asset_id, CAST(sr AS BIGINT) AS sr_in,
+       |       CAST(target AS BIGINT) AS target,
+       |       CAST(n_in AS BIGINT) AS n_in,
+       |       CAST(n_out AS BIGINT) AS n_out,
+       |       CAST(sum(s) AS BIGINT) AS checksum_rs
+       |FROM o GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   /** Multimodal training-sample manifest (q140): the end-to-end
     * curation join a dataset build finishes with — every document
     * paired with its media asset's decoded features, its exact-dedup

@@ -328,6 +328,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleChecksum: box-mean decimation on a crafted window (incl. negative samples)") {
+    // samples: [-128, -126, 100, 102, 7] with k=2 → windows [-128,-126],
+    // [100,102]; shifted means (0+2)/2=1, (228+230)/2=229 → outputs
+    // 1-128=-127 and 229-128=101; the trailing odd sample is dropped.
+    val (n, cs) = MultimodalOps.resampleChecksum(
+      Array[Short](-128, -126, 100, 102, 7), 2)
+    assert((n, cs) === ((2L, (-127L) + 101L)))
+    // k=1 is the identity: checksum = plain sample sum
+    val (n1, cs1) = MultimodalOps.resampleChecksum(Array[Short](-5, 3, 7), 1)
+    assert((n1, cs1) === ((3L, 5L)))
+  }
+
+  test("audio resample ladder matches generator arithmetic for every asset (q148)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.audioResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent twin from the byte formula (never touches the codec)
+    val expected = (for {
+      id <- docIds if id % 3 == 0
+      tgt <- MultimodalOps.ResampleTargets
+    } yield {
+      val c = (id * 97) % 256
+      val nIn = (100 + id % 50).toInt * 160
+      val k = 8000 / tgt
+      val nOut = nIn / k
+      val cs = (0 until nOut).map { j =>
+        (0 until k).map(t => (c + j * k + t) % 256).sum / k - 128L
+      }.sum
+      (id, 8000L, tgt.toLong, nIn.toLong, nOut.toLong, cs)
+    }).toSet
+    assert(rows.toSet === expected)
+  }
+
   test("phash ingest gate agrees with a brute-force probe of the corpus index (q139)") {
     val dir = "/root/testdata/sf0.001"
     val got = MultimodalOps.phashIngestGate(spark, dir).collect()
