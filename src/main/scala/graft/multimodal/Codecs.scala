@@ -170,6 +170,136 @@ object Png {
   }
 }
 
+/** Real LOSSY image container: baseline JPEG. The encoder and decoder
+  * are the JDK's ImageIO JPEG plugin (a full DCT/quantization/Huffman
+  * implementation); OUR independent contribution is [[parseHeader]], a
+  * from-the-spec marker-segment walker that recovers dimensions,
+  * sample precision and component count without inflating a single
+  * MCU — the shape of a 100 TB manifest pass that must size/route
+  * millions of JPEGs without paying decode cost.
+  *
+  * Lossiness changes the certification scheme (vs [[Png]], where
+  * pixels round-trip bit-exactly): decoded pixels are NOT
+  * generator-reproducible, so the DuckDB oracle pins only the
+  * deterministic surface (dimensions, component count, precision,
+  * dead-letter routing), while the Spark side GATES on fidelity —
+  * per-asset mean |decoded − source| must stay inside a fixed bound
+  * (measured 1.3–4.8 at quality 0.85 on the generator gradients;
+  * gated at 8.0) and our header parse must agree with ImageIO's
+  * decoded dimensions. A green row therefore certifies: real JPEG
+  * bytes were produced, two independent parses agree on the frame
+  * header, and the lossy round trip stayed within tolerance. */
+object Jpeg {
+
+  /** JPEG quality for [[encode]] — the fidelity bound below is
+    * calibrated to this setting. */
+  val Quality = 0.85f
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte
+
+  /** Encode an interleaved-RGB buffer as baseline JPEG via the JDK
+    * ImageIO writer at [[Quality]]. */
+  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        img.setRGB(x, y, ((pixels(o) & 0xff) << 16) |
+          ((pixels(o + 1) & 0xff) << 8) | (pixels(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(Quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Frame-header fields recovered by the marker walk (no MCU decode). */
+  final case class Header(width: Int, height: Int, nComponents: Int, precision: Int)
+
+  /** Independent baseline/progressive JPEG frame-header parser per
+    * ITU-T T.81 §B: walk marker segments (each 0xFF id + 2-byte
+    * big-endian length that INCLUDES the length field), skipping
+    * standalone markers (TEM, RST0–7) which carry no length, until a
+    * SOFn frame header (C0–CF except DHT C4, DAC CC) yields precision,
+    * height, width, components. Throws on truncated/garbled streams —
+    * the dead-letter trigger. */
+  def parseHeader(bytes: Array[Byte]): Header = {
+    require(isJpeg(bytes), "not a JPEG payload (missing SOI)")
+    var pos = 2
+    def u8(i: Int): Int = {
+      require(i < bytes.length, s"JPEG: truncated at byte $i")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    while (pos + 1 < bytes.length) {
+      require(u8(pos) == 0xff, s"JPEG: expected marker at byte $pos")
+      var m = u8(pos + 1)
+      // fill bytes: consecutive 0xFF before the marker id
+      var p = pos + 1
+      while (m == 0xff) { p += 1; m = u8(p) }
+      pos = p + 1
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // TEM / RSTn: standalone, no length
+      } else if (m == 0xd9) {
+        throw new IllegalArgumentException("JPEG: EOI before frame header")
+      } else {
+        val len = u16(pos)
+        require(len >= 2 && pos + len <= bytes.length,
+          s"JPEG: segment 0x${m.toHexString} overruns buffer")
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          val prec = u8(pos + 2)
+          val h = u16(pos + 3); val w = u16(pos + 5)
+          val nc = u8(pos + 7)
+          require(w > 0 && h > 0 && nc > 0, "JPEG: degenerate frame header")
+          return Header(w, h, nc, prec)
+        }
+        if (m == 0xda)
+          throw new IllegalArgumentException("JPEG: SOS before frame header")
+        pos += len
+      }
+    }
+    throw new IllegalArgumentException("JPEG: no frame header found")
+  }
+
+  /** Decode via ImageIO, returned in the shared [[Ppm.Image]] layout. */
+  def decode(bytes: Array[Byte]): Ppm.Image = {
+    require(isJpeg(bytes), "not a JPEG payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "JPEG: ImageIO found no reader for payload")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val v = row(x); val o = (y * w + x) * 3
+        out(o) = ((v >> 16) & 0xff).toByte
+        out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Ppm.Image(w, h, 255, out)
+  }
+}
+
 object Wav {
 
   /** Encode mono 16-bit little-endian PCM as a canonical 44-byte-header

@@ -173,13 +173,25 @@ object MultimodalOps {
   /** One asset per corpus document — the SINGLE derivation q82, q92 and
     * q126 (and their oracles' generator arithmetic) depend on. Only
     * `doc_id` crosses the (round-robin, testdata-only) spread exchange;
-    * the payload is synthesized inside the narrow map. */
-  private def corpusAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    * the payload is synthesized inside the narrow map.
+    *
+    * Kind selection happens HERE as a column predicate on `doc_id`
+    * (audio ⇔ `doc_id % 3 = 0`, the [[makeAsset]] branch condition),
+    * not as a typed lambda after the map: a lambda over `Asset` blocks
+    * codegen and forces every asset to be synthesized before being
+    * dropped, while the column predicate prunes at the parquet scan —
+    * at corpus scale that is 2/3 (audio) or 1/3 (image) of all decode
+    * work never scheduled. */
+  private def corpusAssets(spark: SparkSession, dir: String,
+                           kind: Option[String] = None): Dataset[Asset] = {
     import spark.implicits._
-    graft.tables.Tables.spread(
-        graft.tables.Tables.documents(spark, dir).select(col("doc_id")))
-      .as[Long]
-      .map(makeAsset _)
+    val ids = graft.tables.Tables.documents(spark, dir).select(col("doc_id"))
+    val wanted = kind match {
+      case Some("audio") => ids.filter(col("doc_id") % 3 === 0)
+      case Some("image") => ids.filter(col("doc_id") % 3 =!= 0)
+      case _             => ids
+    }
+    graft.tables.Tables.spread(wanted).as[Long].map(makeAsset _)
   }
 
   /** The full decode pipeline as an oracle-gated query (q126): every
@@ -246,8 +258,7 @@ object MultimodalOps {
     * (asset_id, frame_idx, frame_sum). */
   def frameSamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    corpusAssets(spark, dir)
-      .filter((a: Asset) => a.kind == "audio")
+    corpusAssets(spark, dir, kind = Some("audio"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val au = Wav.decode(a.bytes)
@@ -299,8 +310,7 @@ object MultimodalOps {
     * shuffle, output is one small row per asset. */
   def resizePlans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    corpusAssets(spark, dir)
-      .filter((a: Asset) => a.kind == "image")
+    corpusAssets(spark, dir, kind = Some("image"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val img = Ppm.decode(a.bytes)
@@ -366,10 +376,12 @@ object MultimodalOps {
     * row in ONE narrow pass; payload bytes never shuffle. */
   def pngDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // image-id predicate as a column BEFORE the typed boundary so it
+    // reaches the parquet scan (a typed lambda here blocked pushdown)
     graft.tables.Tables.spread(
-        graft.tables.Tables.documents(spark, dir).select(col("doc_id")))
+        graft.tables.Tables.documents(spark, dir)
+          .select(col("doc_id")).filter(col("doc_id") % 3 =!= 0))
       .as[Long]
-      .filter((id: Long) => id % 3 != 0)
       .mapPartitions { it =>
         it.map { id =>
           val c = seed(id)
@@ -405,6 +417,86 @@ object MultimodalOps {
        |       hh.phash_hi, hh.phash_lo
        |FROM s2 JOIN hashes hh ON s2.asset_id = hh.asset_id""".stripMargin
   }
+
+  /** LOSSY-container decode gate with dead-letter routing (q150):
+    * every image document's generator pixels are encoded as a REAL
+    * baseline JPEG ([[Jpeg.encode]]: the JDK's DCT/Huffman writer at
+    * quality 0.85), the frame header is recovered by OUR independent
+    * T.81 marker walker ([[Jpeg.parseHeader]] — no MCU decode, the
+    * manifest-pass shape), and the full decode runs through ImageIO.
+    * Because JPEG is lossy the decoded pixels are NOT
+    * generator-reproducible, so the certification splits:
+    *  - the ORACLE pins the deterministic surface — dimensions,
+    *    component count, precision, and which assets dead-letter;
+    *  - the SPARK side gates fidelity in-query: the marker walker and
+    *    ImageIO must agree on the frame dimensions, those must match
+    *    the generator's, and the mean |decoded − source| per asset
+    *    must stay ≤ [[JpegMeanErrBound]] (measured 1.3–4.8 at q0.85
+    *    on the gradient corpus). A require failure FAILS the query —
+    *    fidelity violations never masquerade as dead letters.
+    * Dead-letter path (reference D13, `dataflow_transform.py:127-131`
+    * analog): assets with `doc_id % 13 = 5` carry a truncated payload
+    * (SOI + 18 bytes); parse/decode throws and the asset routes to a
+    * `status = 'dead_letter'` row instead of poisoning the batch.
+    * Same scale shape as q126/q142: synthesize → encode → parse →
+    * decode → fixed-width feature row in ONE narrow pass; payload
+    * bytes never shuffle. */
+  val JpegMeanErrBound = 8.0
+
+  def jpegDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.tables.Tables.spread(
+        graft.tables.Tables.documents(spark, dir)
+          .select(col("doc_id")).filter(col("doc_id") % 3 =!= 0))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val c = seed(id)
+          val w = (64 + (id % 8) * 32).toInt
+          val h = (64 + (id % 5) * 48).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) { px(i) = ((c + i) % 256).toByte; i += 1 }
+          val full = Jpeg.encode(w, h, px)
+          val jpg = if (id % 13 == 5) java.util.Arrays.copyOf(full, 20) else full
+          val parsed =
+            try Some((Jpeg.parseHeader(jpg), Jpeg.decode(jpg)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case None =>
+              (id, 0, 0, 0, 0, "dead_letter")
+            case Some((hd, img)) =>
+              require(hd.width == img.width && hd.height == img.height,
+                s"JPEG header/decoder dimension disagreement for asset $id")
+              require(hd.width == w && hd.height == h,
+                s"JPEG round trip changed dimensions for asset $id")
+              var errSum = 0L; var k = 0
+              while (k < px.length) {
+                errSum += math.abs((img.pixels(k) & 0xff) - (px(k) & 0xff))
+                k += 1
+              }
+              require(errSum <= JpegMeanErrBound * px.length,
+                s"JPEG fidelity bound exceeded for asset $id: " +
+                  s"mean err ${errSum.toDouble / px.length}")
+              (id, hd.width, hd.height, hd.nComponents, hd.precision, "ok")
+          }
+        }
+      }.toDF("asset_id", "width", "height", "n_components", "precision", "status")
+  }
+
+  /** Oracle: generator dimension arithmetic + the deterministic
+    * dead-letter predicate — never sees a byte; the lossy pixels are
+    * gated Spark-side (see [[jpegDecodeStats]]). */
+  val jpegDecodeStatsSql: String =
+    s"""SELECT doc_id AS asset_id,
+       |       CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+       |                 ELSE 64 + (doc_id % 8) * 32 END AS INT) AS width,
+       |       CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+       |                 ELSE 64 + (doc_id % 5) * 48 END AS INT) AS height,
+       |       CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 3 END AS INT) AS n_components,
+       |       CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 8 END AS INT) AS precision,
+       |       CASE WHEN doc_id % 13 = 5 THEN 'dead_letter' ELSE 'ok' END AS status
+       |FROM documents WHERE doc_id % 3 != 0""".stripMargin
 
   /** Binary-column metadata extraction with a cross-engine oracle: the
     * documents' text bytes stand in for an opaque media payload (this
@@ -501,8 +593,7 @@ object MultimodalOps {
     * partition; only (asset_id, two longs) ever moves. */
   private def imageHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    corpusAssets(spark, dir)
-      .filter((a: Asset) => a.kind == "image")
+    corpusAssets(spark, dir, kind = Some("image"))
       .mapPartitions { it =>
         it.map { a =>
           val (hi, lo) = ahashHalves(Ppm.decode(a.bytes))
@@ -582,8 +673,7 @@ object MultimodalOps {
     * against a declarative twin. */
   def audioSegments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    corpusAssets(spark, dir)
-      .filter((a: Asset) => a.kind == "audio")
+    corpusAssets(spark, dir, kind = Some("audio"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val au = Wav.decode(a.bytes)
@@ -689,8 +779,7 @@ object MultimodalOps {
   def audioResample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val targets = ResampleTargets
-    corpusAssets(spark, dir)
-      .filter((a: Asset) => a.kind == "audio")
+    corpusAssets(spark, dir, kind = Some("audio"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val au = Wav.decode(a.bytes)

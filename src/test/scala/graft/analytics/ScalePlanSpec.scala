@@ -200,6 +200,43 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("asset-kind predicate runs on the scan column, not after the typed boundary (q142/q148/q150)") {
+    // `doc_id % 3` selects the asset kind. As a typed lambda after
+    // makeAsset it forced EVERY asset to be synthesized before being
+    // dropped; as a column predicate it must fuse onto the parquet
+    // scan (modulo isn't source-pushable, so it lands in the scan's
+    // DataFilters / a FilterExec directly over the scan) with a
+    // doc_id-only ReadSchema — at corpus scale that skips 1/3–2/3 of
+    // all codec work.
+    withPlanConfs(noBroadcast = false) {
+      val M = graft.multimodal.MultimodalOps
+      for ((df, name) <- Seq(
+          (M.pngDecodeStats(spark, dir), "q142"),
+          (M.audioResample(spark, dir), "q148"),
+          (M.jpegDecodeStats(spark, dir), "q150"))) {
+        val plan = df.queryExecution.executedPlan
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        assert(scans.nonEmpty, s"$name: no parquet scan in plan")
+        assert(scans.forall(_.schema.fieldNames.sameElements(Array("doc_id"))),
+          s"$name: scan reads more than doc_id")
+        val kindFilters = plan.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("% 3") => f }
+        assert(kindFilters.nonEmpty,
+          s"$name: kind predicate missing as a column filter:\n${plan.treeString}")
+        // child is the scan (possibly through ColumnarToRow) — i.e.
+        // the filter runs BEFORE any exchange or typed boundary
+        assert(kindFilters.forall(_.child.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+          }.nonEmpty && kindFilters.forall(_.child.collect {
+            case o: org.apache.spark.sql.execution.ObjectConsumerExec => o
+          }.isEmpty)),
+          s"$name: kind filter not fused onto the scan:\n${plan.treeString}")
+      }
+    }
+  }
+
   test("repetition rules are a zero-keyed-shuffle narrow map (q130)") {
     withPlanConfs(noBroadcast = false) {
       val df = graft.text.TextOps.repetitionRules(spark, dir)

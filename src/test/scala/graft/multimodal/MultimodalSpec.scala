@@ -252,6 +252,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("JPEG: header walker agrees with ImageIO; lossy round trip stays in the fidelity bound") {
+    val w = 96; val h = 80
+    val px = Array.tabulate(w * h * 3)(i => ((7 + i) % 256).toByte)
+    val jpg = Jpeg.encode(w, h, px)
+    assert(Jpeg.isJpeg(jpg))
+    // independent parses: our T.81 marker walker vs the JDK decoder
+    val hd = Jpeg.parseHeader(jpg)
+    val img = Jpeg.decode(jpg)
+    assert((hd.width, hd.height, hd.nComponents, hd.precision) === ((w, h, 3, 8)))
+    assert((img.width, img.height) === ((w, h)))
+    val meanErr = px.indices.map(i =>
+      math.abs((img.pixels(i) & 0xff) - (px(i) & 0xff))).sum.toDouble / px.length
+    assert(meanErr <= MultimodalOps.JpegMeanErrBound,
+      s"mean |decoded-source| $meanErr exceeds bound")
+    // the walker skips leading APPn/COM segments it has never seen:
+    // splice a COM segment right after SOI
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 7) ++ "hello".getBytes
+    val spliced = jpg.take(2) ++ com ++ jpg.drop(2)
+    assert(Jpeg.parseHeader(spliced) === hd)
+  }
+
+  test("JPEG parser: rejects non-JPEG and truncated payloads") {
+    intercept[IllegalArgumentException](Jpeg.parseHeader("nope".getBytes))
+    val jpg = Jpeg.encode(16, 16, Array.fill(16 * 16 * 3)(3.toByte))
+    intercept[IllegalArgumentException](Jpeg.parseHeader(jpg.take(20)))
+    // ImageIO surfaces stream corruption as IIOException (an
+    // IOException) — q150's NonFatal catch routes both to dead-letter
+    intercept[Exception](
+      Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)))
+  }
+
+  test("JPEG decode gate: dims/dead-letter routing match the generator; corrupt assets never poison the batch (q150)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = MultimodalOps.jpegDecodeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    val docIds = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = (for (id <- docIds if id % 3 != 0) yield {
+      if (id % 13 == 5) id -> ((0, 0, 0, 0, "dead_letter"))
+      else id -> (((64 + (id % 8) * 32).toInt, (64 + (id % 5) * 48).toInt,
+        3, 8, "ok"))
+    }).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._5 == "dead_letter"),
+      "corpus slice exercised no dead-letter asset")
+  }
+
   test("phash grouping: reps share the hash, class sizes sum to the image count (q131)") {
     val dir = "/root/testdata/sf0.001"
     val rows = MultimodalOps.phashGroups(spark, dir).collect()
