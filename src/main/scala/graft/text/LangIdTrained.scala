@@ -1,0 +1,228 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.functions.TextExprs._
+import graft.functions.NativeExprs
+
+/** Trained multiclass language identification (q149) — the
+  * fastText-style learned lang-id stage (Joulin et al. 2016: a linear
+  * classifier over cheap bag-of-token features beats hand-tuned marker
+  * lists because it LEARNS the marker vocabulary and its reliability
+  * from labels). Upgrades the q16 marker heuristic: q16's fixed lists
+  * mis-route most non-English documents of this corpus because the
+  * generic English function words dominate every language's text;
+  * the trained model learns per-feature weights — in particular a
+  * NEGATIVE weight on the noisy English-marker feature — and routes by
+  * argmax of five one-vs-rest linear scores.
+  *
+  * Corpus convention (same as the multimodal generator family): the
+  * testdata text is i.i.d. across `lang` labels, so the
+  * language-distinctive token counts a real corpus would carry are
+  * injected ARITHMETICALLY — per document, the own-language marker
+  * count is boosted by `2 + doc_id % 2` and one deterministic
+  * confuser language ((li + 1 + doc_id % 4) % 5 — never the own
+  * language) by 1, on top of the REAL token counts from the text
+  * (which make the English feature genuinely noisy: 'the'/'a' are
+  * high-frequency corpus vocabulary). Both engines derive the boosts
+  * from the same closed-form arithmetic, so the oracle reproduces the
+  * feature table exactly; the learning problem is non-trivial (own
+  * boost 2–3 vs confuser 1 vs English base noise 0–8, capped at
+  * [[FeatCap]]) and a raw-count argmax heuristic lands at ~63%
+  * held-out accuracy while the trained model reaches ~87%
+  * (LangIdTrainedSpec pins the gap).
+  *
+  * TRAINING is [[Rounds]] rounds of full-batch gradient descent over
+  * the 80% train split (`doc_id % 5 != 4`), all five one-vs-rest
+  * classifiers advanced by ONE map-side-combined 30-column long-sum
+  * aggregate per round — the exact bit-exactness apparatus of the
+  * binary q146 classifier ([[QualityClassifier]]): algebraic sigmoid
+  * (no libm), integer micro-unit gradient quantization (order-free
+  * long sums), truncating integer weight updates, identical IEEE
+  * operation trees in both engines. The oracle re-runs all rounds as
+  * an unrolled CTE chain and must land on the identical 30 weights
+  * (`w_fp` pins them on every row). Scale shape: feature extraction
+  * is one narrow pass; each GD round is one aggregate collecting 30
+  * longs; scoring is a second narrow pass — at 100 TB the model is
+  * driver-resident by construction and only fixed-width rows move. */
+object LangIdTrained {
+
+  /** GD rounds; with LR 8 this converges to ~87% held-out accuracy
+    * while keeping the oracle's unrolled CTE chain compact. */
+  val Rounds = 24
+
+  /** Integer learning-rate numerator: w ← w − (Lr·G) / n. */
+  val Lr = 8L
+
+  /** Per-feature cap on the real token count — bounds the English
+    * base-noise range so the boost signal stays linearly separable. */
+  val FeatCap = 4
+
+  /** Class order — also the argmax tie-break order. */
+  val Langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** Two marker words per language. The English pair is deliberately
+    * HIGH-FREQUENCY corpus vocabulary (real noise the model must learn
+    * to discount); the rest are absent from the base text, so their
+    * counts carry only the arithmetic injection. */
+  val Markers: Seq[Seq[String]] = Seq(
+    Seq("the", "a"), Seq("der", "und"), Seq("le", "et"),
+    Seq("el", "y"), Seq("zhong", "wen"))
+
+  private val K = Langs.size // classes
+  private val F = K          // one count feature per language's marker list
+
+  /** Per-doc label index, split and feature projection — one narrow
+    * pass, no shuffle. Feature x_k = (min(real marker-k count, cap) +
+    * own-language boost + confuser boost) / 4.0. */
+  private def feats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Langs.zipWithIndex.tail.foldLeft(
+      when(col("lang") === Langs.head, 0)) { case (c, (l, i)) =>
+      c.when(col("lang") === l, i) }.otherwise(K - 1).as("li")
+    val base = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), li,
+        tokensCol(col("text")).as("tk"))
+    val xs = (0 until F).map { k =>
+      ((least(NativeExprs.countInSet(col("tk"), Markers(k)), lit(FeatCap))
+        + when(col("li") === k, lit(2) + (col("doc_id") % 2).cast("int"))
+            .otherwise(0)
+        + when((col("li") + 1 + col("doc_id") % 4) % K === k, 1)
+            .otherwise(0)) / lit(4.0)).as(s"x${k + 1}")
+    }
+    val ys = (0 until K).map { k =>
+      when(col("li") === k, 1L).otherwise(0L).as(s"y$k") }
+    base.select(Seq(col("doc_id"), col("lang"), col("li"),
+      when(col("doc_id") % 5 === 4, "held").otherwise("train").as("split"))
+      ++ ys ++ xs: _*)
+  }
+
+  /** z_k = w·x with micro-unit weights, left-associated exactly as the
+    * oracle writes it. */
+  private def zCol(w: Array[Long]): Column =
+    (1 to F).foldLeft(lit(w(0).toDouble / 1000000.0): Column) { (acc, j) =>
+      acc + lit(w(j).toDouble / 1000000.0) * col(s"x$j") }
+
+  private def residCol(z: Column, k: Int): Column =
+    (lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))) - col(s"y$k")
+
+  /** Learn K micro-unit weight vectors: [[Rounds]] × (one 30-column
+    * long-sum aggregate over the train split + a 30-long collect).
+    * Returns (weights, materialized feature table). */
+  def learn(spark: SparkSession, dir: String): (Array[Array[Long]], DataFrame) = {
+    val f = feats(spark, dir).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val tr = f.filter(col("split") === "train")
+    val n = tr.count()
+    var w = Array.fill(K)(Array.fill(F + 1)(0L))
+    val xref: Seq[Column] = lit(1.0) +: (1 to F).map(j => col(s"x$j"))
+    for (_ <- 0 until Rounds) {
+      val cols = for (k <- 0 until K; j <- 0 to F) yield
+        sum(floor((residCol(zCol(w(k)), k) * xref(j)) * lit(1000000.0)
+          + lit(0.5))).as(s"g${k}_$j")
+      val g = tr.select(cols: _*).collect()(0)
+      w = Array.tabulate(K) { k =>
+        Array.tabulate(F + 1) { j =>
+          w(k)(j) - (Lr * g.getLong(k * (F + 1) + j)) / n } }
+    }
+    (w, f)
+  }
+
+  /** q149: per-doc trained language prediction. `zu0..zu4` are the
+    * micro-unit one-vs-rest logits (BIGINT — no float in the output),
+    * `predicted` their argmax (ties break in [[Langs]] order),
+    * `split` marks the held-out rows the accuracy spec scores, and
+    * `w_fp` fingerprints all 30 learned weights on every row. */
+  def langIdTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (w, f) = learn(spark, dir)
+    val wFp = graft.functions.PolyHashExpr.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        w.flatten.mkString(" ")))
+    val zu = (0 until K).map { k =>
+      floor(zCol(w(k)) * lit(1000000.0) + lit(0.5)).as(s"zu$k") }
+    val scored = f.select(Seq(col("doc_id"), col("lang"), col("split"))
+      ++ zu: _*)
+    val pred = (0 until K - 1).foldLeft(None: Option[Column]) { (acc, k) =>
+      val isMax = ((k + 1) until K)
+        .map(m => col(s"zu$k") >= col(s"zu$m")).reduce(_ && _)
+      Some(acc.fold(when(isMax, Langs(k)))(_.when(isMax, Langs(k))))
+    }.get.otherwise(Langs(K - 1)).as("predicted")
+    scored.select(Seq(col("doc_id"), col("lang"), col("split"))
+        ++ (0 until K).map(k => col(s"zu$k")) :+ pred: _*)
+      .withColumn("correct", col("predicted") === col("lang"))
+      .withColumn("w_fp", lit(wFp))
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  private def markersSql(k: Int): String =
+    Markers(k).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def zSql(wq: String, fq: String, k: Int): String =
+    (1 to F).foldLeft(s"($wq.w${k}_0/1000000.0)") { (acc, j) =>
+      s"$acc + ($wq.w${k}_$j/1000000.0)*$fq.x$j" }
+
+  /** The oracle re-derives the feature table (real token counts + the
+    * closed-form boosts) and re-runs all [[Rounds]] training rounds
+    * relationally — an independent engine arriving at bit-identical
+    * weights and predictions. */
+  lazy val langIdTrainedSql: String = {
+    val ctes = new StringBuilder
+    val xExprs = (0 until F).map { k =>
+      s"(least(len(list_filter(tk, t -> list_contains(${markersSql(k)}, t))), $FeatCap)" +
+        s" + CASE WHEN li = $k THEN 2 + doc_id % 2 ELSE 0 END" +
+        s" + CASE WHEN (li + 1 + doc_id % 4) % $K = $k THEN 1 ELSE 0 END) / 4.0 AS x${k + 1}"
+    }
+    val caseLi = "CASE " + Langs.init.zipWithIndex
+      .map { case (l, i) => s"WHEN lang = '$l' THEN $i" }
+      .mkString(" ") + s" ELSE ${K - 1} END"
+    ctes ++=
+      s"""feats AS MATERIALIZED (
+         |  SELECT doc_id, lang, li,
+         |         CASE WHEN doc_id % 5 = 4 THEN 'held' ELSE 'train' END AS split,
+         |         ${(0 until K).map(k =>
+                      s"CAST(CASE WHEN li = $k THEN 1 ELSE 0 END AS BIGINT) AS y$k")
+                      .mkString(",\n         ")},
+         |         ${xExprs.mkString(",\n         ")}
+         |  FROM (SELECT doc_id, lang, $caseLi AS li, ${tokensSql("text")} AS tk
+         |        FROM documents)),
+         |tr AS MATERIALIZED (SELECT * FROM feats WHERE split = 'train'),
+         |st AS (SELECT count(*) AS n FROM tr),
+         |w0 AS (SELECT ${(for (k <- 0 until K; j <- 0 to F) yield
+                  s"CAST(0 AS BIGINT) AS w${k}_$j").mkString(", ")})""".stripMargin
+    val xref = "1.0" +: (1 to F).map(j => s"x$j")
+    for (r <- 0 until Rounds) {
+      val zs = (0 until K).map(k => s"${zSql("w", "f", k)} AS z$k").mkString(",\n        ")
+      val resid = (k: Int) => s"((0.5 + z$k/(2.0*(1.0+abs(z$k)))) - y$k)"
+      ctes ++= ",\n"
+      ctes ++=
+        s"""p$r AS (SELECT f.*, $zs
+           |        FROM tr f CROSS JOIN w$r w),
+           |g$r AS (SELECT ${(for (k <- 0 until K; j <- 0 to F) yield
+                      s"sum(CAST(floor((${resid(k)} * ${xref(j)}) * 1000000.0 + 0.5) AS BIGINT)) AS g${k}_$j")
+                      .mkString(",\n           ")}
+           |        FROM p$r),
+           |w${r + 1} AS MATERIALIZED (
+           |  SELECT ${(for (k <- 0 until K; j <- 0 to F) yield
+                s"w.w${k}_$j - (($Lr*g.g${k}_$j) // s.n) AS w${k}_$j").mkString(", ")}
+           |  FROM w$r w CROSS JOIN g$r g CROSS JOIN st s)""".stripMargin
+    }
+    val wcat = (for (k <- 0 until K; j <- 0 to F) yield s"CAST(w${k}_$j AS VARCHAR)")
+      .mkString(" || ' ' || ")
+    val zuS = (0 until K).map(k =>
+      s"CAST(floor((${zSql("w", "f", k)}) * 1000000.0 + 0.5) AS BIGINT) AS zu$k")
+      .mkString(",\n        ")
+    val predCase = "CASE " + (0 until K - 1).map { k =>
+      val isMax = ((k + 1) until K).map(m => s"zu$k >= zu$m").mkString(" AND ")
+      s"WHEN $isMax THEN '${Langs(k)}'"
+    }.mkString(" ") + s" ELSE '${Langs(K - 1)}' END"
+    s"""WITH $ctes,
+       |fin AS (SELECT f.doc_id, f.lang, f.split, $zuS
+       |        FROM feats f CROSS JOIN w$Rounds w),
+       |wf AS (SELECT ${polyHashSql(wcat)} AS fp FROM w$Rounds)
+       |SELECT doc_id, lang, split, ${(0 until K).map(k => s"zu$k").mkString(", ")},
+       |       $predCase AS predicted,
+       |       ($predCase) = lang AS correct, wf.fp AS w_fp
+       |FROM fin CROSS JOIN wf""".stripMargin
+  }
+}
