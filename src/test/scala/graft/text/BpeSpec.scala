@@ -48,23 +48,34 @@ class BpeSpec extends AnyFunSuite {
     var segs: Map[String, Vector[String]] =
       freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
     var expected = Vector.empty[(String, String)]
-    for (_ <- 0 until BpeOps.BpeRounds) {
+    while (expected.length < BpeOps.BpeRounds) {
+      // batched reference: rank pairs, greedily accept the first
+      // BpeBatchM symbol-disjoint ones from the top-BpeScanW window,
+      // apply them sequentially in rank order
       val stats = collection.mutable.Map.empty[(String, String), Long]
       for ((w, f) <- freq; i <- 0 until segs(w).length - 1) {
         val p = (segs(w)(i), segs(w)(i + 1))
         stats(p) = stats.getOrElse(p, 0L) + f
       }
-      val best = stats.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-      expected :+= best
-      segs = segs.map { case (w, s) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < s.length) {
-          if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
-            out += s(i) + s(i + 1); i += 2
-          } else { out += s(i); i += 1 }
+      val ranked = stats.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.take(BpeOps.BpeScanW)
+      var used = Set.empty[String]
+      var batch = Vector.empty[(String, String)]
+      for (((a, b), _) <- ranked if batch.length < BpeOps.BpeBatchM)
+        if (!used(a) && !used(b)) { batch :+= ((a, b)); used ++= Seq(a, b) }
+      assert(batch.length == BpeOps.BpeBatchM)
+      for (best <- batch) {
+        expected :+= best
+        segs = segs.map { case (w, s) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
+              out += s(i) + s(i + 1); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          w -> out.result()
         }
-        w -> out.result()
       }
     }
     val learned = BpeOps.bpeLearn(spark, dir)
