@@ -82,6 +82,42 @@ object NativeExprs {
 
   def charBigrams(s: Column): Column =
     ExpressionUtils.column(CharBigramsExpr(ExpressionUtils.expression(s)))
+
+  def normalizeNfc(s: Column): Column =
+    ExpressionUtils.column(NormalizeNfcExpr(ExpressionUtils.expression(s)))
+}
+
+/** Unicode NFC normalization (canonical composition) via the JDK's
+  * `java.text.Normalizer` — ICU-free, codegen'd. Composed and
+  * decomposed spellings of the same text (U+00E9 vs `e`+U+0301) are
+  * byte-distinct to every fingerprint/tokenize pass yet identical to a
+  * reader; normalizing before fingerprinting is what makes such twins
+  * dedup together. DuckDB twin: `nfc_normalize(s)`. */
+case class NormalizeNfcExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    NormalizeNfcExpr.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeNfcExpr.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfcExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
+}
+
+object NormalizeNfcExpr {
+  /** Static so generated code can call it directly. Fast path: NFC
+    * normalization is the identity on pure-ASCII strings (the common
+    * case for this corpus), and `isNormalized` avoids the copy for
+    * already-composed non-ASCII text. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** h = fold(codepoints(s), 0, (acc, cp) => (acc*31 + cp) mod P) —
