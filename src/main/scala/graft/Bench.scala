@@ -98,7 +98,17 @@ object Bench {
     // the end-to-end seconds in `queries` cannot show. Failures record
     // as an error, never kill the bench line.
     import graft.streaming.EventsStream
+    // One target per stateful-streaming family: watermarked dedup,
+    // funnel + attribution state machines (flatMapGroupsWithState),
+    // running user stats (mapGroupsWithState), chunker
+    // (flatMapGroupsWithState append), sliding windowed agg.
     val streamTargets: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q47_stream_userstats", "update",
+        () => EventsStream.userStats(EventsStream.source(spark, sfDir))),
+      ("q85_stream_chunks", "append",
+        () => EventsStream.chunkEvents(EventsStream.source(spark, sfDir))),
+      ("q91_stream_sliding", "complete",
+        () => EventsStream.slidingCounts(EventsStream.source(spark, sfDir))),
       ("q93_stream_dedup_wm", "append",
         () => EventsStream.dedupKeysWithinWatermark(EventsStream.source(spark, sfDir))),
       ("q129_stream_funnel", "update",
@@ -125,7 +135,20 @@ object Bench {
     val es2 = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
+    // The driver captures a bounded tail of stdout; the per-query dicts
+    // over 148+ queries overflow it, truncating the JSON mid-object.
+    // So: full record first (own line + a file under bench/), then a
+    // short self-contained summary as the FINAL line.
+    println(full)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_bench_full.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val nq = results.values.count(_._1 >= 0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries_ok":$nq,"queries_err":${errors.size},"sf":"$sfDir","detail":"full per-query record on preceding line and in bench/last_bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

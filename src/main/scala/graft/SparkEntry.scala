@@ -355,7 +355,24 @@ object SparkEntry {
     // decimation to canonical rates, per-asset-local (zero shuffle);
     // sample-level oracle re-derived from generator arithmetic.
     "q148_audio_resample"   -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.MultimodalOps.audioResample(s, dir))
+      graft.multimodal.MultimodalOps.audioResample(s, dir)),
+    // Trained multiclass lang-id (fastText shape): five one-vs-rest
+    // linear classifiers over marker-count features, bit-exact integer
+    // GD (q146 apparatus); beats the q16 marker heuristic on held-out
+    // docs; the oracle re-trains relationally to identical weights.
+    "q149_lang_id_trained"  -> ((s: SparkSession, dir: String) =>
+      graft.text.LangIdTrained.langIdTrained(s, dir)),
+    // Lossy JPEG decode gate with dead-letter routing: real ImageIO
+    // encode/decode + our independent T.81 frame-header walker; oracle
+    // pins the deterministic surface, fidelity is gated in-query.
+    "q150_jpeg_decode"      -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.MultimodalOps.jpegDecodeStats(s, dir)),
+    // Unicode NFC normalization: codegen'd canonical composition
+    // (JDK Normalizer) vs DuckDB's independent nfc_normalize; the
+    // fingerprint-safe pre-pass the exact-dedup family needs on a
+    // real web corpus (composed/decomposed twins collapse).
+    "q151_nfc_normalize"    -> ((s: SparkSession, dir: String) =>
+      graft.text.UnicodeOps.nfcNormalize(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -506,6 +523,9 @@ object SparkEntry {
     "q145_containment"      -> D.containmentDedupSql,
     "q146_quality_classifier" -> graft.text.QualityClassifier.classifySql,
     "q147_lm_fluency"       -> graft.text.LmFluency.lmFluencySql,
-    "q148_audio_resample"   -> graft.multimodal.MultimodalOps.audioResampleSql
+    "q148_audio_resample"   -> graft.multimodal.MultimodalOps.audioResampleSql,
+    "q149_lang_id_trained"  -> graft.text.LangIdTrained.langIdTrainedSql,
+    "q150_jpeg_decode"      -> graft.multimodal.MultimodalOps.jpegDecodeStatsSql,
+    "q151_nfc_normalize"    -> graft.text.UnicodeOps.nfcNormalizeSql
   )
 }

@@ -34,7 +34,19 @@ import graft.functions.NativeExprs
   * corpus); the model joins back BROADCAST; the per-doc score is one
   * doc_id-keyed aggregate. Two corpus passes total — the same shape as
   * the q133 Zipf vocabulary join, with a model-sized (not vocab-sized)
-  * broadcast. */
+  * broadcast.
+  *
+  * Integer-range bound: the quantization `10⁶·(cnt+1)` overflows int64
+  * only when a SINGLE bigram's corpus count exceeds ~9.2e12. 9.2e12
+  * two-byte transitions is ≳18 TB of one repeated character pair —
+  * possible at the 100 TB design point, and Spark (non-ANSI) would
+  * wrap while DuckDB errors, silently diverging the engines. Contract:
+  * run with `spark.sql.ansi.enabled=true` at production scale so
+  * overflow fails loudly in BOTH engines, or pre-shard the count pass
+  * (per-shard counts each < 9.2e12, then `p_u` per shard and a
+  * count-weighted integer mean) when a pathological corpus is
+  * expected. At gate SF the max bigram count is ≤ corpus characters
+  * (< 10⁸), 5 orders of magnitude inside the bound. */
 object LmFluency {
 
   /** One past Character.MAX_CODE_POINT — bigram id = cp1·CpBase + cp2
