@@ -372,7 +372,25 @@ object SparkEntry {
     // fingerprint-safe pre-pass the exact-dedup family needs on a
     // real web corpus (composed/decomposed twins collapse).
     "q151_nfc_normalize"    -> ((s: SparkSession, dir: String) =>
-      graft.text.UnicodeOps.nfcNormalize(s, dir))
+      graft.text.UnicodeOps.nfcNormalize(s, dir)),
+    // Canonical-URL dedup: real codegen'd canonicalizer (scheme/host
+    // case, default ports, fragments, tracking params, trailing
+    // slash); oracle derives the canonical arithmetically; classes
+    // group on the 64-bit canonical fingerprint, never the string.
+    "q152_url_canon"        -> ((s: SparkSession, dir: String) =>
+      graft.text.UrlOps.urlCanonDedup(s, dir)),
+    // Content-defined chunking: rolling-hash boundaries localize
+    // shared runs at sub-document granularity (storage-dedup shape);
+    // oracle recomputes boundaries from explicit window substrings.
+    "q153_cdc_chunks"       -> ((s: SparkSession, dir: String) =>
+      graft.dedup.CdcOps.cdcChunkDedup(s, dir)),
+    // Mojibake repair: strict latin1->utf8 re-decode with
+    // conservative firing; clean accented text must pass untouched.
+    "q154_mojibake"         -> ((s: SparkSession, dir: String) =>
+      graft.text.UnicodeOps.mojibakeRepair(s, dir)),
+    // Histogram-exact per-lang quantiles + GK sketch bound check:
+    // the scale path for q138's designed-sort median.
+    "q155_quantile_sketch"  -> (T.qualityQuantileSketch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -526,6 +544,10 @@ object SparkEntry {
     "q148_audio_resample"   -> graft.multimodal.MultimodalOps.audioResampleSql,
     "q149_lang_id_trained"  -> graft.text.LangIdTrained.langIdTrainedSql,
     "q150_jpeg_decode"      -> graft.multimodal.MultimodalOps.jpegDecodeStatsSql,
-    "q151_nfc_normalize"    -> graft.text.UnicodeOps.nfcNormalizeSql
+    "q151_nfc_normalize"    -> graft.text.UnicodeOps.nfcNormalizeSql,
+    "q152_url_canon"        -> graft.text.UrlOps.urlCanonDedupSql,
+    "q153_cdc_chunks"       -> graft.dedup.CdcOps.cdcChunkDedupSql,
+    "q154_mojibake"         -> graft.text.UnicodeOps.mojibakeRepairSql,
+    "q155_quantile_sketch"  -> T.qualityQuantileSketchSql
   )
 }

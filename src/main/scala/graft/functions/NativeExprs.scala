@@ -85,6 +85,78 @@ object NativeExprs {
 
   def normalizeNfc(s: Column): Column =
     ExpressionUtils.column(NormalizeNfcExpr(ExpressionUtils.expression(s)))
+
+  def urlCanon(s: Column): Column =
+    ExpressionUtils.column(UrlCanonExpr(ExpressionUtils.expression(s)))
+
+  def mojibakeRepair(s: Column): Column =
+    ExpressionUtils.column(MojibakeRepairExpr(ExpressionUtils.expression(s)))
+
+  def cdcChunks(s: Column, w: Int, d: Int): Column =
+    ExpressionUtils.column(CdcChunksExpr(ExpressionUtils.expression(s), w, d))
+}
+
+/** Content-defined chunking (Rabin-style): boundaries where the
+  * rolling hash of the trailing `w`-char window is ≡ 0 (mod d), so
+  * chunk edges re-synchronize after insertions/deletions — the
+  * storage-dedup property fixed-size blocks lack. Returns the chunk
+  * fingerprints (the polyhash fold) in document order. The window
+  * hash IS the polyhash of the window substring, so the DuckDB twin
+  * recomputes both boundaries and fingerprints with the shared
+  * `polyHashSql` fold — one definition, two engines. */
+case class CdcChunksExpr(child: Expression, w: Int, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CdcChunksExpr.chunks(input.asInstanceOf[UTF8String], w, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcChunksExpr.chunks($c, $w, $d)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
+}
+
+object CdcChunksExpr {
+  val P = 1000000007L
+
+  private def hashRange(cps: Array[Int], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) { acc = (acc * 31 + cps(i)) % P; i += 1 }
+    acc
+  }
+
+  /** Static so generated code can call it directly. Boundary after
+    * 0-based position `i` (i ∈ [w-1, n-2]: the final chunk is never
+    * empty) when polyhash(cps[i-w+1..i]) mod d == 0; rolling update
+    * H ← (H·31 + c_in − c_out·31^w) mod P keeps it O(1)/char. */
+  def chunks(s: UTF8String, w: Int, d: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    var powW = 1L
+    var k = 0
+    while (k < w) { powW = (powW * 31) % P; k += 1 }
+    val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31 + cps(i)) % P
+      if (i >= w) h = ((h - (cps(i - w) * powW) % P) % P + P) % P
+      if (i >= w - 1 && i < n - 1 && h % d == 0) {
+        fps += hashRange(cps, start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    fps += hashRange(cps, start, n)
+    new GenericArrayData(fps.toArray)
+  }
 }
 
 /** Unicode NFC normalization (canonical composition) via the JDK's
@@ -105,6 +177,119 @@ case class NormalizeNfcExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NormalizeNfcExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_nfc"
+}
+
+/** Canonical URL normalization — the dedup key of every web-crawl
+  * pipeline (the same page arrives as `HTTPS://Host:443/p/?utm_…#f`
+  * and `https://host/p`). Rules, fixed as a cross-engine contract:
+  * lowercase scheme+host; strip the fragment; strip default ports
+  * (http:80, https:443); drop tracking query params (`utm_*`, gclid,
+  * fbclid, ref, mc_cid, mc_eid) keeping the rest in original order;
+  * drop a trailing path slash (non-root); empty path → `/`. */
+case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    UrlCanonExpr.canon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanonExpr.canon($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_url_canon"
+}
+
+object UrlCanonExpr {
+  private val Tracking = Set("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+  private def isTracking(param: String): Boolean = {
+    val key = param.indexOf('=') match {
+      case -1 => param
+      case i  => param.substring(0, i)
+    }
+    key.startsWith("utm_") || Tracking.contains(key)
+  }
+
+  /** Static so generated code can call it directly. Strings that don't
+    * parse as `scheme://authority…` pass through unchanged (a
+    * canonicalizer must never destroy a key it can't read). */
+  def canon(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sep = str.indexOf("://")
+    if (sep <= 0) return s
+    val scheme = str.substring(0, sep).toLowerCase
+    // fragment goes first — it may contain '/', '?', ':'
+    val noFrag = str.indexOf('#') match {
+      case -1 => str
+      case i  => str.substring(0, i)
+    }
+    val rest = noFrag.substring(math.min(sep + 3, noFrag.length))
+    val pathStart = rest.indexWhere(c => c == '/' || c == '?')
+    val (auth, tail) =
+      if (pathStart == -1) (rest, "")
+      else (rest.substring(0, pathStart), rest.substring(pathStart))
+    var host = auth.toLowerCase
+    if ((scheme == "http" && host.endsWith(":80")) ||
+        (scheme == "https" && host.endsWith(":443")))
+      host = host.substring(0, host.lastIndexOf(':'))
+    val qStart = tail.indexOf('?')
+    var path = if (qStart == -1) tail else tail.substring(0, qStart)
+    val query = if (qStart == -1) "" else tail.substring(qStart + 1)
+    if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+    if (path.isEmpty) path = "/"
+    val kept = query.split("&").filter(p => p.nonEmpty && !isTracking(p))
+    val q = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+    UTF8String.fromString(scheme + "://" + host + path + q)
+  }
+}
+
+/** Mojibake repair for the classic double-encoding corruption: UTF-8
+  * bytes mis-decoded as Latin-1 (`é` arriving as `Ã©`). Detection is
+  * conservative: the repair fires only when (a) some char is in the
+  * Latin-1 range (so the string COULD be byte-reinterpreted), (b) every
+  * char is ≤ U+00FF, and (c) reinterpreting the char codes as bytes
+  * yields STRICTLY VALID UTF-8 containing a multi-byte sequence.
+  * Well-formed text (ASCII or genuine Latin-1 prose that is not valid
+  * UTF-8) passes through unchanged. */
+case class MojibakeRepairExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    MojibakeRepairExpr.repair(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MojibakeRepairExpr.repair($c)")
+  override protected def withNewChildInternal(newChild: Expression): MojibakeRepairExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mojibake_repair"
+}
+
+object MojibakeRepairExpr {
+  /** Static so generated code can call it directly. */
+  def repair(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var hasHigh = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c > 0xff) return s // genuine non-Latin-1 text: not mojibake
+      if (c > 0x7f) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s // pure ASCII: nothing to repair
+    val bytes = new Array[Byte](str.length)
+    i = 0
+    while (i < str.length) { bytes(i) = str.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length < str.length) UTF8String.fromString(out) else s
+    } catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
 }
 
 object NormalizeNfcExpr {

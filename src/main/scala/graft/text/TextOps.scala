@@ -1013,6 +1013,84 @@ object TextOps {
        |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM scored s JOIN med m ON s.lang = m.lang""".stripMargin
 
+  /** Per-language quantile thresholds at scale (q155) — the upgrade
+    * path for q138's documented designed-sort: instead of ranking
+    * every document inside its language partition, aggregate to the
+    * (lang, score) VALUE HISTOGRAM (map-side-combined, bounded by
+    * distinct scores — 10⁴ here, ≤ millions at any corpus size, never
+    * corpus-sized), run the tiny cumulative window over the histogram,
+    * and read exact discrete quantiles off the cumulative counts:
+    * p50 is the same rank-⌊(n+1)/2⌋ lower median q138 computes, p90
+    * the ceil-rank 90th percentile. Beside the exact path, a GK
+    * sketch (`approx_percentile`, accuracy [[SketchAcc]] — one
+    * corpus pass, mergeable, the stream/multi-tenant form) computes
+    * the same quantiles and the query CHECKS its rank-error guarantee
+    * against the histogram: wb50/wb90 assert the sketch value's true
+    * rank interval overlaps target ± n/accuracy (+1 rounding slack).
+    * The oracle recomputes the exact quantiles and emits literal 1
+    * for the bound flags (the q44/q45 sketch convention) — a sketch
+    * outside its guarantee turns the row red. */
+  val SketchAcc = 100
+
+  def qualityQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+      .join(qualityScore(spark, dir).select(col("doc_id"), col("quality_bp")),
+        "doc_id")
+      .select(col("lang"), col("quality_bp"))
+    val hist = scored.groupBy("lang", "quality_bp")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("lang").orderBy("quality_bp")))
+    val tot = hist.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    val exact = cum.join(tot, "lang").groupBy("lang").agg(
+      max(col("n")).as("n"),
+      min(when(col("cum") >= expr("(n + 1) div 2"), col("quality_bp"))).as("p50"),
+      min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("quality_bp"))).as("p90"))
+    val sk = scored.groupBy("lang").agg(
+      percentile_approx(col("quality_bp"),
+        array(lit(0.5), lit(0.9)), lit(SketchAcc)).as("ap"))
+    def bound(v: String, r: String): org.apache.spark.sql.Column = {
+      // true rank interval of the sketch's value vs target ± n/acc
+      val hi = col(s"cum_$v") * SketchAcc >= expr(s"$r * $SketchAcc - n - $SketchAcc")
+      val lo = (col(s"cum_$v") - col(s"cnt_$v") + 1) * SketchAcc <=
+        expr(s"$r * $SketchAcc + n + $SketchAcc")
+      when(hi && lo, 1L).otherwise(0L)
+    }
+    exact.join(sk, "lang")
+      .withColumn("a50", element_at(col("ap"), 1))
+      .withColumn("a90", element_at(col("ap"), 2))
+      .join(cum.select(col("lang"), col("quality_bp").as("a50"),
+        col("cnt").as("cnt_a50"), col("cum").as("cum_a50")), Seq("lang", "a50"))
+      .join(cum.select(col("lang"), col("quality_bp").as("a90"),
+        col("cnt").as("cnt_a90"), col("cum").as("cum_a90")), Seq("lang", "a90"))
+      .select(col("lang"), col("n"),
+        col("p50").cast("long").as("p50"), col("p90").cast("long").as("p90"),
+        bound("a50", "(n + 1) div 2").as("wb50"),
+        bound("a90", "(9 * n + 9) div 10").as("wb90"))
+  }
+
+  val qualityQuantileSketchSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+       |scored AS (
+       |  SELECT d.lang, q.quality_bp
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |hist AS (SELECT lang, quality_bp, count(*) AS cnt FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, quality_bp, cnt,
+       |         sum(cnt) OVER (PARTITION BY lang ORDER BY quality_bp) AS cum
+       |  FROM hist),
+       |tot AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY 1)
+       |SELECT c.lang, CAST(max(t.n) AS BIGINT) AS n,
+       |       CAST(min(CASE WHEN c.cum >= (t.n + 1) // 2
+       |                     THEN c.quality_bp END) AS BIGINT) AS p50,
+       |       CAST(min(CASE WHEN c.cum >= (9 * t.n + 9) // 10
+       |                     THEN c.quality_bp END) AS BIGINT) AS p90,
+       |       CAST(1 AS BIGINT) AS wb50, CAST(1 AS BIGINT) AS wb90
+       |FROM cum c JOIN tot t ON c.lang = t.lang
+       |GROUP BY 1""".stripMargin
+
   val tokenCommonalitySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents),

@@ -54,6 +54,64 @@ object UnicodeOps {
         polyHashCol(col("nfc")).as("nfc_fp"),
         (col("aug") =!= col("nfc")).as("changed"))
 
+  // ------------------------------------------------- mojibake repair
+
+  /** Genuine accented text and its classic double-encoding corruption
+    * (UTF-8 bytes mis-decoded as Latin-1: é → Ã©). */
+  val CleanAccent = " r\u00e9sum\u00e9 caf\u00e9"
+  val MojibakeAccent = " r\u00c3\u00a9sum\u00c3\u00a9 caf\u00c3\u00a9"
+
+  /** Mojibake repair (q154) — the encoding-repair stage between raw
+    * crawl bytes and fingerprinting: a corrupted and a clean copy of
+    * the same page must dedup together, and corrupted text poisons
+    * tokenization/lang-id long before dedup.
+    * [[NativeExprs.mojibakeRepair]] genuinely re-interprets char codes
+    * as bytes and strictly re-decodes as UTF-8 (repair fires only when
+    * that decode is valid and shrinking — plain ASCII and genuine
+    * Latin-1 prose pass through untouched; the spec pins both
+    * non-firing cases). Corpus convention: doc_id % 3 routes each doc
+    * to no marker / a CLEAN accented marker (must survive unchanged —
+    * the false-positive trap: its bytes are NOT valid UTF-8) / the
+    * MOJIBAKE form of the same marker (must repair to the clean one).
+    * The oracle re-derives the repaired string arithmetically — a
+    * green hash certifies the repair lands exactly on the clean text
+    * and never fires elsewhere. Narrow codegen'd map, zero shuffle. */
+  def mojibakeRepair(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 1, CleanAccent)
+            .when(col("doc_id") % 3 === 2, MojibakeAccent)
+            .otherwise("")).as("aug"))
+      .select(col("doc_id"), col("aug"),
+        NativeExprs.mojibakeRepair(col("aug")).as("fixed"))
+      .select(col("doc_id"),
+        length(col("aug")).cast("long").as("raw_len"),
+        length(col("fixed")).cast("long").as("fixed_len"),
+        polyHashCol(col("fixed")).as("fixed_fp"),
+        (col("aug") =!= col("fixed")).as("repaired"))
+
+  /** Oracle: the corruption and its expected repair are both
+    * closed-form, so the oracle builds the REPAIRED string directly
+    * (clean marker for both marked classes) — it never decodes. */
+  val mojibakeRepairSql: String = {
+    val clean = "' r' || chr(233) || 'sum' || chr(233) || ' caf' || chr(233)"
+    val moji = "' r' || chr(195) || chr(169) || 'sum' || chr(195) || chr(169)" +
+      " || ' caf' || chr(195) || chr(169)"
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         text || CASE doc_id % 3 WHEN 1 THEN $clean
+       |                                 WHEN 2 THEN $moji ELSE '' END AS aug,
+       |         text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE $clean END AS fixed
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(length(aug) AS BIGINT) AS raw_len,
+       |       CAST(length(fixed) AS BIGINT) AS fixed_len,
+       |       ${polyHashSql("fixed")} AS fixed_fp,
+       |       aug != fixed AS repaired
+       |FROM a""".stripMargin
+  }
+
   /** Oracle: the same augmentation arithmetic through DuckDB's own
     * NFC implementation — two independent normalizers must agree
     * code-point-exactly on every row. */

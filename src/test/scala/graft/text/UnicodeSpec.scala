@@ -45,6 +45,40 @@ class UnicodeSpec extends AnyFunSuite {
     assert(nfc(once) === once)
   }
 
+  private def repair(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(NativeExprs.mojibakeRepair(col("t"))).head.getString(0)
+  }
+
+  test("mojibake repair: double-encoded text repairs; clean text never fires") {
+    // UTF-8 bytes of "é" (C3 A9) mis-decoded as Latin-1 → "Ã©"
+    assert(repair("cafÃ©") === "café")
+    assert(repair(UnicodeOps.MojibakeAccent) === UnicodeOps.CleanAccent)
+    // genuine accented text: 0xE9 followed by ASCII is invalid UTF-8 → untouched
+    assert(repair(UnicodeOps.CleanAccent) === UnicodeOps.CleanAccent)
+    assert(repair("résumé") === "résumé")
+    // pure ASCII: untouched
+    assert(repair("plain text 42") === "plain text 42")
+    // genuine non-Latin-1 text (CJK): untouched
+    assert(repair("中文 text") === "中文 text")
+    // repair is idempotent: a repaired string no longer fires
+    assert(repair(repair("cafÃ©")) === "café")
+  }
+
+  test("q154 over the corpus: repaired marks exactly the mojibake rows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = UnicodeOps.mojibakeRepair(spark, dir)
+      .select("doc_id", "raw_len", "fixed_len", "repaired").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cls = r.getLong(0) % 3
+      assert(r.getBoolean(3) === (cls == 2L), s"doc ${r.getLong(0)}")
+      if (cls == 2L) // each Ã© pair (2 chars) composes to 1 char
+        assert(r.getLong(1) - r.getLong(2) === 3L)
+      else assert(r.getLong(1) === r.getLong(2))
+    }
+  }
+
   test("q151 over the corpus: changed marks exactly the decomposed rows; lengths contract") {
     val dir = "/root/testdata/sf0.001"
     val rows = UnicodeOps.nfcNormalize(spark, dir)
