@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{abs, col, countDistinct, lit, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -390,7 +391,26 @@ object SparkEntry {
       graft.text.UnicodeOps.mojibakeRepair(s, dir)),
     // Histogram-exact per-lang quantiles + GK sketch bound check:
     // the scale path for q138's designed-sort median.
-    "q155_quantile_sketch"  -> (T.qualityQuantileSketch _)
+    "q155_quantile_sketch"  -> (T.qualityQuantileSketch _),
+    // Reaggregatable HLL partials: daily sketch table -> merged
+    // per-type estimates without re-reading raw; bound-checked.
+    "q156_hll_rollup"       -> (E.hllRollup _),
+    // q156 on a live stream: the streaming aggregate's state IS the
+    // sketch (fixed registers per type, never per-user state);
+    // estimate bound-checked against the batch-exact count.
+    "q157_stream_sketch"    -> ((s: SparkSession, dir: String) => {
+      val est = graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.sketchRollup(
+          graft.streaming.EventsStream.source(s, dir)), "q157_stream_sketch",
+        outputMode = "complete")
+      val exact = graft.tables.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          when(abs(col("est") - col("exact_users")) * 100
+            <= col("exact_users") * 5, 1L).otherwise(0L).as("within_bound"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -548,6 +568,12 @@ object SparkEntry {
     "q152_url_canon"        -> graft.text.UrlOps.urlCanonDedupSql,
     "q153_cdc_chunks"       -> graft.dedup.CdcOps.cdcChunkDedupSql,
     "q154_mojibake"         -> graft.text.UnicodeOps.mojibakeRepairSql,
-    "q155_quantile_sketch"  -> T.qualityQuantileSketchSql
+    "q155_quantile_sketch"  -> T.qualityQuantileSketchSql,
+    "q156_hll_rollup"       -> E.hllRollupSql,
+    "q157_stream_sketch"    ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -35,6 +35,40 @@ object EventOps {
       |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Reaggregatable distinct-count sketches (q156) — the pattern q44's
+    * single-shot `approx_count_distinct` cannot express: per-(type, day)
+    * DataSketches HLL PARTIALS are materialized once (the daily-rollup
+    * artifact a 100 TB pipeline persists), then MERGED via
+    * `hll_union_agg` into per-type estimates WITHOUT re-reading raw
+    * events — sketch-as-column, the only shape under which "distinct
+    * users this month" costs a sketch-table scan instead of a raw
+    * re-scan. The estimate is checked against the exact distinct count
+    * in-query (lgK=12 → RSE ≈ 1.6%; gated at 5% — the q44/q45 bound
+    * convention, oracle emits literal 1), so a sketch outside its
+    * guarantee turns the row red rather than silently drifting. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val rolled = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        when(abs(col("est") - col("exact_users")) * 100
+          <= col("exact_users") * 5, 1L).otherwise(0L).as("within_bound"))
+  }
+
+  val hllRollupSql: String =
+    """SELECT event_type,
+      |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       CAST(1 AS BIGINT) AS within_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Tumbling 1-hour event-time window aggregate. Spark's window()
     * aligns to the epoch, so 1-hour tumbling window starts coincide with
     * date_trunc('hour'). */

@@ -247,6 +247,20 @@ object EventsStream {
       |SELECT user_id, chunk_id, first_s, last_s, sum_value
       |FROM g WHERE n = 10""".stripMargin
 
+  /** Streaming distinct-user sketch (q157) — q156's rollup ON A LIVE
+    * STREAM: per event type, a DataSketches HLL accumulates users
+    * across micro-batches (the streaming aggregate's state IS the
+    * sketch — fixed 2^lgK-register size per type, never per-user
+    * state, exactly why production counts distincts by sketch and not
+    * `dropDuplicates`+count on an unbounded stream). Complete mode:
+    * every drain emits the full per-type estimate so the memory sink
+    * holds the final-stream answer. The estimate is bound-checked
+    * against the batch-exact distinct count in the q157 wrapper. */
+  def sketchRollup(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+
   /** Streaming exact dedup — the ingest-side "drop already-seen keys"
     * operator a training-data pipeline runs in front of its corpus
     * store. `dropDuplicates` holds one state-store entry per key,
