@@ -395,6 +395,14 @@ object SparkEntry {
     // Reaggregatable HLL partials: daily sketch table -> merged
     // per-type estimates without re-reading raw; bound-checked.
     "q156_hll_rollup"       -> (E.hllRollup _),
+    // Index-accelerated exact substring search: gram-postings
+    // intersection (no false negatives) + contains verify; the
+    // oracle IS the naive full-scan form, proving equivalence.
+    "q158_substring_search" -> ((s: SparkSession, dir: String) =>
+      graft.text.SearchOps.substringSearch(s, dir)),
+    // Temporal-split leakage audit: per-split counts + cross-boundary
+    // user leakage in basis points (the time-split analog of q75/q94).
+    "q159_leakage_audit"    -> (E.leakageAudit _),
     // q156 on a live stream: the streaming aggregate's state IS the
     // sketch (fixed registers per type, never per-user state);
     // estimate bound-checked against the batch-exact count.
@@ -570,6 +578,8 @@ object SparkEntry {
     "q154_mojibake"         -> graft.text.UnicodeOps.mojibakeRepairSql,
     "q155_quantile_sketch"  -> T.qualityQuantileSketchSql,
     "q156_hll_rollup"       -> E.hllRollupSql,
+    "q158_substring_search" -> graft.text.SearchOps.substringSearchSql,
+    "q159_leakage_audit"    -> E.leakageAuditSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -69,6 +69,61 @@ object EventOps {
       |       CAST(1 AS BIGINT) AS within_bound
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Temporal-split leakage audit (q159) — the pre-training sanity
+    * gate for any time-split dataset: partition events into train
+    * (first [[LeakSplitDays]] days from the corpus's own first event)
+    * and eval (the rest), then measure ENTITY leakage across the
+    * boundary — users present on both sides mean the "held-out" eval
+    * window is not held out at the user level (the temporal analog of
+    * test-set contamination; cf. q75/q94's content-level forms). One
+    * summary row: per-split event/user counts, the cross-boundary
+    * user count, and the leak rate in basis points of eval users.
+    * Scale shape: the split point is one min() aggregate (broadcast
+    * scalar); counts are one pass with conditional aggregates; the
+    * cross count is a distinct-(user, side) aggregate — shuffle
+    * carries (user_id, bool) only. */
+  val LeakSplitDays = 21
+
+  def leakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val t0 = ev.agg(date_trunc("day", min(col("ts"))).as("d0"))
+    val sided = ev.crossJoin(broadcast(t0))
+      .select(col("user_id"),
+        (col("ts") < col("d0") + expr(s"INTERVAL $LeakSplitDays DAYS"))
+          .as("is_train"))
+    val counts = sided.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_eval"),
+      countDistinct(when(col("is_train"), col("user_id"))).as("users_train"),
+      countDistinct(when(!col("is_train"), col("user_id"))).as("users_eval"))
+    val both = sided.select(col("user_id"), col("is_train")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("sides"))
+      .agg(sum(when(col("sides") === 2, 1L).otherwise(0L)).as("users_both"))
+    counts.crossJoin(both)
+      .withColumn("leak_bp", expr("(10000 * users_both) div users_eval"))
+  }
+
+  val leakageAuditSql: String =
+    s"""WITH t0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+       |sided AS (
+       |  SELECT user_id,
+       |         ts < d0 + INTERVAL $LeakSplitDays DAY AS is_train
+       |  FROM events CROSS JOIN t0),
+       |c AS (
+       |  SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |         CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       |         CAST(count(DISTINCT CASE WHEN is_train THEN user_id END) AS BIGINT) AS users_train,
+       |         CAST(count(DISTINCT CASE WHEN NOT is_train THEN user_id END) AS BIGINT) AS users_eval
+       |  FROM sided),
+       |b AS (
+       |  SELECT CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS users_both
+       |  FROM (SELECT user_id, count(*) AS sides
+       |        FROM (SELECT DISTINCT user_id, is_train FROM sided)
+       |        GROUP BY 1))
+       |SELECT c.*, b.users_both,
+       |       CAST((10000 * b.users_both) // c.users_eval AS BIGINT) AS leak_bp
+       |FROM c CROSS JOIN b""".stripMargin
+
   /** Tumbling 1-hour event-time window aggregate. Spark's window()
     * aligns to the epoch, so 1-hour tumbling window starts coincide with
     * date_trunc('hour'). */

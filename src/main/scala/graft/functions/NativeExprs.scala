@@ -94,6 +94,58 @@ object NativeExprs {
 
   def cdcChunks(s: Column, w: Int, d: Int): Column =
     ExpressionUtils.column(CdcChunksExpr(ExpressionUtils.expression(s), w, d))
+
+  def charGramHashes(s: Column, w: Int): Column =
+    ExpressionUtils.column(CharGramHashesExpr(ExpressionUtils.expression(s), w))
+}
+
+/** DISTINCT polyhashes of every `w`-char window of the string — the
+  * posting-list key of a substring-search inverted index: text
+  * containing a probe necessarily contains every one of the probe's
+  * windows, so gram-postings intersection is a NO-FALSE-NEGATIVE
+  * candidate filter ahead of the exact `contains` verify. The window
+  * hash is the shared polyhash fold (rolling O(1)/char here; the
+  * DuckDB twin recomputes per window from `substr`). */
+case class CharGramHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashesExpr.grams(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharGramHashesExpr.grams($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_gram_hashes"
+}
+
+object CharGramHashesExpr {
+  val P = 1000000007L
+
+  /** Static so generated code can call it directly. Distinct window
+    * hashes in first-occurrence order. */
+  def grams(s: UTF8String, w: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    var powW = 1L
+    var k = 0
+    while (k < w) { powW = (powW * 31) % P; k += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31 + cps(i)) % P
+      if (i >= w) h = ((h - (cps(i - w) * powW) % P) % P + P) % P
+      if (i >= w - 1 && seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Content-defined chunking (Rabin-style): boundaries where the
