@@ -440,7 +440,18 @@ object MultimodalOps {
     * `status = 'dead_letter'` row instead of poisoning the batch.
     * Same scale shape as q126/q142: synthesize → encode → parse →
     * decode → fixed-width feature row in ONE narrow pass; payload
-    * bytes never shuffle. */
+    * bytes never shuffle.
+    *
+    * Measured limitation worth knowing (probe over 1000 corpus
+    * images, q0.85): the q131 aHash drifts up to 16/64 bits under a
+    * JPEG round trip on this gradient corpus — ABOVE the
+    * [[PHashHamming]]=7 near-dup cut — and an 8×8 block-MEAN variant
+    * is no better here (mean 2.4, max 16: block means of a sawtooth
+    * gradient are all near the threshold). Recompressed copies of an
+    * image therefore need content hashing on DECODED-pixel checksums
+    * (q126/q142) or coarser perceptual bits, not the 64-bit aHash
+    * alone — which is why the dedup manifests key on decoded
+    * checksums. */
   val JpegMeanErrBound = 8.0
 
   def jpegDecodeStats(spark: SparkSession, dir: String): DataFrame = {
