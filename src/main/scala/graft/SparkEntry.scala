@@ -395,6 +395,11 @@ object SparkEntry {
     // Reaggregatable HLL partials: daily sketch table -> merged
     // per-type estimates without re-reading raw; bound-checked.
     "q156_hll_rollup"       -> (E.hllRollup _),
+    // Entity resolution: symmetric-delete (SymSpell) blocking +
+    // levenshtein verify; oracle is the naive quadratic form,
+    // proving the blocking is complete at distance 1.
+    "q160_entity_resolution" -> ((s: SparkSession, dir: String) =>
+      graft.dedup.EntityResolution.entityResolution(s, dir)),
     // Index-accelerated exact substring search: gram-postings
     // intersection (no false negatives) + contains verify; the
     // oracle IS the naive full-scan form, proving equivalence.
@@ -580,6 +585,7 @@ object SparkEntry {
     "q156_hll_rollup"       -> E.hllRollupSql,
     "q158_substring_search" -> graft.text.SearchOps.substringSearchSql,
     "q159_leakage_audit"    -> E.leakageAuditSql,
+    "q160_entity_resolution" -> graft.dedup.EntityResolution.entityResolutionSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

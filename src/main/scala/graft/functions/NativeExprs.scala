@@ -97,6 +97,62 @@ object NativeExprs {
 
   def charGramHashes(s: Column, w: Int): Column =
     ExpressionUtils.column(CharGramHashesExpr(ExpressionUtils.expression(s), w))
+
+  def deleteVariantHashes(s: Column): Column =
+    ExpressionUtils.column(DeleteVariantHashesExpr(ExpressionUtils.expression(s)))
+}
+
+/** FastSS / symmetric-delete blocking keys: the polyhash of the string
+  * itself plus every single-character deletion of it. Two strings at
+  * edit distance ≤ 1 ALWAYS share a key (equal → identity key;
+  * substitution at i → both delete-at-i variants equal; insert/delete
+  * → the shorter string IS a deletion variant of the longer), so a
+  * self-join on these keys is a NO-FALSE-NEGATIVE candidate filter
+  * for distance-1 matching — O(n·len) index keys instead of O(n²)
+  * comparisons (Bocek et al., "Fast Similarity Search in Large
+  * Dictionaries", 2007; the SymSpell shape). Distinct, in
+  * first-occurrence order. */
+case class DeleteVariantHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    DeleteVariantHashesExpr.variants(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeleteVariantHashesExpr.variants($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DeleteVariantHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_delete_variant_hashes"
+}
+
+object DeleteVariantHashesExpr {
+  val P = 1000000007L
+
+  private def hashSkip(cps: Array[Int], skip: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < cps.length) {
+      if (i != skip) acc = (acc * 31 + cps(i)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Static so generated code can call it directly. */
+  def variants(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = -1 // -1 = identity (no skip)
+    while (i < cps.length) {
+      val h = hashSkip(cps, i)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** DISTINCT polyhashes of every `w`-char window of the string — the
