@@ -395,6 +395,12 @@ object SparkEntry {
     // Reaggregatable HLL partials: daily sketch table -> merged
     // per-type estimates without re-reading raw; bound-checked.
     "q156_hll_rollup"       -> (E.hllRollup _),
+    // Robust per-lang outlier audit: median/MAD over the value
+    // histogram (50% breakdown point vs mean/stddev's 0%).
+    "q161_mad_outliers"     -> (T.madOutliers _),
+    // Per-nation revenue trend: closed-form all-integer OLS from one
+    // sufficient-statistics aggregate over the month rollup.
+    "q162_group_trend"      -> (R.groupTrend _),
     // Entity resolution: symmetric-delete (SymSpell) blocking +
     // levenshtein verify; oracle is the naive quadratic form,
     // proving the blocking is complete at distance 1.
@@ -586,6 +592,8 @@ object SparkEntry {
     "q158_substring_search" -> graft.text.SearchOps.substringSearchSql,
     "q159_leakage_audit"    -> E.leakageAuditSql,
     "q160_entity_resolution" -> graft.dedup.EntityResolution.entityResolutionSql,
+    "q161_mad_outliers"     -> T.madOutliersSql,
+    "q162_group_trend"      -> R.groupTrendSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -166,6 +166,66 @@ object Relational {
       .orderBy(desc("revenue"), col("r_name"), col("n_name"))
   }
 
+  /** Per-nation revenue TREND (q162): closed-form OLS over monthly
+    * revenue — slope/intercept from the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²), which are ONE map-side-combined aggregate
+    * over the month rollup. Trend detection is the dashboards' "is
+    * this segment growing" question answered in-engine, no ML lib.
+    * ALL-INTEGER for the cross-engine gate: revenue is exact cents
+    * (`round(price·100)` — 2-decimal money, no half-way cases), month
+    * index is integer, slope/intercept are truncating integer
+    * divisions in units of 1/10000 cent per month
+    * (the sufficient statistics stay far below int64 here; at real
+    * revenue volumes keep the slope multiplier ≤ 10⁴ or pre-scale y
+    * to dollars — documented bound, same class as LmFluency's). */
+  def groupTrend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+    monthly.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("nm"), sum(col("m")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("m") * col("y")).as("sxy"),
+        sum(col("m") * col("m")).as("sxx"))
+      .select(col("n_name"), col("nm"), col("sy"),
+        expr("(10000 * (nm * sxy - sx * sy)) div (nm * sxx - sx * sx)")
+          .as("slope_u"),
+        expr("(10000 * sy - ((10000 * (nm * sxy - sx * sy)) div (nm * sxx - sx * sx)) * sx) div nm")
+          .as("intercept_u"))
+      .withColumn("trend",
+        when(col("slope_u") > 0, "up")
+          .when(col("slope_u") < 0, "down").otherwise("flat"))
+  }
+
+  val groupTrendSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name,
+      |         (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+      |           + month(o_orderdate) - 1 AS m,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS nm,
+      |         CAST(sum(m) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(m * y) AS BIGINT) AS sxy,
+      |         CAST(sum(m * m) AS BIGINT) AS sxx
+      |  FROM monthly GROUP BY 1)
+      |SELECT n_name, nm, sy,
+      |       CAST((10000 * (nm * sxy - sx * sy)) // (nm * sxx - sx * sx) AS BIGINT) AS slope_u,
+      |       CAST((10000 * sy - ((10000 * (nm * sxy - sx * sy)) // (nm * sxx - sx * sx)) * sx) // nm AS BIGINT) AS intercept_u,
+      |       CASE WHEN (10000 * (nm * sxy - sx * sy)) // (nm * sxx - sx * sx) > 0 THEN 'up'
+      |            WHEN (10000 * (nm * sxy - sx * sy)) // (nm * sxx - sx * sx) < 0 THEN 'down'
+      |            ELSE 'flat' END AS trend
+      |FROM s""".stripMargin
+
   val revenueByNationSql: String =
     """SELECT r_name, n_name,
       |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

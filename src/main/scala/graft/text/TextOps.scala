@@ -1091,6 +1091,72 @@ object TextOps {
        |FROM cum c JOIN tot t ON c.lang = t.lang
        |GROUP BY 1""".stripMargin
 
+  /** Robust per-group outlier audit (q161) — the numeric data-quality
+    * gate beside the reference's fixed range predicates (D8): flag
+    * documents whose length sits more than 3 robust deviations from
+    * their OWN language's center, using median/MAD instead of
+    * mean/stddev so the outliers being hunted cannot drag the
+    * threshold toward themselves (breakdown point 50% vs 0%). All
+    * integer — lower median over the value HISTOGRAM (the q155 scale
+    * shape: shuffle bounded by distinct values), MAD re-derived from
+    * the SAME histogram (deviation re-keying is histogram-sized, the
+    * corpus is touched once), cut at |x − med| > 3·MAD. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.spread(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy("lang").orderBy("v")
+    val tot = hist.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    val med = hist.withColumn("cum", sum(col("cnt")).over(wl))
+      .join(tot, "lang").groupBy("lang")
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("med"))
+    val dev = hist.join(med, "lang")
+      .groupBy(col("lang"), abs(col("v") - col("med")).as("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wd = Window.partitionBy("lang").orderBy("d")
+    val mad = dev.withColumn("cum", sum(col("cnt")).over(wd))
+      .join(tot, "lang").groupBy("lang")
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("d"))).as("mad"))
+    hist.join(med, "lang").join(mad, "lang").join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n"), max(col("med")).cast("long").as("med"),
+        max(col("mad")).cast("long").as("mad"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * 3, col("cnt"))
+          .otherwise(0L)).as("n_out"))
+      .withColumn("out_bp", expr("(10000 * n_out) div n"))
+  }
+
+  val madOutliersSql: String =
+    """WITH hist AS (
+      |  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY 1),
+      |med AS (
+      |  SELECT h.lang, min(CASE WHEN h.cum >= (t.n + 1) // 2 THEN h.v END) AS med
+      |  FROM (SELECT lang, v, cnt,
+      |               sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum
+      |        FROM hist) h JOIN tot t ON h.lang = t.lang
+      |  GROUP BY 1),
+      |dev AS (
+      |  SELECT h.lang, abs(h.v - m.med) AS d, sum(h.cnt) AS cnt
+      |  FROM hist h JOIN med m ON h.lang = m.lang GROUP BY 1, 2),
+      |mad AS (
+      |  SELECT d2.lang, min(CASE WHEN d2.cum >= (t.n + 1) // 2 THEN d2.d END) AS mad
+      |  FROM (SELECT lang, d, cnt,
+      |               sum(cnt) OVER (PARTITION BY lang ORDER BY d) AS cum
+      |        FROM dev) d2 JOIN tot t ON d2.lang = t.lang
+      |  GROUP BY 1)
+      |SELECT h.lang, CAST(max(t.n) AS BIGINT) AS n,
+      |       CAST(max(m.med) AS BIGINT) AS med,
+      |       CAST(max(x.mad) AS BIGINT) AS mad,
+      |       CAST(sum(CASE WHEN abs(h.v - m.med) > x.mad * 3
+      |                     THEN h.cnt ELSE 0 END) AS BIGINT) AS n_out,
+      |       CAST((10000 * sum(CASE WHEN abs(h.v - m.med) > x.mad * 3
+      |                              THEN h.cnt ELSE 0 END)) // max(t.n) AS BIGINT) AS out_bp
+      |FROM hist h JOIN med m ON h.lang = m.lang
+      |JOIN mad x ON h.lang = x.lang JOIN tot t ON h.lang = t.lang
+      |GROUP BY 1""".stripMargin
+
   val tokenCommonalitySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents),
