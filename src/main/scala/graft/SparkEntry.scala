@@ -401,6 +401,16 @@ object SparkEntry {
     // Per-nation revenue trend: closed-form all-integer OLS from one
     // sufficient-statistics aggregate over the month rollup.
     "q162_group_trend"      -> (R.groupTrend _),
+    // Cross-source overlap from mergeable bottom-k (KMV) sketches:
+    // O(k) per-source summaries replace the fp-keyed exact join;
+    // exact branch emitted beside the estimate to pin the error.
+    "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
+      graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Per-domain document caps with a dropped-mass ledger; kept
+    // selection via the GroupedTopK custom physical operator (O(1)
+    // state per group), skewed synthetic domains so the cap bites.
+    "q164_domain_cap"       -> ((s: SparkSession, dir: String) =>
+      graft.text.DomainOps.domainCap(s, dir)),
     // Entity resolution: symmetric-delete (SymSpell) blocking +
     // levenshtein verify; oracle is the naive quadratic form,
     // proving the blocking is complete at distance 1.
@@ -594,6 +604,8 @@ object SparkEntry {
     "q160_entity_resolution" -> graft.dedup.EntityResolution.entityResolutionSql,
     "q161_mad_outliers"     -> T.madOutliersSql,
     "q162_group_trend"      -> R.groupTrendSql,
+    "q163_kmv_overlap"      -> graft.dedup.KmvSketch.kmvOverlapSql,
+    "q164_domain_cap"       -> graft.text.DomainOps.domainCapSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -68,6 +68,11 @@ object NativeExprs {
       MinHashSigAggExpr(ExpressionUtils.expression(hs), a.toArray, b.toArray, p)
         .toAggregateExpression())
 
+  def bottomK(h: Column, k: Int): Column =
+    ExpressionUtils.column(
+      BottomKAggExpr(ExpressionUtils.expression(h), k)
+        .toAggregateExpression())
+
   def misraGries(tokens: Column, capacity: Int): Column =
     ExpressionUtils.column(
       MisraGriesAggExpr(ExpressionUtils.expression(tokens), capacity)
@@ -1102,6 +1107,89 @@ object MinHashSigExpr {
     new GenericArrayData(out)
   }
 }
+/** Bottom-k distinct-values (KMV) sketch as a TypedImperativeAggregate
+  * — the mergeable set-summary behind cross-corpus overlap estimation
+  * (q163): keep the k SMALLEST distinct hash values seen. Union
+  * algebra is exact (bottomK(A ∪ B) = bottomK(bottomK(A) ∪
+  * bottomK(B))), so map-side partials merge losslessly and the shuffle
+  * carries one ≤k-long sorted sketch per partition instead of the
+  * per-source distinct-value stream. Buffer = a TreeSet capped at k:
+  * insert-if-smaller-than-max, O(log k) per row; duplicate hashes are
+  * absorbed (KMV is a DISTINCT-value summary — a re-seen hash must not
+  * evict anything). eval() emits the ascending array<long>, which the
+  * oracle reproduces as row_number() OVER (ORDER BY h) <= k. */
+case class BottomKAggExpr(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      // only evict when the insert actually added a NEW value
+      if (buf.add(h)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    val lb = bb.asLongBuffer()
+    val it = buf.iterator()
+    while (it.hasNext) lb.put(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val lb = java.nio.ByteBuffer.wrap(bytes).asLongBuffer()
+    while (lb.hasRemaining) out.add(lb.get())
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected bigint, got $other")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKAggExpr =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_bottom_k_agg"
+}
+
 /** Misra-Gries frequent-items sketch as a TypedImperativeAggregate —
   * the heavy-hitters family member beside HLL++ (q44) and KLL (q45).
   * Buffer = at most `capacity` (token, weight) counters; the classic
