@@ -406,6 +406,14 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Keyed snapshot diff: one full-outer join on the key classifies
+    // added/removed/changed(+column mask)/unchanged into a ledger.
+    "q165_snapshot_diff"    -> ((s: SparkSession, dir: String) =>
+      graft.analytics.SnapshotDiff.snapshotDiff(s, dir)),
+    // k-anonymity audit over a generalization ladder: one GROUPING
+    // SETS pass sizes every QI class at all three levels.
+    "q166_k_anonymity"      -> ((s: SparkSession, dir: String) =>
+      graft.analytics.PrivacyOps.kAnonymityAudit(s, dir)),
     // Per-domain document caps with a dropped-mass ledger; kept
     // selection via the GroupedTopK custom physical operator (O(1)
     // state per group), skewed synthetic domains so the cap bites.
@@ -606,6 +614,8 @@ object SparkEntry {
     "q162_group_trend"      -> R.groupTrendSql,
     "q163_kmv_overlap"      -> graft.dedup.KmvSketch.kmvOverlapSql,
     "q164_domain_cap"       -> graft.text.DomainOps.domainCapSql,
+    "q165_snapshot_diff"    -> graft.analytics.SnapshotDiff.snapshotDiffSql,
+    "q166_k_anonymity"      -> graft.analytics.PrivacyOps.kAnonymityAuditSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
