@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Shot-boundary detection over concatenated-PPM video clips:
+    // frame-to-frame SAD thresholding in one mapPartitions pass;
+    // oracle re-derives every SAD via the closed form.
+    "q167_scene_detect"     -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.VideoOps.sceneDetect(s, dir)),
     // Keyed snapshot diff: one full-outer join on the key classifies
     // added/removed/changed(+column mask)/unchanged into a ledger.
     "q165_snapshot_diff"    -> ((s: SparkSession, dir: String) =>
@@ -616,6 +621,7 @@ object SparkEntry {
     "q164_domain_cap"       -> graft.text.DomainOps.domainCapSql,
     "q165_snapshot_diff"    -> graft.analytics.SnapshotDiff.snapshotDiffSql,
     "q166_k_anonymity"      -> graft.analytics.PrivacyOps.kAnonymityAuditSql,
+    "q167_scene_detect"     -> graft.multimodal.VideoOps.sceneDetectSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -38,10 +38,29 @@ object Ppm {
     * end-of-line anywhere in the header, and exactly ONE whitespace
     * byte separates the maxval from the raster. Only 1-byte-per-sample
     * rasters (maxval < 256) are supported. */
-  def decode(bytes: Array[Byte]): Image = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+  def decode(bytes: Array[Byte]): Image = decodeAt(bytes, 0)._1
+
+  /** Parse every concatenated P6 image in `bytes` in order — the
+    * M-PPM "video" stream convention (q167): a motion sequence stored
+    * as back-to-back single-frame containers, each with its own
+    * header, the way MJPEG concatenates JPEGs. Honest parsing: every
+    * frame's header grammar is re-walked; nothing assumes fixed
+    * offsets. */
+  def decodeFrames(bytes: Array[Byte]): Vector[Image] = {
+    var pos = 0
+    val out = Vector.newBuilder[Image]
+    while (pos < bytes.length) {
+      val (img, next) = decodeAt(bytes, pos)
+      out += img
+      pos = next
+    }
+    out.result()
+  }
+
+  private def decodeAt(bytes: Array[Byte], start: Int): (Image, Int) = {
+    require(bytes.length >= start + 2 && bytes(start) == 'P' && bytes(start + 1) == '6',
       "not a binary PPM (P6) payload")
-    var pos = 2
+    var pos = start + 2
     def isSpace(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def nextInt(): Int = {
       var inComment = false
@@ -68,7 +87,7 @@ object Ppm {
     val n = w * h * 3
     require(bytes.length - pos >= n,
       s"PPM: raster truncated (${bytes.length - pos} of $n bytes)")
-    Image(w, h, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    (Image(w, h, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + n)), pos + n)
   }
 }
 
