@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Leakage-safe split: near-dup clusters (star CC over verified
+    // q21 pairs) route atomically to train/val/test by rep-keyed
+    // hash; cross_split_pairs audit column pinned at zero.
+    "q168_cluster_split"    -> ((s: SparkSession, dir: String) =>
+      graft.dedup.SplitOps.clusterSplit(s, dir)),
     // Shot-boundary detection over concatenated-PPM video clips:
     // frame-to-frame SAD thresholding in one mapPartitions pass;
     // oracle re-derives every SAD via the closed form.
@@ -622,6 +627,7 @@ object SparkEntry {
     "q165_snapshot_diff"    -> graft.analytics.SnapshotDiff.snapshotDiffSql,
     "q166_k_anonymity"      -> graft.analytics.PrivacyOps.kAnonymityAuditSql,
     "q167_scene_detect"     -> graft.multimodal.VideoOps.sceneDetectSql,
+    "q168_cluster_split"    -> graft.dedup.SplitOps.clusterSplitSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

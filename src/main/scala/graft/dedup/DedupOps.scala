@@ -44,7 +44,7 @@ object DedupOps {
     * DFS dir from `SparkContext.setCheckpointDir` — survives executor
     * loss at the price of a write+read round trip per barrier). All
     * three paths are hash-equal by MaterializeModesSpec. */
-  private def materialize(df: DataFrame): DataFrame = {
+  private[dedup] def materialize(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     if (conf.get("graft.dedup.eagerMaterialize", "true") != "true") df
     else conf.get("graft.dedup.materializeMode", "local") match {
