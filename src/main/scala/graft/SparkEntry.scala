@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Stupid Backoff word-trigram LM (Brants'07): counts trained on
+    // the q97 train split score held-out docs; per-tier hit ledger,
+    // all-integer micro-unit scores.
+    "q169_backoff_lm"       -> ((s: SparkSession, dir: String) =>
+      graft.text.BackoffLm.backoffScore(s, dir)),
     // Leakage-safe split: near-dup clusters (star CC over verified
     // q21 pairs) route atomically to train/val/test by rep-keyed
     // hash; cross_split_pairs audit column pinned at zero.
@@ -628,6 +633,7 @@ object SparkEntry {
     "q166_k_anonymity"      -> graft.analytics.PrivacyOps.kAnonymityAuditSql,
     "q167_scene_detect"     -> graft.multimodal.VideoOps.sceneDetectSql,
     "q168_cluster_split"    -> graft.dedup.SplitOps.clusterSplitSql,
+    "q169_backoff_lm"       -> graft.text.BackoffLm.backoffScoreSql,
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
