@@ -406,6 +406,14 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Streaming KMV: the bottom-k TypedImperativeAggregate as
+    // Structured Streaming state; sketch statistics and estimate
+    // are BIT-equal to the batch oracle (order-invariant integers).
+    "q170_stream_kmv"       -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.kmvUsers(
+          graft.streaming.EventsStream.source(s, dir)), "q170_stream_kmv",
+        outputMode = "complete")),
     // Stupid Backoff word-trigram LM (Brants'07): counts trained on
     // the q97 train split score held-out docs; per-tier hit ledger,
     // all-integer micro-unit scores.
@@ -634,6 +642,26 @@ object SparkEntry {
     "q167_scene_detect"     -> graft.multimodal.VideoOps.sceneDetectSql,
     "q168_cluster_split"    -> graft.dedup.SplitOps.clusterSplitSql,
     "q169_backoff_lm"       -> graft.text.BackoffLm.backoffScoreSql,
+    "q170_stream_kmv"       -> {
+      import graft.dedup.KmvSketch.{K, Ua, Ub}
+      val P = graft.functions.TextExprs.P
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, ($Ua * user_id + $Ub) % $P AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM h),
+         |s AS (SELECT event_type, h FROM r WHERE rn <= $K),
+         |a AS (SELECT event_type,
+         |             CAST(count(*) AS BIGINT) AS k_used,
+         |             CAST(max(h) AS BIGINT) AS kth_h,
+         |             CAST(sum(h) AS BIGINT) AS sk_sum
+         |      FROM s GROUP BY 1)
+         |SELECT event_type, k_used, kth_h, sk_sum,
+         |       CAST(CASE WHEN k_used < $K THEN k_used
+         |                 ELSE ${(K - 1).toLong * P} // kth_h END AS BIGINT) AS est_users
+         |FROM a""".stripMargin
+    },
     "q157_stream_sketch"    ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -261,6 +261,33 @@ object EventsStream {
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col("user_id"), lit(12))).as("est"))
 
+  /** Streaming KMV bottom-k distinct-user sketch per event type
+    * (q170) — q157's shape with OUR mergeable aggregate
+    * ([[graft.functions.NativeExprs.bottomK]], a TypedImperativeAggregate)
+    * as the streaming state, and a stronger contract: KMV is fully
+    * ORDER-INVARIANT integer arithmetic, so unlike the DataSketches
+    * HLL twin the emitted sketch statistics (k_used, k-th smallest,
+    * sketch sum) and the KMV estimate ((K−1)·P div h_K, exact when
+    * the sketch holds everything) are BIT-EQUAL to the batch oracle's
+    * row_number() form — the oracle hash pins the whole streaming
+    * state machine, not just an error bound. State per event type is
+    * O(K) longs regardless of stream length. Works identically on a
+    * batch frame (the spec's batch-twin pin). */
+  def kmvUsers(events: DataFrame): DataFrame = {
+    import graft.dedup.KmvSketch.{K, Ua, Ub}
+    val P = graft.functions.TextExprs.P
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.NativeExprs.bottomK(
+        (lit(Ua) * col("user_id") + lit(Ub)) % lit(P), K).as("sk"))
+      .select(col("event_type"),
+        size(col("sk")).cast("long").as("k_used"),
+        element_at(col("sk"), size(col("sk"))).as("kth_h"),
+        aggregate(col("sk"), lit(0L), (a, x) => a + x).as("sk_sum"))
+      .withColumn("est_users",
+        when(col("k_used") < K, col("k_used"))
+          .otherwise(expr(s"${(K - 1).toLong * P}L div kth_h")))
+  }
+
   /** Streaming exact dedup — the ingest-side "drop already-seen keys"
     * operator a training-data pipeline runs in front of its corpus
     * store. `dropDuplicates` holds one state-store entry per key,

@@ -29,6 +29,26 @@ class SketchRollupSpec extends AnyFunSuite {
     assert(viaPartials === singleShot)
   }
 
+  test("q170: streaming KMV sketch is BIT-equal to its batch twin and near exact") {
+    import graft.streaming.EventsStream
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = EventsStream.runAvailableNow(spark,
+      EventsStream.kmvUsers(EventsStream.source(spark, dir)),
+      "kmv_spec_drain", outputMode = "complete").collect().map(key).toMap
+    val batch = EventsStream.kmvUsers(Tables.events(spark, dir))
+      .collect().map(key).toMap
+    assert(streamed === batch)
+    // accuracy: KMV RSE ≈ 1/√(K−2) ≈ 12.7%; gate at 3σ
+    val exact = Tables.events(spark, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (t, (_, _, _, est)) =>
+      assert(math.abs(est - exact(t)) <= math.max(2L, (exact(t) * 0.4).toLong),
+        s"$t: KMV estimate $est vs exact ${exact(t)}")
+    }
+  }
+
   test("streaming sketch estimate equals the batch estimate exactly") {
     import graft.streaming.EventsStream
     val streamed = EventsStream.runAvailableNow(spark,
