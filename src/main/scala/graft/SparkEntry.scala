@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Bloom-pruned contamination screening: mergeable bloom build
+    // over eval shingles, codegen'd bit probes on the corpus side,
+    // exact verify on survivors only; candidates ledgered beside hits.
+    "q171_bloom_contam"     -> ((s: SparkSession, dir: String) =>
+      graft.dedup.BloomOps.bloomDecontaminate(s, dir)),
     // Streaming KMV: the bottom-k TypedImperativeAggregate as
     // Structured Streaming state; sketch statistics and estimate
     // are BIT-equal to the batch oracle (order-invariant integers).
@@ -642,6 +647,7 @@ object SparkEntry {
     "q167_scene_detect"     -> graft.multimodal.VideoOps.sceneDetectSql,
     "q168_cluster_split"    -> graft.dedup.SplitOps.clusterSplitSql,
     "q169_backoff_lm"       -> graft.text.BackoffLm.backoffScoreSql,
+    "q171_bloom_contam"     -> graft.dedup.BloomOps.bloomDecontaminateSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

@@ -291,7 +291,7 @@ object DedupOps {
 
   /** Documents → (doc_id, distinct shingle-hash array, set size);
     * docs with < ShingleW tokens drop out (no shingles to compare). */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private[dedup] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     // The testdata corpus is one small parquet file = one input split;
     // spread the CPU-heavy tokenize→shingle→hash map across all cores
     // (one tiny shuffle of raw rows — a multi-TB corpus would already
@@ -304,7 +304,7 @@ object DedupOps {
       .filter(size(col("hs")) > 0)
       .withColumn("n", size(col("hs")))
 
-  private val shingleHashesSql: String =
+  private[dedup] val shingleHashesSql: String =
     s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(${shinglesSql("t")}, s -> ${polyHashSql("s")})) AS hs
        |       FROM toks),

@@ -68,6 +68,11 @@ object NativeExprs {
       MinHashSigAggExpr(ExpressionUtils.expression(hs), a.toArray, b.toArray, p)
         .toAggregateExpression())
 
+  def bloomAgg(h: Column, mBits: Int, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(
+      BloomAggExpr(ExpressionUtils.expression(h), mBits, a.toArray, b.toArray, p)
+        .toAggregateExpression())
+
   def bottomK(h: Column, k: Int): Column =
     ExpressionUtils.column(
       BottomKAggExpr(ExpressionUtils.expression(h), k)
@@ -1107,6 +1112,91 @@ object MinHashSigExpr {
     new GenericArrayData(out)
   }
 }
+/** Bloom filter build as a TypedImperativeAggregate (q171) — the
+  * pre-join pruning sketch: an m-bit array where each input hash sets
+  * k affine-family bit positions. Union algebra is exact (bitwise OR),
+  * so map-side partials merge losslessly and the whole build ships one
+  * m/64-long word array per partition. Membership is NOT a custom
+  * expression — the emitted word array broadcasts as a plain
+  * array<long> column and the k bit probes are built-in shiftright/&
+  * arithmetic (codegen'd), which is the composition-first preference:
+  * custom code only where the built-ins genuinely cannot express the
+  * semantics (the mergeable build), nothing else. */
+case class BloomAggExpr(
+    child: Expression,
+    mBits: Int,
+    a: Array[Long], b: Array[Long], p: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  private def k = a.length
+  private def words = (mBits + 63) / 64
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < k) {
+        val bit = (((a(j) * h + b(j)) % p) % mBits).toInt
+        buf(bit >>> 6) |= 1L << (bit & 63)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected bigint, got $other")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomAggExpr =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_bloom_agg"
+  override def equals(o: Any): Boolean = o match {
+    case m: BloomAggExpr =>
+      m.child == child && m.p == p && m.mBits == mBits &&
+        m.mutableAggBufferOffset == mutableAggBufferOffset &&
+        m.inputAggBufferOffset == inputAggBufferOffset &&
+        java.util.Arrays.equals(m.a, a) && java.util.Arrays.equals(m.b, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(mBits),
+      Integer.valueOf(java.util.Arrays.hashCode(a)))
+}
+
 /** Bottom-k distinct-values (KMV) sketch as a TypedImperativeAggregate
   * — the mergeable set-summary behind cross-corpus overlap estimation
   * (q163): keep the k SMALLEST distinct hash values seen. Union
