@@ -406,6 +406,10 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Schema-driven single-pass column profiler (the Deequ shape):
+    // all 5·n_cols stats in one aggregate, per-type canonical min/max.
+    "q172_profile"          -> ((s: SparkSession, dir: String) =>
+      graft.analytics.Profiler.profileTables(s, dir)),
     // Bloom-pruned contamination screening: mergeable bloom build
     // over eval shingles, codegen'd bit probes on the corpus side,
     // exact verify on survivors only; candidates ledgered beside hits.
@@ -648,6 +652,7 @@ object SparkEntry {
     "q168_cluster_split"    -> graft.dedup.SplitOps.clusterSplitSql,
     "q169_backoff_lm"       -> graft.text.BackoffLm.backoffScoreSql,
     "q171_bloom_contam"     -> graft.dedup.BloomOps.bloomDecontaminateSql,
+    "q172_profile"          -> graft.analytics.Profiler.profileTablesSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P
