@@ -406,6 +406,9 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Trailing-window rate anomaly: hourly counts vs trailing-24h
+    // mean via exact integer cross-multiplication; warm-up gated.
+    "q173_rate_anomaly"     -> (E.rateAnomaly _),
     // Schema-driven single-pass column profiler (the Deequ shape):
     // all 5·n_cols stats in one aggregate, per-type canonical min/max.
     "q172_profile"          -> ((s: SparkSession, dir: String) =>
@@ -653,6 +656,7 @@ object SparkEntry {
     "q169_backoff_lm"       -> graft.text.BackoffLm.backoffScoreSql,
     "q171_bloom_contam"     -> graft.dedup.BloomOps.bloomDecontaminateSql,
     "q172_profile"          -> graft.analytics.Profiler.profileTablesSql,
+    "q173_rate_anomaly"     -> E.rateAnomalySql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

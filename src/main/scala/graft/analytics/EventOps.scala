@@ -124,6 +124,57 @@ object EventOps {
        |       CAST((10000 * b.users_both) // c.users_eval AS BIGINT) AS leak_bp
        |FROM c CROSS JOIN b""".stripMargin
 
+  /** Trailing-window rate-anomaly audit (q173) — the pipeline-health
+    * monitor every ingest system runs over its own telemetry: per
+    * (event type, hour), compare the hour's event count against the
+    * trailing 24 observed hours and flag hours deviating from the
+    * trailing mean by more than 100%. The test is EXACT INTEGER
+    * cross-multiplication — |n·tn − Σ| > Σ ⇔ |n − Σ/tn| > Σ/tn —
+    * so no float mean ever exists to disagree across engines. A
+    * 12-hour warm-up gates the flag (a 1-hour history would call
+    * everything anomalous). Trailing window is over OBSERVED hours
+    * (q111's gap-fill would make it calendar hours — composable, not
+    * conflated). ~5% of hours flag on this corpus — both classes are
+    * genuinely populated.
+    *
+    * Scale shape: one map-side-combinable hourly pre-aggregate (the
+    * only corpus-sized pass), then a per-type ordered window over the
+    * tiny hour series — the window input is |types|·|hours| rows, not
+    * events. */
+  val AnomWarmup = 12
+
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tw = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trail_n", count(col("n_events")).over(tw))
+      .withColumn("trail_sum", coalesce(sum(col("n_events")).over(tw), lit(0L)))
+      .withColumn("is_anom",
+        when(col("trail_n") >= AnomWarmup &&
+          abs(col("n_events") * col("trail_n") - col("trail_sum"))
+            > col("trail_sum"), 1L).otherwise(0L))
+  }
+
+  val rateAnomalySql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |         CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, hour, n_events,
+       |       CAST(count(n_events) OVER tw AS BIGINT) AS trail_n,
+       |       CAST(coalesce(sum(n_events) OVER tw, 0) AS BIGINT) AS trail_sum,
+       |       CAST(CASE WHEN count(n_events) OVER tw >= $AnomWarmup
+       |                  AND abs(n_events * (count(n_events) OVER tw)
+       |                          - coalesce(sum(n_events) OVER tw, 0))
+       |                      > coalesce(sum(n_events) OVER tw, 0)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+       |FROM h
+       |WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+       |              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin
+
   /** Tumbling 1-hour event-time window aggregate. Spark's window()
     * aligns to the epoch, so 1-hour tumbling window starts coincide with
     * date_trunc('hour'). */
