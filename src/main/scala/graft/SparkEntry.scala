@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Format-crossing pixel dedup: decoded-pixel digests collapse the
+    // same image across PPM and PNG containers (container-byte hashing
+    // provably misses these).
+    "q174_pixel_dedup"      -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.PixelDedup.pixelDedup(s, dir)),
     // Trailing-window rate anomaly: hourly counts vs trailing-24h
     // mean via exact integer cross-multiplication; warm-up gated.
     "q173_rate_anomaly"     -> (E.rateAnomaly _),
@@ -657,6 +662,7 @@ object SparkEntry {
     "q171_bloom_contam"     -> graft.dedup.BloomOps.bloomDecontaminateSql,
     "q172_profile"          -> graft.analytics.Profiler.profileTablesSql,
     "q173_rate_anomaly"     -> E.rateAnomalySql,
+    "q174_pixel_dedup"      -> graft.multimodal.PixelDedup.pixelDedupSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P
