@@ -406,6 +406,15 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Cross-source rank calibration: within-source rank percentiles
+    // make per-source score distributions uniform; top-quartile
+    // shares before/after show the repair.
+    "q176_rank_calibrate"   -> ((s: SparkSession, dir: String) =>
+      graft.text.CalibrateOps.rankCalibrate(s, dir)),
+    // Incremental MV maintenance: delta aggregated alone and merged
+    // into stored partials; oracle IS the full recompute.
+    "q175_mv_merge"         -> ((s: SparkSession, dir: String) =>
+      graft.analytics.MvMaintain.mvMerge(s, dir)),
     // Format-crossing pixel dedup: decoded-pixel digests collapse the
     // same image across PPM and PNG containers (container-byte hashing
     // provably misses these).
@@ -663,6 +672,8 @@ object SparkEntry {
     "q172_profile"          -> graft.analytics.Profiler.profileTablesSql,
     "q173_rate_anomaly"     -> E.rateAnomalySql,
     "q174_pixel_dedup"      -> graft.multimodal.PixelDedup.pixelDedupSql,
+    "q175_mv_merge"         -> graft.analytics.MvMaintain.mvMergeSql,
+    "q176_rank_calibrate"   -> graft.text.CalibrateOps.rankCalibrateSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P
