@@ -406,6 +406,9 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Permissive JSON parse with corrupt-record routing: three
+    // planted failure classes ledgered per event type.
+    "q177_json_deadletter"  -> (E.jsonDeadletter _),
     // Cross-source rank calibration: within-source rank percentiles
     // make per-source score distributions uniform; top-quartile
     // shares before/after show the repair.
@@ -674,6 +677,7 @@ object SparkEntry {
     "q174_pixel_dedup"      -> graft.multimodal.PixelDedup.pixelDedupSql,
     "q175_mv_merge"         -> graft.analytics.MvMaintain.mvMergeSql,
     "q176_rank_calibrate"   -> graft.text.CalibrateOps.rankCalibrateSql,
+    "q177_json_deadletter"  -> E.jsonDeadletterSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

@@ -124,6 +124,72 @@ object EventOps {
        |       CAST((10000 * b.users_both) // c.users_eval AS BIGINT) AS leak_bp
        |FROM c CROSS JOIN b""".stripMargin
 
+  /** Permissive JSON parsing with corrupt-record dead-lettering
+    * (q177) — the schema-on-read ingestion gate (the D3/D13 split at
+    * the JSON layer): real event streams carry malformed payloads,
+    * type-mismatched fields, and missing keys, and the parse must
+    * ROUTE each class rather than fail the job. Three failure classes
+    * are planted deterministically (id ≡ 0 mod 13 → truncated/invalid
+    * JSON; mod 17 → type mismatch, "k" is a string; mod 19 → key
+    * absent) and parsed with `from_json` in PERMISSIVE mode with a
+    * corrupt-record column: malformed documents land whole in `_bad`,
+    * a type-mismatched FIELD nulls out (also recorded in `_bad` —
+    * Spark's partial-result semantics), an absent key is silently
+    * null. The ledger counts each class per event type and sums the
+    * surviving `k` mass — schema drift becomes a monitored number,
+    * not a crash.
+    *
+    * Scale shape: one narrow codegen'd projection (JacksonParser per
+    * row, no UDF); the ledger aggregates map-side. */
+  def jsonDeadletter(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      // corruption at byte 0: Jackson tolerates trailing garbage
+      // after a complete root object, so a truncated HEAD is the
+      // reliably-malformed plant
+      when(col("event_id") % 13 === 0, concat(lit("{{"), col("props")))
+        .when(col("event_id") % 17 === 0, lit("""{"k": "x"}"""))
+        .when(col("event_id") % 19 === 0, lit("{}"))
+        .otherwise(col("props")).as("j"))
+    val parsed = planted.withColumn("p",
+      from_json(col("j"), "k BIGINT, _bad STRING",
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+    parsed
+      .withColumn("parse_class",
+        when(col("p._bad").isNotNull && col("p.k").isNull,
+          when(get_json_object(col("j"), "$.k").isNotNull, lit("type_mismatch"))
+            .otherwise(lit("malformed")))
+          .when(col("p.k").isNull, lit("missing_key"))
+          .otherwise(lit("ok")))
+      .groupBy("event_type", "parse_class")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("p.k"), lit(0L))).as("sum_k"))
+  }
+
+  /** Oracle: classification re-derived from the PLANTING arithmetic
+    * (the generator-family convention — DuckDB's json functions throw
+    * on malformed input rather than returning null, so the oracle
+    * never parses a corrupted string); `k` mass comes from the
+    * original valid payloads of the 'ok' class. A green hash
+    * certifies the parser ROUTED every planted row to its true
+    * class. */
+  val jsonDeadletterSql: String =
+    """WITH cls AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 13 = 0 THEN 'malformed'
+      |              WHEN event_id % 17 = 0 THEN 'type_mismatch'
+      |              WHEN event_id % 19 = 0 THEN 'missing_key'
+      |              ELSE 'ok' END AS parse_class,
+      |         CASE WHEN event_id % 13 != 0 AND event_id % 17 != 0
+      |                   AND event_id % 19 != 0
+      |              THEN coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT), 0)
+      |              ELSE 0 END AS k
+      |  FROM events)
+      |SELECT event_type, parse_class,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM cls GROUP BY 1, 2""".stripMargin
+
   /** Trailing-window rate-anomaly audit (q173) — the pipeline-health
     * monitor every ingest system runs over its own telemetry: per
     * (event type, hour), compare the hour's event count against the
