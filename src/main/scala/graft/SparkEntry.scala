@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Audio constellation matching: energy-peak-pair hashes index
+    // every track; frame-aligned clips identified by offset-histogram
+    // vote (the Shazam shape, all-integer past the codec).
+    "q178_audio_match"      -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.AudioMatch.audioMatch(s, dir)),
     // Permissive JSON parse with corrupt-record routing: three
     // planted failure classes ledgered per event type.
     "q177_json_deadletter"  -> (E.jsonDeadletter _),
@@ -678,6 +683,7 @@ object SparkEntry {
     "q175_mv_merge"         -> graft.analytics.MvMaintain.mvMergeSql,
     "q176_rank_calibrate"   -> graft.text.CalibrateOps.rankCalibrateSql,
     "q177_json_deadletter"  -> E.jsonDeadletterSql,
+    "q178_audio_match"      -> graft.multimodal.AudioMatch.audioMatchSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P
