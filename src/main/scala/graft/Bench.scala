@@ -114,7 +114,9 @@ object Bench {
       ("q129_stream_funnel", "update",
         () => EventsStream.funnelStages(EventsStream.source(spark, sfDir))),
       ("q141_stream_attrib", "update",
-        () => EventsStream.attributionStages(EventsStream.source(spark, sfDir))))
+        () => EventsStream.attributionStages(EventsStream.source(spark, sfDir))),
+      ("q170_stream_kmv", "complete",
+        () => EventsStream.kmvUsers(EventsStream.source(spark, sfDir))))
     val streaming = streamTargets.flatMap { case (name, mode, mk) =>
       val r = try {
         val (_, st) = EventsStream.runAvailableNowStats(
