@@ -406,6 +406,21 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Session path mining: top navigation paths over q14's sessions;
+    // order-safe concatenation (struct sort, not collect_list luck).
+    "q181_session_paths"    -> (E.sessionPaths _),
+    // Waterfilling mixture allocation: max-min fair split of a token
+    // budget under per-source availability; all-integer, exact sum.
+    "q182_mixture_waterfill" -> ((s: SparkSession, dir: String) =>
+      graft.text.MixturePlan.mixtureWaterfill(s, dir)),
+    // Stratified k-fold: round-robin deal within each language after
+    // a deterministic hash shuffle; per-stratum fold spread ≤ 1.
+    "q179_stratified_folds" -> ((s: SparkSession, dir: String) =>
+      graft.text.FoldOps.stratifiedFolds(s, dir)),
+    // Benford first-digit audit: integer CASE-ladder digit binning,
+    // per-mille deviation vs fixed Benford constants.
+    "q180_benford_audit"    -> ((s: SparkSession, dir: String) =>
+      graft.analytics.ForensicsOps.benfordAudit(s, dir)),
     // Audio constellation matching: energy-peak-pair hashes index
     // every track; frame-aligned clips identified by offset-histogram
     // vote (the Shazam shape, all-integer past the codec).
@@ -684,6 +699,10 @@ object SparkEntry {
     "q176_rank_calibrate"   -> graft.text.CalibrateOps.rankCalibrateSql,
     "q177_json_deadletter"  -> E.jsonDeadletterSql,
     "q178_audio_match"      -> graft.multimodal.AudioMatch.audioMatchSql,
+    "q179_stratified_folds" -> graft.text.FoldOps.stratifiedFoldsSql,
+    "q180_benford_audit"    -> graft.analytics.ForensicsOps.benfordAuditSql,
+    "q181_session_paths"    -> E.sessionPathsSql,
+    "q182_mixture_waterfill" -> graft.text.MixturePlan.mixtureWaterfillSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

@@ -303,6 +303,82 @@ object EventOps {
 
   }
 
+  /** Session path mining (q181) — the navigation-pattern rollup on
+    * top of q14's sessionization: each session's first [[PathCap]]
+    * events (ordered by (ts, event_id) — the same total order the
+    * session windows use, so ties cannot reshuffle a path) join into
+    * a `a>b>c` path string, and the TOP-[[TopPaths]] paths by session
+    * count come back ranked. Ordered concatenation inside an
+    * aggregate is done order-safely: collect (step, type) structs,
+    * array_sort (struct order = step order), transform+join — never
+    * `collect_list` order luck.
+    *
+    * Scale shape: sessionization's one user-shuffle + in-session
+    * window; path counting aggregates map-side on the path string
+    * (bounded: ≤ PathCap event types long); the final top-k ranks a
+    * path-cardinality-sized table (q08's caveat applies — the global
+    * window is fine because distinct paths ≪ corpus). */
+  val PathCap = 8
+  val TopPaths = 20
+
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val inSess = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sess
+      .withColumn("step", row_number().over(inSess))
+      .filter(col("step") <= PathCap)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("step"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rank") <= TopPaths)
+      .select(col("rank").cast("long").as("rank"), col("path"), col("n_sessions"))
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged),
+       |stepped AS (
+       |  SELECT user_id, session_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id, session_id
+       |                            ORDER BY ts, event_id) AS step
+       |  FROM sess),
+       |paths AS (
+       |  SELECT user_id, session_id,
+       |         string_agg(event_type, '>' ORDER BY step) AS path
+       |  FROM stepped WHERE step <= $PathCap
+       |  GROUP BY 1, 2),
+       |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       |      FROM paths GROUP BY 1)
+       |SELECT CAST(rank AS BIGINT) AS rank, path, n_sessions FROM (
+       |  SELECT path, n_sessions,
+       |         row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+       |  FROM c)
+       |WHERE rank <= $TopPaths""".stripMargin
+
   /** As-of join — an operator Spark lacks natively, composed scalably
     * from built-ins (union + window, the single-shuffle formulation):
     * for each `purchase` event, the same user's latest `click` event at

@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+import graft.tables.Tables
+
+/** q179–q182 pins the oracle gate cannot see. */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q179: stratified folds balanced within 1; plain hash mod k is not") {
+    val rows = graft.text.FoldOps.stratifiedFolds(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= 1L,
+      s"${r.getString(0)}: fold spread ${r.getLong(3)}"))
+    // the naive assignment this replaces: raw hash % k per doc
+    val naiveSpread = Tables.documents(spark, dir)
+      .withColumn("fold", graft.functions.TextExprs.polyHashCol(
+        concat_ws(":", lit("fold"), col("doc_id").cast("string"))) % graft.text.FoldOps.KFolds)
+      .groupBy("lang", "fold").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .agg(max("spread")).collect().head.getLong(0)
+    assert(naiveSpread > 1L, "plain hash folds are balanced here by luck — corpus too small to show the repair")
+  }
+
+  test("q180: every segment's digit histogram conserves and stays in 1..9") {
+    val rows = ForensicsOps.benfordAudit(spark, dir).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    val totals = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySeg.foreach { case (seg, rs) =>
+      assert(rs.map(_.getLong(2)).sum === totals(seg), s"$seg row conservation")
+      rs.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= 9L))
+      val pmSum = rs.map(_.getLong(3)).sum
+      assert(pmSum >= 990L && pmSum <= 1000L, s"$seg per-mille sum $pmSum")
+    }
+  }
+
+  test("q181: paths respect the cap and multi-step paths exist") {
+    val rows = EventOps.sessionPaths(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1).split(">").length <= EventOps.PathCap)
+    }
+    assert(rows.exists(_.getString(1).contains(">")),
+      "no multi-event paths in the top list")
+  }
+
+  test("q182: waterfill conserves the budget exactly and is max-min fair") {
+    val rows = graft.text.MixturePlan.mixtureWaterfill(spark, dir).collect()
+    val budget = rows.head.getLong(4)
+    assert(rows.map(_.getLong(2)).sum === budget, "allocation must sum to budget")
+    val (capped, uncapped) = rows.partition(_.getLong(3) == 1L)
+    assert(capped.nonEmpty && uncapped.nonEmpty, "both branches must fire")
+    capped.foreach(r => assert(r.getLong(2) === r.getLong(1), "capped = whole source"))
+    uncapped.foreach(r => assert(r.getLong(2) <= r.getLong(1), "alloc within availability"))
+    val allocs = uncapped.map(_.getLong(2))
+    assert(allocs.max - allocs.min <= 1L, "uncapped shares must differ by at most 1")
+    // max-min fairness: every capped source is smaller than every uncapped share
+    capped.foreach(c => assert(c.getLong(1) <= allocs.min))
+  }
+}
