@@ -406,6 +406,14 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // IDF-weighted near-dup: integer weight tiers via the replication
+    // reduction — unweighted Jaccard of replicated sets IS the
+    // weighted Jaccard; q21's LSH stack applies unchanged.
+    "q184_weighted_minhash" -> ((s: SparkSession, dir: String) =>
+      graft.dedup.WeightedMinHash.weightedNearDup(s, dir)),
+    // Label-outlier detection: vectors farthest from their own label
+    // centroid (the Confident-Learning geometric screen).
+    "q183_label_outliers"   -> (V.labelOutliers _),
     // Session path mining: top navigation paths over q14's sessions;
     // order-safe concatenation (struct sort, not collect_list luck).
     "q181_session_paths"    -> (E.sessionPaths _),
@@ -703,6 +711,8 @@ object SparkEntry {
     "q180_benford_audit"    -> graft.analytics.ForensicsOps.benfordAuditSql,
     "q181_session_paths"    -> E.sessionPathsSql,
     "q182_mixture_waterfill" -> graft.text.MixturePlan.mixtureWaterfillSql,
+    "q183_label_outliers"   -> V.labelOutliersSql,
+    "q184_weighted_minhash" -> graft.dedup.WeightedMinHash.weightedNearDupSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

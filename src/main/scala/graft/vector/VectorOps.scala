@@ -141,6 +141,63 @@ object VectorOps {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Top outliers per label ([[OutlierK]]). */
+  val OutlierK = 5
+
+  /** Label-outlier detection (q183) — the embedding-space label-error
+    * screen (the geometric core of Confident Learning / cleanlab):
+    * vectors FARTHEST from their own label's centroid are the
+    * mislabel candidates a labeling-QA pass reviews first. Centroids
+    * are the q31 per-dim aggregates rounded to 6 decimals (the
+    * rounding is the cross-engine float contract — both engines then
+    * hold the IDENTICAL centroid array), distance² is a fixed-order
+    * native dot product over the difference vector (sequential in
+    * dim on both engines — no reduction-order ambiguity), and the
+    * rank is (dist² desc, vec_id) — fully deterministic.
+    *
+    * Scale shape: centroids are a label×dim aggregate (map-side
+    * combinable) collapsing to |labels| rows → broadcast; the
+    * per-vector distance is one codegen'd map; top-k per label is
+    * the q08 window over |labels| bounded groups. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = labelCentroids(spark, dir)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cent"))
+    val w = Window.partitionBy("label")
+      .orderBy(desc("dist2"), col("vec_id"))
+    e.join(broadcast(cents), "label")
+      .withColumn("diff", zip_with(col("v"), col("cent"), (x, c) => x - c))
+      .withColumn("dist2", round(dot(col("diff"), col("diff")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= OutlierK)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist2"))
+  }
+
+  val labelOutliersSql: String =
+    s"""WITH c AS (
+       |  SELECT label, dim, round(avg(x), 6) AS cm
+       |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+       |               unnest(range(len(embedding))) AS dim
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |ca AS (SELECT label, list(cm ORDER BY dim) AS cent FROM c GROUP BY 1),
+       |d AS (
+       |  SELECT e.label, e.vec_id,
+       |         round(list_sum(list_transform(
+       |           list_zip(e.embedding::DOUBLE[], ca.cent),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS dist2
+       |  FROM embeddings e JOIN ca ON ca.label = e.label)
+       |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dist2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |            ORDER BY dist2 DESC, vec_id) AS rank
+       |  FROM d)
+       |WHERE rank <= $OutlierK""".stripMargin
+
   // ---------------------------------------------------------------- LSH ANN
 
   private def bucketCol(v: Column): Column =
