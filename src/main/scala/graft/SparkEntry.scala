@@ -406,6 +406,11 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Mixed-language audit: per-chunk marker votes roll up to a
+    // majority/minority verdict per document (the CCNet paragraph
+    // consistency screen).
+    "q185_mixed_lang"       -> ((s: SparkSession, dir: String) =>
+      graft.text.MixedLang.mixedLangAudit(s, dir)),
     // IDF-weighted near-dup: integer weight tiers via the replication
     // reduction — unweighted Jaccard of replicated sets IS the
     // weighted Jaccard; q21's LSH stack applies unchanged.
@@ -713,6 +718,7 @@ object SparkEntry {
     "q182_mixture_waterfill" -> graft.text.MixturePlan.mixtureWaterfillSql,
     "q183_label_outliers"   -> V.labelOutliersSql,
     "q184_weighted_minhash" -> graft.dedup.WeightedMinHash.weightedNearDupSql,
+    "q185_mixed_lang"       -> graft.text.MixedLang.mixedLangAuditSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

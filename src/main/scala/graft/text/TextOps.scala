@@ -52,18 +52,18 @@ object TextOps {
   /** Stopword/marker sets per language + a CJK-codepoint probe for zh.
     * Shared constants: the Spark exprs and the oracle SQL are both
     * generated from these lists. */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[text] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "to"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "que", "es"))
   private val CjkPat = "[\\x{4e00}-\\x{9fff}]"
 
-  private def markerScoreCol(tk: Column, words: Seq[String]): Column =
+  private[text] def markerScoreCol(tk: Column, words: Seq[String]): Column =
     // native set-membership count; the filter+isin HOF runs interpreted
     graft.functions.NativeExprs.countInSet(tk, words)
 
-  private def markerScoreSql(t: String, words: Seq[String]): String = {
+  private[text] def markerScoreSql(t: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter($t, x -> list_contains($lst, x)))"
   }
