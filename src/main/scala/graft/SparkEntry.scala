@@ -406,6 +406,10 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Apriori frequent triples: candidate generation from frequent
+    // pairs + downward-closure pruning; oracle is the naive cubic
+    // join — hash equality proves the pruning lossless.
+    "q186_triple_itemsets"  -> (R.tripleItemsets _),
     // Mixed-language audit: per-chunk marker votes roll up to a
     // majority/minority verdict per document (the CCNet paragraph
     // consistency screen).
@@ -719,6 +723,7 @@ object SparkEntry {
     "q183_label_outliers"   -> V.labelOutliersSql,
     "q184_weighted_minhash" -> graft.dedup.WeightedMinHash.weightedNearDupSql,
     "q185_mixed_lang"       -> graft.text.MixedLang.mixedLangAuditSql,
+    "q186_triple_itemsets"  -> R.tripleItemsetsSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

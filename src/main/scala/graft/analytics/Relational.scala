@@ -1011,6 +1011,59 @@ object Relational {
        |  FROM sym)
        |WHERE rank <= $CopurchaseTopK""".stripMargin
 
+  /** Frequent triple itemsets via Apriori (q186) — the level-3 step
+    * above q120's co-purchase pairs, exactly as published (Agrawal &
+    * Srikant, "Fast Algorithms for Mining Association Rules",
+    * VLDB'94): candidate (a,b,c) triples are generated ONLY by
+    * joining frequent pairs sharing their first item and PRUNED by
+    * requiring the third sub-pair (b,c) frequent too — the downward-
+    * closure property makes the pruning lossless, and the ORACLE is
+    * the naive cubic self-join, so a green hash IS the losslessness
+    * proof on this data. Exact support then counts only the pruned
+    * candidates against the baskets.
+    *
+    * Scale shape: the frequent-pair table is the (already thresholded)
+    * q120 aggregate; candidate generation is a self-join of that
+    * SMALL table plus a semi-join prune; support counting joins the
+    * candidate list (broadcast at real support thresholds) to the
+    * basket table three times on (order, part) — never the cubic
+    * basket×basket×basket the oracle formulation implies. */
+  def tripleItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val fp = b.as("x").join(b.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= CopurchaseMinSupport)
+      .select("p1", "p2")
+    val cand = fp.as("u").join(fp.as("v"),
+        col("u.p1") === col("v.p1") && col("u.p2") < col("v.p2"))
+      .select(col("u.p1").as("part_a"), col("u.p2").as("part_b"),
+        col("v.p2").as("part_c"))
+      .join(fp.select(col("p1").as("part_b"), col("p2").as("part_c")),
+        Seq("part_b", "part_c"), "left_semi")
+    cand
+      .join(b.select(col("o"), col("p").as("part_a")), Seq("part_a"))
+      .join(b.select(col("o"), col("p").as("part_b")), Seq("part_b", "o"))
+      .join(b.select(col("o"), col("p").as("part_c")), Seq("part_c", "o"))
+      .groupBy("part_a", "part_b", "part_c")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= CopurchaseMinSupport)
+  }
+
+  /** Oracle: the naive cubic basket self-join — no candidate
+    * generation, no pruning; equality proves Apriori lossless. */
+  val tripleItemsetsSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+       |SELECT a.p AS part_a, b2.p AS part_b, c.p AS part_c,
+       |       CAST(count(*) AS BIGINT) AS n_orders
+       |FROM b a
+       |JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+       |JOIN b c ON a.o = c.o AND b2.p < c.p
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
+
   // ------------------------------------------------------ constraint audit
 
   /** Declarative data-quality audit (the dbt-test shape): each row is
