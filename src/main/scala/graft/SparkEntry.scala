@@ -406,6 +406,9 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Log-scale dwell histogram: integer power-of-4 bucket ladder
+    // over same-user inter-event gaps (the HDR/Prometheus shape).
+    "q187_dwell_histogram"  -> (E.dwellHistogram _),
     // Apriori frequent triples: candidate generation from frequent
     // pairs + downward-closure pruning; oracle is the naive cubic
     // join — hash equality proves the pruning lossless.
@@ -724,6 +727,7 @@ object SparkEntry {
     "q184_weighted_minhash" -> graft.dedup.WeightedMinHash.weightedNearDupSql,
     "q185_mixed_lang"       -> graft.text.MixedLang.mixedLangAuditSql,
     "q186_triple_itemsets"  -> R.tripleItemsetsSql,
+    "q187_dwell_histogram"  -> E.dwellHistogramSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

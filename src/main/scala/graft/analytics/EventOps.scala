@@ -303,6 +303,57 @@ object EventOps {
 
   }
 
+  /** Log-scale dwell-time histogram (q187) — the observability
+    * standard for latency-like quantities: inter-event gaps span six
+    * orders of magnitude, so linear bins waste the range and a
+    * log-scale histogram (bucket k = smallest k with gap < 4^k
+    * seconds) captures the whole distribution in ~11 buckets — the
+    * HDR-histogram/Prometheus-bucket shape, here as a pure integer
+    * CASE ladder (no log call, no float). Dwell = seconds to the SAME
+    * user's next event (epoch-ms difference via lead, floor-divided),
+    * per event type of the earlier event; the final event per user
+    * has no dwell and is excluded by the lead null.
+    *
+    * Scale shape: one user-keyed window pass (the q40 lead shape),
+    * then a map-side-combinable (type, bucket) aggregate — the
+    * histogram is the shuffle payload, ~types·buckets rows. */
+  def dwellHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .withColumn("next_ms", lead(unix_millis(col("ts")), 1).over(byUser))
+      .filter(col("next_ms").isNotNull)
+      .withColumn("dwell_s", expr("(next_ms - unix_millis(ts)) div 1000"))
+    val bucket = (0 to 10).foldLeft(when(lit(false), lit(0L))) { (acc, k) =>
+      acc.when(col("dwell_s") < math.pow(4, k).toLong, k.toLong)
+    }.otherwise(lit(11L))
+    gaps.withColumn("bucket", bucket)
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("dwell_s")).as("min_s"), max(col("dwell_s")).as("max_s"))
+  }
+
+  val dwellHistogramSql: String = {
+    val ladder = (0 to 10)
+      .map(k => s"WHEN dwell_s < ${math.pow(4, k).toLong} THEN $k")
+      .mkString("\n      |              ")
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |         (lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |          - epoch_ms(ts)) // 1000 AS dwell_s
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |         CASE $ladder
+       |              ELSE 11 END AS bucket,
+       |         dwell_s
+       |  FROM g WHERE dwell_s IS NOT NULL)
+       |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(dwell_s) AS BIGINT) AS min_s,
+       |       CAST(max(dwell_s) AS BIGINT) AS max_s
+       |FROM b GROUP BY 1, 2""".stripMargin
+  }
+
   /** Session path mining (q181) — the navigation-pattern rollup on
     * top of q14's sessionization: each session's first [[PathCap]]
     * events (ordered by (ts, event_id) — the same total order the

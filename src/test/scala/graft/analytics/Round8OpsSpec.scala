@@ -49,6 +49,21 @@ class Round8OpsSpec extends AnyFunSuite {
       "no multi-event paths in the top list")
   }
 
+  test("q187: histogram buckets respect their power-of-4 bounds and conserve") {
+    val rows = EventOps.dwellHistogram(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      val hi = math.pow(4, k).toLong
+      assert(mx < hi, s"bucket $k max $mx >= $hi")
+      if (k > 0) assert(mn >= math.pow(4, k - 1).toLong, s"bucket $k min $mn")
+    }
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected,
+      "every non-final event per user must land in exactly one bucket")
+  }
+
   test("q182: waterfill conserves the budget exactly and is max-min fair") {
     val rows = graft.text.MixturePlan.mixtureWaterfill(spark, dir).collect()
     val budget = rows.head.getLong(4)
