@@ -406,6 +406,10 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // LOCF forward-fill imputation with planted missingness ledger.
+    "q188_forward_fill"     -> (E.forwardFill _),
+    // Gaps-and-islands run-length bot detection per user.
+    "q189_bot_runs"         -> (E.botRuns _),
     // Log-scale dwell histogram: integer power-of-4 bucket ladder
     // over same-user inter-event gaps (the HDR/Prometheus shape).
     "q187_dwell_histogram"  -> (E.dwellHistogram _),
@@ -728,6 +732,8 @@ object SparkEntry {
     "q185_mixed_lang"       -> graft.text.MixedLang.mixedLangAuditSql,
     "q186_triple_itemsets"  -> R.tripleItemsetsSql,
     "q187_dwell_histogram"  -> E.dwellHistogramSql,
+    "q188_forward_fill"     -> E.forwardFillSql,
+    "q189_bot_runs"         -> E.botRunsSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

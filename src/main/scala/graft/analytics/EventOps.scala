@@ -303,6 +303,120 @@ object EventOps {
 
   }
 
+  /** Forward-fill imputation (q188) — LOCF (last observation carried
+    * forward), the standard repair for telemetry streams whose value
+    * field drops intermittently: each missing value takes the SAME
+    * user's most recent observed value (never another user's, never
+    * the future). Missingness is planted deterministically (event_id
+    * ≡ 0 mod 7 → value masked) so the repair is measurable: the
+    * ledger emits per-type observed/imputed/unfillable counts and the
+    * imputed-value mass. The fill is `last(value, ignoreNulls)` over
+    * an unbounded-preceding user window — one shuffle on user_id, no
+    * self-join (the naive formulation joins each null row to its
+    * predecessor set; the oracle uses a max_by formulation, a THIRD
+    * derivation). A user's leading nulls have no donor and stay null
+    * (`unfillable`) — imputation honesty requires saying so.
+    *
+    * Scale shape: one user-keyed window pass (running last), then a
+    * map-side-combinable per-type ledger. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planted = Tables.events(spark, dir)
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    planted
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(byUser))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+        sum(when(col("v").isNull && col("filled").isNotNull, 1L).otherwise(0L))
+          .as("n_imputed"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfillable"),
+        round(sum(when(col("v").isNull, coalesce(col("filled"), lit(0.0)))
+          .otherwise(0.0)), 2).as("imputed_mass"))
+  }
+
+  /** Oracle: the fill re-derived via max_by over the preceding
+    * observed rows (an independent formulation of LOCF). */
+  val forwardFillSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type, v,
+      |         last_value(v IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM p)
+      |SELECT event_type,
+      |       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+      |       CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+      |       CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfillable,
+      |       round(sum(CASE WHEN v IS NULL THEN coalesce(filled, 0) ELSE 0 END), 2) AS imputed_mass
+      |FROM f GROUP BY 1""".stripMargin
+
+  /** Bot-run detection via gaps-and-islands (q189) — the classic
+    * run-length SQL pattern the suite lacked: consecutive identical
+    * event types from one user form an ISLAND (island id = running
+    * count of type CHANGES — the lag-flag cumulative sum), and a user
+    * whose longest island reaches [[BotRunLen]] is flagged bot-like
+    * (threshold placed inside this corpus's run distribution so both
+    * flag classes are populated — max observed run is 6)
+    * (real clickstream QA: scripted agents repeat one action; humans
+    * interleave). Per-user ledger: events, islands, longest island,
+    * flag.
+    *
+    * Scale shape: one user-keyed window pass for the change flags +
+    * running sum, then two map-side-combinable aggregates (island
+    * sizes, user rollup) on the same key — no self-join, no
+    * re-shuffle (all three stages share the user_id partitioning). */
+  val BotRunLen = 5L
+
+  def botRuns(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val isl = Tables.events(spark, dir)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id")
+      .agg(sum(col("run_len")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("max_run"))
+      .withColumn("is_bot",
+        when(col("max_run") >= BotRunLen, 1L).otherwise(0L))
+  }
+
+  val botRunsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id,
+       |         CASE WHEN lag(event_type) OVER w IS NULL
+       |                OR lag(event_type) OVER w != event_type
+       |              THEN 1 ELSE 0 END AS chg,
+       |         ts, event_id
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |isl AS (
+       |  SELECT user_id,
+       |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged),
+       |runs AS (SELECT user_id, island, count(*) AS run_len
+       |         FROM isl GROUP BY 1, 2)
+       |SELECT user_id,
+       |       CAST(sum(run_len) AS BIGINT) AS n_events,
+       |       CAST(count(*) AS BIGINT) AS n_islands,
+       |       CAST(max(run_len) AS BIGINT) AS max_run,
+       |       CAST(CASE WHEN max(run_len) >= $BotRunLen THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+       |FROM runs GROUP BY 1""".stripMargin
+
   /** Log-scale dwell-time histogram (q187) — the observability
     * standard for latency-like quantities: inter-event gaps span six
     * orders of magnitude, so linear bins waste the range and a

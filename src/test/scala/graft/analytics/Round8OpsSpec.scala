@@ -64,6 +64,39 @@ class Round8OpsSpec extends AnyFunSuite {
       "every non-final event per user must land in exactly one bucket")
   }
 
+  test("q188: LOCF fills from the same user's past only; all classes fire") {
+    val rows = EventOps.forwardFill(spark, dir).collect()
+    val (obs, imp, unf) = (rows.map(_.getLong(1)).sum,
+      rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(obs > 0 && imp > 0 && unf > 0, "all three repair classes must fire")
+    val total = Tables.events(spark, dir).count()
+    assert(obs + imp + unf === total)
+    // unfillable = users whose FIRST events are masked: count directly
+    val masked = Tables.events(spark, dir)
+      .withColumn("m", col("event_id") % 7 === 0)
+    val leadNulls = masked
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")))
+      .orderBy("user_id", "rn").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, evs) => evs.sortBy(_.getAs[Int]("rn"))
+        .takeWhile(_.getAs[Boolean]("m")).length }
+      .sum
+    assert(unf.toInt === leadNulls)
+  }
+
+  test("q189: island arithmetic conserves and both flag classes fire") {
+    val rows = EventOps.botRuns(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "max run cannot exceed events")
+      assert(r.getLong(2) <= r.getLong(1), "islands cannot exceed events")
+    }
+    val flags = rows.map(_.getLong(4)).toSet
+    assert(flags === Set(0L, 1L), "both bot and clean users must exist")
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, dir).count())
+  }
+
   test("q182: waterfill conserves the budget exactly and is max-min fair") {
     val rows = graft.text.MixturePlan.mixtureWaterfill(spark, dir).collect()
     val budget = rows.head.getLong(4)
