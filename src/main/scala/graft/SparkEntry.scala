@@ -406,6 +406,13 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Duplicate-discounted effective corpus size: each doc weighs
+    // 1/|near-dup cluster|; per-lang dedup discount in bp.
+    "q191_effective_size"   -> ((s: SparkSession, dir: String) =>
+      graft.dedup.EffectiveSize.effectiveSize(s, dir)),
+    // Reciprocal-rank fusion of the exact and prefix-dim rankings —
+    // the calibration-free hybrid-retrieval combiner.
+    "q190_rrf_fusion"       -> (V.rrfFusion _),
     // LOCF forward-fill imputation with planted missingness ledger.
     "q188_forward_fill"     -> (E.forwardFill _),
     // Gaps-and-islands run-length bot detection per user.
@@ -734,6 +741,8 @@ object SparkEntry {
     "q187_dwell_histogram"  -> E.dwellHistogramSql,
     "q188_forward_fill"     -> E.forwardFillSql,
     "q189_bot_runs"         -> E.botRunsSql,
+    "q190_rrf_fusion"       -> V.rrfFusionSql,
+    "q191_effective_size"   -> graft.dedup.EffectiveSize.effectiveSizeSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

@@ -898,6 +898,109 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** RRF constants: the canonical k=60 damping (Cormack et al.,
+    * SIGIR'09), list depth, fused output size. */
+  val RrfDamp = 60L
+  val RrfDepth = 20
+  val RrfOut = 5
+
+  /** Reciprocal-rank fusion (q190) — the hybrid-retrieval standard:
+    * two rankers over the same queries (here the full-dimension exact
+    * cosine ranking and the Matryoshka PREFIX-dimension ranking — a
+    * cheap ranker and an expensive one, the classic fusion pair)
+    * combine by RRF(d) = Σ_lists 1/(k + rank_list(d)), which needs no
+    * score calibration between lists — only ranks. Scores are integer
+    * micro-units (10⁶ div (k + rank)); absent-from-list contributes
+    * zero; `in_both` marks consensus neighbors. Fused rank breaks
+    * ties by neighbor id.
+    *
+    * Scale shape: both rankings come from ONE broadcast-query pass
+    * over the corpus (two sims per pair, two windows); the fusion is
+    * a (query, neighbor)-keyed full-outer join of two ≤depth lists
+    * per query — list-sized, not corpus-sized. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val t = vecs(spark, dir)
+      .withColumn("tv", slice(col("v"), 1, MrlDim))
+      .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+      .filter(col("tn") > 0)
+    val q = broadcast(t.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("tv").as("qtv"), col("tn").as("qtn")))
+    val scored = q.join(t.select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("tv"), col("tn")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("full_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .withColumn("tr_sim", round(
+        dot(col("qtv"), col("tv")) / (col("qtn") * col("tn")), 4))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(desc("full_sim"), col("neighbor_id"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(desc("tr_sim"), col("neighbor_id"))
+    val lf = scored.withColumn("r_full", row_number().over(wF))
+      .filter(col("r_full") <= RrfDepth)
+      .select(col("query_id"), col("neighbor_id"), col("r_full"))
+    val lt = scored.withColumn("r_tr", row_number().over(wT))
+      .filter(col("r_tr") <= RrfDepth)
+      .select(col("query_id"), col("neighbor_id"), col("r_tr"))
+    val fused = lf.join(lt, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000 div ($RrfDamp + r_full)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($RrfDamp + r_tr)"), lit(0L)))
+      .withColumn("in_both",
+        when(col("r_full").isNotNull && col("r_tr").isNotNull, 1L)
+          .otherwise(0L))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf_u"), col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(wR).cast("long"))
+      .filter(col("fused_rank") <= RrfOut)
+      .select(col("query_id"), col("fused_rank"), col("neighbor_id"),
+        col("rrf_u"), col("in_both"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH $vecsSql,
+       |t AS (
+       |  SELECT vec_id, v, nrm, v[1:$MrlDim] AS tv,
+       |         sqrt(list_dot_product(v[1:$MrlDim], v[1:$MrlDim])) AS tn
+       |  FROM vecs
+       |  WHERE sqrt(list_dot_product(v[1:$MrlDim], v[1:$MrlDim])) > 0),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS full_sim,
+       |         round(list_dot_product(q.tv, e.tv) / (q.tn * e.tn), 4) AS tr_sim
+       |  FROM t q JOIN t e ON q.vec_id != e.vec_id
+       |  WHERE q.vec_id < $QueryMax),
+       |lf AS (
+       |  SELECT query_id, neighbor_id, r_full FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY full_sim DESC, neighbor_id) AS r_full
+       |    FROM sc) WHERE r_full <= $RrfDepth),
+       |lt AS (
+       |  SELECT query_id, neighbor_id, r_tr FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY tr_sim DESC, neighbor_id) AS r_tr
+       |    FROM sc) WHERE r_tr <= $RrfDepth),
+       |f AS (
+       |  SELECT coalesce(lf.query_id, lt.query_id) AS query_id,
+       |         coalesce(lf.neighbor_id, lt.neighbor_id) AS neighbor_id,
+       |         coalesce(1000000 // ($RrfDamp + r_full), 0)
+       |           + coalesce(1000000 // ($RrfDamp + r_tr), 0) AS rrf_u,
+       |         CASE WHEN r_full IS NOT NULL AND r_tr IS NOT NULL
+       |              THEN 1 ELSE 0 END AS in_both
+       |  FROM lf FULL OUTER JOIN lt
+       |    ON lf.query_id = lt.query_id AND lf.neighbor_id = lt.neighbor_id)
+       |SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+       |       neighbor_id, CAST(rrf_u AS BIGINT) AS rrf_u,
+       |       CAST(in_both AS BIGINT) AS in_both
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf_u DESC, neighbor_id) AS fused_rank
+       |  FROM f)
+       |WHERE fused_rank <= $RrfOut""".stripMargin
+
   val knnMatryoshkaSql: String =
     s"""WITH $vecsSql,
        |trunc AS (
