@@ -406,6 +406,10 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // PMI collocation mining: log-free integer ranking of adjacent
+    // token pairs vs independence (Church & Hanks).
+    "q192_pmi_collocations" -> ((s: SparkSession, dir: String) =>
+      graft.text.CalibrateOps.pmiCollocations(s, dir)),
     // Duplicate-discounted effective corpus size: each doc weighs
     // 1/|near-dup cluster|; per-lang dedup discount in bp.
     "q191_effective_size"   -> ((s: SparkSession, dir: String) =>
@@ -743,6 +747,7 @@ object SparkEntry {
     "q189_bot_runs"         -> E.botRunsSql,
     "q190_rrf_fusion"       -> V.rrfFusionSql,
     "q191_effective_size"   -> graft.dedup.EffectiveSize.effectiveSizeSql,
+    "q192_pmi_collocations" -> graft.text.CalibrateOps.pmiCollocationsSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

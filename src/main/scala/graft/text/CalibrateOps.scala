@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables
+import graft.functions.TextExprs.{tokensCol, tokensSql}
 
 /** Cross-source quality-score calibration (q176) — the mixing
   * prerequisite q138's routing quietly assumes: raw quality scores
@@ -27,6 +28,78 @@ import graft.tables.Tables
   * count aggregate broadcast back; ledger aggregates are map-side
   * combinable. */
 object CalibrateOps {
+
+  /** Collocation floor and output size for [[pmiCollocations]]. */
+  val MinPairCount = 5L
+  val PmiTopK = 20
+
+  /** PMI collocation mining (q192) — the statistical phrase detector
+    * (Church & Hanks 1990): adjacent token pairs whose co-occurrence
+    * beats the independence expectation, ranked by pointwise mutual
+    * information. PMI's log is MONOTONE, so the ranking needs only
+    * the log's argument — score_u = (c_ab·N·10⁶) div (c_a·c_b), an
+    * exact integer — and no logarithm is ever taken (the q147
+    * convention). A [[MinPairCount]] floor removes the rare-pair
+    * noise PMI is notorious for. Integer-range note: c_ab·N·10⁶
+    * needs c_ab·N < 9.2e12 — beyond that, pre-divide by c_a first
+    * (the q147 overflow contract: ANSI mode fails loudly in both
+    * engines).
+    *
+    * Scale shape: bigram pairs come from an in-row shifted zip (no
+    * self-join); three map-side-combinable count aggregates
+    * (bigrams, unigrams, scalar N); scoring joins the vocab-sized
+    * count tables (broadcast); final top-k ranks the thresholded
+    * pair table. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks
+      .withColumn("a1", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("a2", slice(col("t"), lit(2), size(col("t")) - 1))
+      .select(explode(arrays_zip(col("a1"), col("a2"))).as("z"))
+      .select(col("z.a1").as("w1"), col("z.a2").as("w2"))
+    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= MinPairCount)
+    val uni = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_tok"))
+    cab
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score_u", expr("(c_ab * n_tok * 1000000) div (c_a * c_b)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_u").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rank") <= PmiTopK)
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab"),
+        col("c_a"), col("c_b"), col("score_u"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
+       |pairs AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+       |        FROM pairs GROUP BY 1, 2 HAVING count(*) >= $MinPairCount),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |          SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+       |sc AS (
+       |  SELECT cab.w1, cab.w2, cab.c_ab, a.c AS c_a, b.c AS c_b,
+       |         (cab.c_ab * n.n_tok * 1000000) // (a.c * b.c) AS score_u
+       |  FROM cab
+       |  JOIN uni a ON a.w = cab.w1
+       |  JOIN uni b ON b.w = cab.w2
+       |  CROSS JOIN n)
+       |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c_ab, c_a, c_b, score_u
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score_u DESC, w1, w2) AS rank
+       |  FROM sc)
+       |WHERE rank <= $PmiTopK""".stripMargin
 
   def rankCalibrate(spark: SparkSession, dir: String): DataFrame = {
     val q = TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality_bp"))

@@ -43,6 +43,29 @@ class MixedLangSpec extends AnyFunSuite {
     }
   }
 
+  test("q192: collocations beat independence and rank like float PMI") {
+    val rows = CalibrateOps.pmiCollocations(spark, dir).collect()
+    assert(rows.length === CalibrateOps.PmiTopK)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= CalibrateOps.MinPairCount)
+      assert(r.getLong(6) > 1000000L,
+        s"'${r.getString(1)} ${r.getString(2)}' not above independence")
+    }
+    // integer scores non-increasing down the ranking, and the float
+    // PMI ordering agrees wherever the integer scores are distinct
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getLong(6) >= lo.getLong(6))
+        if (hi.getLong(6) != lo.getLong(6)) {
+          def pmi(r: org.apache.spark.sql.Row) =
+            math.log(r.getLong(3).toDouble / (r.getLong(4) * r.getLong(5)))
+          assert(pmi(hi) > pmi(lo), "integer and float PMI orderings disagree")
+        }
+      case _ => ()
+    }
+  }
+
   test("a planted bilingual document is flagged mixed") {
     import spark.implicits._
     val en = Seq.fill(20)("the cat and the dog is going to the house of friends").mkString(" ")
