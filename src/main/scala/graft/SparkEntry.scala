@@ -406,6 +406,10 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Exact AUC for q146's classifier: Mann-Whitney rank statistic
+    // with tie-averaged ranks kept integral by doubling.
+    "q193_auc_exact"        -> ((s: SparkSession, dir: String) =>
+      graft.text.QualityClassifier.aucExact(s, dir)),
     // PMI collocation mining: log-free integer ranking of adjacent
     // token pairs vs independence (Church & Hanks).
     "q192_pmi_collocations" -> ((s: SparkSession, dir: String) =>
@@ -748,6 +752,7 @@ object SparkEntry {
     "q190_rrf_fusion"       -> V.rrfFusionSql,
     "q191_effective_size"   -> graft.dedup.EffectiveSize.effectiveSizeSql,
     "q192_pmi_collocations" -> graft.text.CalibrateOps.pmiCollocationsSql,
+    "q193_auc_exact"        -> graft.text.QualityClassifier.aucExactSql,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables
 import graft.functions.TextExprs._
 
@@ -132,6 +133,54 @@ object QualityClassifier {
         ((col("logit_u") > 0L) === (col("y") === 1L)).as("correct"),
         lit(wFp).as("w_fp"))
   }
+
+  /** Exact AUC for the learned classifier (q193) — the evaluation
+    * metric a learned-filter stage ships with: AUC computed EXACTLY
+    * via the Mann-Whitney rank statistic (AUC = (Σ_pos rank −
+    * n₊(n₊+1)/2) / (n₊·n₋)), with ties on the integer logit handled
+    * by AVERAGE rank — kept integral by doubling (rank2 = 2·minrank
+    * + tiecount − 1, so U2 = Σ_pos rank2 − n₊(n₊+1) and auc_u =
+    * 10⁶·U2 div (2·n₊·n₋) are exact integers; no sampling, no
+    * trapezoid approximation, no float). Scores are q146's bit-exact
+    * micro-unit logits, so the WHOLE chain — training, scoring,
+    * ranking, metric — is pinned by one oracle hash.
+    *
+    * Scale shape: one global rank over the scored table (the q76
+    * designed-sort caveat; the per-shard form is a merge of sorted
+    * runs) and two scalar aggregates. Bound: 10⁶·U2 < 2⁶³ up to
+    * ~3·10⁶ documents per evaluation slice; beyond that, divide
+    * before scaling (the q147 contract). */
+  def aucExact(spark: SparkSession, dir: String): DataFrame = {
+    val scored = classify(spark, dir).select(col("y"), col("logit_u"))
+    val rank2 = (rank().over(Window.orderBy(col("logit_u"))) * 2
+      + count(lit(1)).over(Window.partitionBy(col("logit_u"))) - 1).cast("long")
+    scored.withColumn("rank2", rank2)
+      .agg(
+        sum(col("y")).as("n_pos"),
+        sum(lit(1L) - col("y")).as("n_neg"),
+        sum(when(col("y") === 1L, col("rank2")).otherwise(0L)).as("pos_rank2"))
+      .withColumn("u2", expr("pos_rank2 - n_pos * (n_pos + 1)"))
+      .withColumn("auc_u", expr("(1000000 * u2) div (2 * n_pos * n_neg)"))
+      .select(col("n_pos"), col("n_neg"), col("u2"), col("auc_u"))
+  }
+
+  lazy val aucExactSql: String =
+    s"""WITH base AS ($classifySql),
+       |r AS (
+       |  SELECT y,
+       |         2 * rank() OVER (ORDER BY logit_u)
+       |           + count(*) OVER (PARTITION BY logit_u) - 1 AS rank2
+       |  FROM base),
+       |a AS (
+       |  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+       |         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+       |         CAST(sum(CASE WHEN y = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS pos_rank2
+       |  FROM r)
+       |SELECT n_pos, n_neg,
+       |       pos_rank2 - n_pos * (n_pos + 1) AS u2,
+       |       (1000000 * (pos_rank2 - n_pos * (n_pos + 1)))
+       |         // (2 * n_pos * n_neg) AS auc_u
+       |FROM a""".stripMargin
 
   // --------------------------------------------------------------- oracle
 
