@@ -406,6 +406,13 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Streaming LOCF: per-user carry state repairs missingness at
+    // ingest; per-user ledger equals the batch window form.
+    "q194_stream_fill"      -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.forwardFillStream(
+          graft.streaming.EventsStream.source(s, dir)), "q194_stream_fill",
+        outputMode = "complete")),
     // Exact AUC for q146's classifier: Mann-Whitney rank statistic
     // with tie-averaged ranks kept integral by doubling.
     "q193_auc_exact"        -> ((s: SparkSession, dir: String) =>
@@ -753,6 +760,24 @@ object SparkEntry {
     "q191_effective_size"   -> graft.dedup.EffectiveSize.effectiveSizeSql,
     "q192_pmi_collocations" -> graft.text.CalibrateOps.pmiCollocationsSql,
     "q193_auc_exact"        -> graft.text.QualityClassifier.aucExactSql,
+    "q194_stream_fill"      ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, v,
+        |         last_value(v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM p)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |       CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |       CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfillable,
+        |       round(sum(CASE WHEN v IS NULL THEN coalesce(filled, 0) ELSE 0 END), 2) AS imputed_mass
+        |FROM f GROUP BY 1""".stripMargin,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}
       val P = graft.functions.TextExprs.P

@@ -24,6 +24,14 @@ case class EventChunk(
     user_id: Long, chunk_id: Int, first_ms: Long, last_ms: Long,
     sum_value: Double)
 
+/** LOCF carry state for [[EventsStream.forwardFillStream]]: the last
+  * observed (non-masked) value, or None before any observation. */
+case class FillState(last: Option[Double])
+
+/** One forward-filled event row (q194). */
+case class FilledEvent(
+    user_id: Long, event_id: Long, was_missing: Int, filled: Option[Double])
+
 /** Per-user funnel state for [[EventsStream.funnelStages]]: first-view,
   * first-click-after-view, first-purchase-after-that-click epoch ms
   * (−1 = stage not reached). */
@@ -260,6 +268,54 @@ object EventsStream {
     events.groupBy(col("event_type"))
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+
+  /** Streaming LOCF forward-fill (q194) — q188's repair as a live
+    * ingest operator: per-user state carries the last observed value
+    * across micro-batches, and every arriving row leaves either as
+    * observed, imputed (state's carry), or unfillable (no observation
+    * yet) — the repair happens AT INGEST, before anything downstream
+    * sees a null. Missingness is the q188 plant (event_id ≡ 0 mod 7).
+    * Rows sort by (ms, event_id) inside each group iterator (the q85
+    * convention — Spark does not order them); state is ONE optional
+    * double per user. The q188 batch ledger over the same corpus is
+    * the oracle's third derivation of the same repair. */
+  def forwardFillStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val ds = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .as[(Long, Long, Long, Option[Double])]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[FillState, FilledEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Option[Double])],
+         state: GroupState[FillState]) =>
+          var s = state.getOption.getOrElse(FillState(None))
+          val out = Seq.newBuilder[FilledEvent]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, v) =>
+            v match {
+              case Some(x) =>
+                s = FillState(Some(x))
+                out += FilledEvent(uid, eid, 0, Some(x))
+              case None =>
+                out += FilledEvent(uid, eid, 1, s.last)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+      .toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("was_missing")).cast("long").as("n_missing"),
+        sum(when(col("was_missing") === 1 && col("filled").isNotNull, 1L)
+          .otherwise(0L)).as("n_imputed"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfillable"),
+        round(sum(when(col("was_missing") === 1, coalesce(col("filled"), lit(0.0)))
+          .otherwise(0.0)), 2).as("imputed_mass"))
+  }
 
   /** Streaming KMV bottom-k distinct-user sketch per event type
     * (q170) — q157's shape with OUR mergeable aggregate

@@ -86,6 +86,24 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(unf.toInt === leadNulls)
   }
 
+  test("q194: streaming LOCF totals equal the q188 batch ledger") {
+    import graft.streaming.EventsStream
+    val streamed = EventsStream.runAvailableNow(spark,
+      EventsStream.forwardFillStream(EventsStream.source(spark, dir)),
+      "fill_spec_drain", outputMode = "complete").collect()
+    val (sMiss, sImp, sUnf) = (streamed.map(_.getLong(2)).sum,
+      streamed.map(_.getLong(3)).sum, streamed.map(_.getLong(4)).sum)
+    val batch = EventOps.forwardFill(spark, dir).collect()
+    assert(sImp === batch.map(_.getLong(2)).sum)
+    assert(sUnf === batch.map(_.getLong(3)).sum)
+    assert(sMiss === sImp + sUnf)
+    // imputed mass agrees globally (per-row rounding differs by
+    // grouping, so compare the unrounded invariant via sums ±ε)
+    val sm = streamed.map(_.getDouble(5)).sum
+    val bm = batch.map(_.getDouble(4)).sum
+    assert(math.abs(sm - bm) < 0.5, s"imputed mass $sm vs $bm")
+  }
+
   test("q189: island arithmetic conserves and both flag classes fire") {
     val rows = EventOps.botRuns(spark, dir).collect()
     rows.foreach { r =>
