@@ -116,7 +116,9 @@ object Bench {
       ("q141_stream_attrib", "update",
         () => EventsStream.attributionStages(EventsStream.source(spark, sfDir))),
       ("q170_stream_kmv", "complete",
-        () => EventsStream.kmvUsers(EventsStream.source(spark, sfDir))))
+        () => EventsStream.kmvUsers(EventsStream.source(spark, sfDir))),
+      ("q194_stream_fill", "complete",
+        () => EventsStream.forwardFillStream(EventsStream.source(spark, sfDir))))
     val streaming = streamTargets.flatMap { case (name, mode, mk) =>
       val r = try {
         val (_, st) = EventsStream.runAvailableNowStats(
