@@ -406,6 +406,9 @@ object SparkEntry {
     // exact branch emitted beside the estimate to pin the error.
     "q163_kmv_overlap"      -> ((s: SparkSession, dir: String) =>
       graft.dedup.KmvSketch.kmvOverlap(s, dir)),
+    // Multi-touch linear attribution: exact credit conservation,
+    // time-to-conversion curve, unattributed ledger row.
+    "q195_linear_attribution" -> (E.linearAttribution _),
     // Streaming LOCF: per-user carry state repairs missingness at
     // ingest; per-user ledger equals the batch window form.
     "q194_stream_fill"      -> ((s: SparkSession, dir: String) =>
@@ -760,6 +763,7 @@ object SparkEntry {
     "q191_effective_size"   -> graft.dedup.EffectiveSize.effectiveSizeSql,
     "q192_pmi_collocations" -> graft.text.CalibrateOps.pmiCollocationsSql,
     "q193_auc_exact"        -> graft.text.QualityClassifier.aucExactSql,
+    "q195_linear_attribution" -> E.linearAttributionSql,
     "q194_stream_fill"      ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id,

@@ -303,6 +303,89 @@ object EventOps {
 
   }
 
+  /** Multi-touch linear attribution (q195) — the complement of q137's
+    * last-touch rule: each purchase distributes ONE unit of credit
+    * (10⁶ micro-units) EQUALLY across all of the same user's clicks in
+    * the preceding [[AttribWindowH]] hours; the integer remainder goes
+    * to the most recent click, so Σ credit = 10⁶ · attributed
+    * purchases EXACTLY (conservation, not approximation). Output is
+    * the TIME-TO-CONVERSION CURVE — credit mass by click age in hours
+    * before the purchase — the shape marketing uses to set lookback
+    * windows. Purchases with no prior click are ledgered in the
+    * age = −1 row (unattributed), so nothing vanishes.
+    *
+    * Scale shape: one bounded interval join (purchase × same-user
+    * clicks within the window — the q60 machinery; user-keyed, window-
+    * bounded candidate mass), one per-purchase window for the click
+    * count/recency rank, then a map-side-combinable age-bucket
+    * aggregate. */
+  val AttribWindowH = 168L
+
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_millis(col("ts")).as("pms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"),
+        unix_millis(col("ts")).as("cms"))
+    val joined = purch.join(clicks, Seq("user_id"))
+      .filter(col("cms") <= col("pms") &&
+        col("pms") - col("cms") <= AttribWindowH * 3600000L)
+    val perPurchase = Window.partitionBy("pid")
+    val byRecency = Window.partitionBy("pid")
+      .orderBy(col("cms").desc, col("cid"))
+    val credited = joined
+      .withColumn("n_touch", count(lit(1)).over(perPurchase))
+      .withColumn("r", row_number().over(byRecency))
+      .withColumn("credit_u",
+        expr("1000000 div n_touch")
+          + when(col("r") === 1, expr("1000000 % n_touch")).otherwise(0L))
+      .withColumn("age_h", expr("(pms - cms) div 3600000"))
+    val curve = credited.groupBy("age_h")
+      .agg(count(lit(1)).as("n_clicks"), sum(col("credit_u")).as("credit_u"))
+    val unattributed = purch.join(
+        credited.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_clicks"))
+      .select(lit(-1L).as("age_h"), col("n_clicks"),
+        lit(0L).as("credit_u"))
+    curve.unionByName(unattributed)
+  }
+
+  val linearAttributionSql: String =
+    s"""WITH purch AS (
+       |  SELECT user_id, event_id AS pid, epoch_ms(ts) AS pms
+       |  FROM events WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id, event_id AS cid, epoch_ms(ts) AS cms
+       |  FROM events WHERE event_type = 'click'),
+       |j AS (
+       |  SELECT p.pid, p.pms, c.cid, c.cms
+       |  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+       |  WHERE c.cms <= p.pms
+       |    AND p.pms - c.cms <= $AttribWindowH * 3600000),
+       |cr AS (
+       |  SELECT pid, pms, cms,
+       |         count(*) OVER (PARTITION BY pid) AS n_touch,
+       |         row_number() OVER (PARTITION BY pid
+       |                            ORDER BY cms DESC, cid) AS r
+       |  FROM j),
+       |cu AS (
+       |  SELECT (pms - cms) // 3600000 AS age_h,
+       |         1000000 // n_touch
+       |           + CASE WHEN r = 1 THEN 1000000 % n_touch ELSE 0 END AS credit_u
+       |  FROM cr),
+       |curve AS (
+       |  SELECT age_h, CAST(count(*) AS BIGINT) AS n_clicks,
+       |         CAST(sum(credit_u) AS BIGINT) AS credit_u
+       |  FROM cu GROUP BY 1),
+       |un AS (
+       |  SELECT CAST(-1 AS BIGINT) AS age_h,
+       |         CAST(count(*) AS BIGINT) AS n_clicks,
+       |         CAST(0 AS BIGINT) AS credit_u
+       |  FROM purch WHERE pid NOT IN (SELECT DISTINCT pid FROM j))
+       |SELECT * FROM curve UNION ALL SELECT * FROM un""".stripMargin
+
   /** Forward-fill imputation (q188) — LOCF (last observation carried
     * forward), the standard repair for telemetry streams whose value
     * field drops intermittently: each missing value takes the SAME

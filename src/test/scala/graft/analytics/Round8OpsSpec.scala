@@ -86,6 +86,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(unf.toInt === leadNulls)
   }
 
+  test("q195: credit conserves exactly at one million micro-units per attributed purchase") {
+    val rows = EventOps.linearAttribution(spark, dir).collect()
+    val unattr = rows.find(_.getLong(0) == -1L).get.getLong(1)
+    val totalCredit = rows.filter(_.getLong(0) >= 0L).map(_.getLong(2)).sum
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(totalCredit === 1000000L * (purchases - unattr),
+      "credit mass must equal 1e6 per attributed purchase — integer remainder included")
+    assert(unattr > 0, "unattributed ledger row unexercised")
+    rows.filter(_.getLong(0) >= 0L)
+      .foreach(r => assert(r.getLong(0) <= EventOps.AttribWindowH))
+  }
+
   test("q194: streaming LOCF totals equal the q188 batch ledger") {
     import graft.streaming.EventsStream
     val streamed = EventsStream.runAvailableNow(spark,
