@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-facing bench contract: graft.Bench's summary JSON must be the
+// bare FINAL stdout line. Two sbt behaviors break that — the logger
+// prefixes forked-run output with "[info] ", and sbt appends a
+// "[success] Total time…" line after the task. StdoutOutput pipes the
+// forked JVM's stdout straight through (no prefix); showSuccess=false
+// drops the trailing success line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// lintUnused can't see that, so exclude it from the check
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

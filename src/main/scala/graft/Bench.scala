@@ -25,6 +25,46 @@ import org.apache.spark.sql.SparkSession
   * successes (transient host noise, not an engine failure).
   */
 object Bench {
+
+  /** Per-query watchdog: runs `action` on a daemon worker thread under
+    * its own Spark job group; if it exceeds `timeoutSec` the group's
+    * jobs are cancelled (interruptOnCancel) and the query records
+    * `Left("timeout after Ns")` instead of hanging the whole bench
+    * artifact — 195 queries with zero errors is the happy path; one
+    * hung stream must not stall the round's telemetry. Any active
+    * streaming queries are stopped too (a drain that exceeded the cap
+    * IS the hang being guarded against). Other failures surface as
+    * `Left(first line of the message)`, successes as `Right(seconds)`.
+    */
+  def runWithWatchdog(spark: SparkSession, tag: String, timeoutSec: Int)(
+      action: => Unit): Either[String, Double] = {
+    import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException, ExecutionException}
+    val t0 = System.nanoTime()
+    val task = new FutureTask[Unit](() => {
+      spark.sparkContext.setJobGroup(tag, s"bench:$tag", interruptOnCancel = true)
+      try action finally spark.sparkContext.clearJobGroup()
+    })
+    val th = new Thread(task, s"bench-watchdog-$tag")
+    th.setDaemon(true)
+    th.start()
+    try {
+      task.get(timeoutSec.toLong, TimeUnit.SECONDS)
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case _: TimeoutException =>
+        try {
+          spark.sparkContext.cancelJobGroup(tag)
+          spark.streams.active.foreach(_.stop())
+        } catch { case _: Throwable => () }
+        th.join(10000) // bounded wait for the cancel to land; daemon thread can't pin the JVM
+        Left(s"timeout after ${timeoutSec}s")
+      case e: ExecutionException =>
+        val c = e.getCause
+        Left(Option(c.getMessage).getOrElse(c.getClass.getName)
+          .linesIterator.take(1).mkString.take(200))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,25 +82,22 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    def run1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "120").toInt.max(1)
+    def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
-      val t0 = System.nanoTime()
-      val out = try { fn(spark, sfDir).count(); null } catch {
-        case e: Throwable => Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString.take(200)
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val r = runWithWatchdog(spark, name, timeoutSec) { fn(spark, sfDir).count(); () }
       reset()
-      if (out == null) Right(dt) else Left(out)
+      r
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (passes > 1) // untimed warm-up pass over the full suite
-      ordered.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    if (passes > 1) // untimed warm-up pass over the whole suite (also watchdog-bounded)
+      ordered.foreach { case (name, fn) =>
+        runWithWatchdog(spark, s"warmup-$name", timeoutSec) { fn(spark, sfDir).count(); () }
         reset()
       }
     val runs: Seq[Seq[(String, Either[String, Double])]] =
-      (1 to passes).map(_ => ordered.map { case (name, fn) => name -> run1(fn) })
+      (1 to passes).map(_ => ordered.map { case (name, fn) => name -> run1(name, fn) })
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -120,21 +157,23 @@ object Bench {
       ("q194_stream_fill", "complete",
         () => EventsStream.forwardFillStream(EventsStream.source(spark, sfDir))))
     val streaming = streamTargets.flatMap { case (name, mode, mk) =>
-      val r = try {
+      // watchdog-bounded like the batch queries: a drain that never
+      // finishes records `timeout` instead of stalling the artifact
+      var line: Option[String] = None
+      runWithWatchdog(spark, s"stream-$name", timeoutSec) {
         val (_, st) = EventsStream.runAvailableNowStats(
           spark, mk(), s"bench_$name", outputMode = mode)
-        Some(s"\"$name\":{\"input_rows\":${st.inputRows}," +
+        line = Some(s"\"$name\":{\"input_rows\":${st.inputRows}," +
           s"\"wall_secs\":${fmt(st.wallSecs)},\"batches\":${st.batches}," +
           s"\"avg_batch_ms\":${fmt(st.avgBatchMs)}," +
           s"\"max_batch_ms\":${fmt(st.maxBatchMs)}," +
           s"\"rows_per_sec\":${fmt(st.rowsPerSec)}}")
-      } catch { case e: Throwable =>
-        errors(s"streaming:$name") = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString.take(200)
-        None
+      } match {
+        case Left(msg) => errors(s"streaming:$name") = msg
+        case Right(_)  => ()
       }
       reset()
-      r
+      line
     }.mkString("{", ",", "}")
     val es2 = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")

@@ -767,7 +767,8 @@ object SparkEntry {
     "q194_stream_fill"      ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id,
-        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |         CASE WHEN event_id % 7 = 0 THEN NULL
+        |              ELSE CAST(round(value * 100, 0) AS BIGINT) END AS v
         |  FROM events),
         |f AS (
         |  SELECT user_id, v,
@@ -780,7 +781,7 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
         |       CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
         |       CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfillable,
-        |       round(sum(CASE WHEN v IS NULL THEN coalesce(filled, 0) ELSE 0 END), 2) AS imputed_mass
+        |       CAST(sum(CASE WHEN v IS NULL THEN coalesce(filled, 0) ELSE 0 END) AS BIGINT) AS imputed_mass_c
         |FROM f GROUP BY 1""".stripMargin,
     "q170_stream_kmv"       -> {
       import graft.dedup.KmvSketch.{K, Ua, Ub}

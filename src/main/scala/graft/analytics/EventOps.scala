@@ -406,9 +406,14 @@ object EventOps {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Value carried as integer CENTS (round(value*100) at plant time):
+    // a double sum's accumulation order varies with partitioning, so a
+    // float mass on a .005 boundary could flip the 2-decimal hash
+    // between runs; long sums are order-invariant — the repo-wide
+    // all-integer ledger contract.
     val planted = Tables.events(spark, dir)
-      .withColumn("v", when(col("event_id") % 7 === 0, lit(null).cast("double"))
-        .otherwise(col("value")))
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(round(col("value") * 100).cast("long")))
     planted
       .withColumn("filled", last(col("v"), ignoreNulls = true).over(byUser))
       .groupBy("event_type")
@@ -417,8 +422,8 @@ object EventOps {
         sum(when(col("v").isNull && col("filled").isNotNull, 1L).otherwise(0L))
           .as("n_imputed"),
         sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfillable"),
-        round(sum(when(col("v").isNull, coalesce(col("filled"), lit(0.0)))
-          .otherwise(0.0)), 2).as("imputed_mass"))
+        sum(when(col("v").isNull, coalesce(col("filled"), lit(0L)))
+          .otherwise(0L)).as("imputed_mass_c"))
   }
 
   /** Oracle: the fill re-derived via max_by over the preceding
@@ -426,7 +431,8 @@ object EventOps {
   val forwardFillSql: String =
     """WITH p AS (
       |  SELECT user_id, ts, event_id, event_type,
-      |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |         CASE WHEN event_id % 7 = 0 THEN NULL
+      |              ELSE CAST(round(value * 100, 0) AS BIGINT) END AS v
       |  FROM events),
       |f AS (
       |  SELECT event_type, v,
@@ -438,7 +444,7 @@ object EventOps {
       |       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
       |       CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
       |       CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfillable,
-      |       round(sum(CASE WHEN v IS NULL THEN coalesce(filled, 0) ELSE 0 END), 2) AS imputed_mass
+      |       CAST(sum(CASE WHEN v IS NULL THEN coalesce(filled, 0) ELSE 0 END) AS BIGINT) AS imputed_mass_c
       |FROM f GROUP BY 1""".stripMargin
 
   /** Bot-run detection via gaps-and-islands (q189) — the classic

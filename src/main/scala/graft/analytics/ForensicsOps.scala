@@ -28,10 +28,15 @@ object ForensicsOps {
   val BenfordPm: Seq[Long] = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
 
   private def firstDigit(cents: org.apache.spark.sql.Column) = {
-    // cents ∈ [1, 10^8): walk down the power ladder
+    // cents ∈ [1, 10^8): walk down the power ladder. Integer `div` on
+    // the PASSED column (not a hard-coded name) via IntegralDivide —
+    // exact, and the helper honors whatever column the caller supplies.
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     val p = Seq(10000000L, 1000000L, 100000L, 10000L, 1000L, 100L, 10L, 1L)
     p.foldLeft(when(lit(false), lit(0L))) { (acc, pow) =>
-      acc.when(cents >= pow, expr(s"price_c div $pow"))
+      acc.when(cents >= pow,
+        column(new IntegralDivide(expression(cents), expression(lit(pow)))))
     }
   }
 

@@ -25,12 +25,20 @@ case class EventChunk(
     sum_value: Double)
 
 /** LOCF carry state for [[EventsStream.forwardFillStream]]: the last
-  * observed (non-masked) value, or None before any observation. */
-case class FillState(last: Option[Double])
+  * observed (non-masked) value in integer cents, or None before any
+  * observation, plus the event-time position (ms, event_id) of that
+  * observation. The position makes the carry ORDER-ROBUST across
+  * micro-batches: an observation arriving in a later batch with an
+  * EARLIER event-time position never overwrites a newer carry, so a
+  * `maxFilesPerTrigger` change that splits a user's rows out of
+  * event-time order cannot silently corrupt the repair (it can only
+  * affect which donor a masked row between the two batches sees —
+  * the documented single-batch drain keeps that exact too). */
+case class FillState(last: Option[Long], ms: Long, eid: Long)
 
-/** One forward-filled event row (q194). */
+/** One forward-filled event row (q194); value in integer cents. */
 case class FilledEvent(
-    user_id: Long, event_id: Long, was_missing: Int, filled: Option[Double])
+    user_id: Long, event_id: Long, was_missing: Int, filled: Option[Long])
 
 /** Per-user funnel state for [[EventsStream.funnelStages]]: first-view,
   * first-click-after-view, first-purchase-after-that-click epoch ms
@@ -284,20 +292,23 @@ object EventsStream {
     import org.apache.spark.sql.streaming.OutputMode
     val ds = events
       .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
-        when(col("event_id") % 7 === 0, lit(null).cast("double"))
-          .otherwise(col("value")).as("v"))
-      .as[(Long, Long, Long, Option[Double])]
+        when(col("event_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(round(col("value") * 100).cast("long")).as("v"))
+      .as[(Long, Long, Long, Option[Long])]
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[FillState, FilledEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long, Long, Option[Double])],
+        (uid: Long, rows: Iterator[(Long, Long, Long, Option[Long])],
          state: GroupState[FillState]) =>
-          var s = state.getOption.getOrElse(FillState(None))
+          var s = state.getOption.getOrElse(FillState(None, Long.MinValue, Long.MinValue))
           val out = Seq.newBuilder[FilledEvent]
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, v) =>
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, eid, v) =>
             v match {
               case Some(x) =>
-                s = FillState(Some(x))
+                // carry advances only FORWARD in event time: an
+                // observation from an out-of-order later batch with an
+                // earlier (ms, eid) never overwrites a newer carry
+                if (ms > s.ms || (ms == s.ms && eid > s.eid)) s = FillState(Some(x), ms, eid)
                 out += FilledEvent(uid, eid, 0, Some(x))
               case None =>
                 out += FilledEvent(uid, eid, 1, s.last)
@@ -313,8 +324,8 @@ object EventsStream {
         sum(when(col("was_missing") === 1 && col("filled").isNotNull, 1L)
           .otherwise(0L)).as("n_imputed"),
         sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfillable"),
-        round(sum(when(col("was_missing") === 1, coalesce(col("filled"), lit(0.0)))
-          .otherwise(0.0)), 2).as("imputed_mass"))
+        sum(when(col("was_missing") === 1, coalesce(col("filled"), lit(0L)))
+          .otherwise(0L)).as("imputed_mass_c"))
   }
 
   /** Streaming KMV bottom-k distinct-user sketch per event type

@@ -112,7 +112,10 @@ object CalibrateOps {
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
       .withColumn("rank_src", row_number().over(bySrc))
       .withColumn("cal_u",
-        expr("((rank_src - 1) * 1000000) div (n_src - 1)"))
+        // greatest(n_src-1, 1): a singleton source's only document
+        // defines percentile 0 instead of failing the whole query on
+        // divide-by-zero under ANSI mode (oracle guards identically)
+        expr("((rank_src - 1) * 1000000) div greatest(n_src - 1, 1)"))
     val tq = cal.agg(expr("count(1) div 4").as("topq"))
     // global windows: the q76/q114 designed-sort trade — fine for a
     // ledger; the per-shard form applies at 100 TB
@@ -139,7 +142,7 @@ object CalibrateOps {
        |  SELECT source, doc_id, quality_bp,
        |         ((row_number() OVER (PARTITION BY source
        |                              ORDER BY quality_bp, doc_id) - 1) * 1000000)
-       |           // (count(*) OVER (PARTITION BY source) - 1) AS cal_u
+       |           // greatest(count(*) OVER (PARTITION BY source) - 1, 1) AS cal_u
        |  FROM s),
        |r AS (
        |  SELECT source,

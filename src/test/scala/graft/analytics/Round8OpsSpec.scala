@@ -110,11 +110,11 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(sImp === batch.map(_.getLong(2)).sum)
     assert(sUnf === batch.map(_.getLong(3)).sum)
     assert(sMiss === sImp + sUnf)
-    // imputed mass agrees globally (per-row rounding differs by
-    // grouping, so compare the unrounded invariant via sums ±ε)
-    val sm = streamed.map(_.getDouble(5)).sum
-    val bm = batch.map(_.getDouble(4)).sum
-    assert(math.abs(sm - bm) < 0.5, s"imputed mass $sm vs $bm")
+    // integer-cents mass: the two engines' ledgers agree EXACTLY
+    // (long sums are accumulation-order invariant, unlike doubles)
+    val sm = streamed.map(_.getLong(5)).sum
+    val bm = batch.map(_.getLong(4)).sum
+    assert(sm === bm, s"imputed mass cents $sm vs $bm")
   }
 
   test("q189: island arithmetic conserves and both flag classes fire") {
