@@ -211,16 +211,31 @@ object VectorOps {
       s"CASE WHEN list_dot_product($v, $w::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** XOR masks for multi-probe LSH (Lv et al., VLDB'07): every bucket
+    * within Hamming distance ≤ 2 of the query's own bucket — 1 + 8 +
+    * C(8,2) = 37 probes. A near neighbor that lands one or two sign
+    * flips away (the common miss mode: its projection sits near a
+    * hyperplane) is recovered without any extra hash tables. */
+  val LshProbeMasks: Seq[Int] =
+    Seq(0) ++ (0 until Planes).map(1 << _) ++
+      (for (i <- 0 until Planes; j <- i + 1 until Planes) yield (1 << i) | (1 << j))
+
   /** Approximate top-KLsh neighbors via random-hyperplane LSH: bucket =
-    * 8 sign bits, candidates = same-bucket vectors, exact cosine rank
-    * within the bucket. Same probes as [[knnBrute]] (recall vs. the
-    * exact result is the quality metric; the bucket equi-join is the
-    * scale path). */
+    * 8 sign bits, candidates = vectors in any probed bucket
+    * ([[LshProbeMasks]]: the query's bucket plus all buckets within
+    * Hamming distance 2 — multi-probe), exact cosine rank over the
+    * candidates. Same probes as [[knnBrute]] (recall vs. the exact
+    * result is the quality metric; the bucket equi-join is the scale
+    * path — the probe fan-out multiplies only the QUERY side, the
+    * corpus side still shuffles/buckets once on its single bucket id). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).withColumn("bucket", bucketCol(col("v")))
     val q = broadcast(e.filter(col("vec_id") < QueryMax)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket")))
+        col("nrm").as("qn"),
+        explode(typedLit(LshProbeMasks)).as("mask"), col("bucket").as("qb"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("qb").bitwiseXOR(col("mask")).as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     q.join(e, Seq("bucket"))
@@ -235,12 +250,15 @@ object VectorOps {
   val annLshSql: String =
     s"""WITH $vecsSql,
        |bucketed AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM vecs),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, xor(bucket, m.mask) AS bucket
+       |  FROM bucketed, (SELECT unnest(${LshProbeMasks.mkString("[", ",", "]")}) AS mask) m
+       |  WHERE vec_id < $QueryMax),
        |scored AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
-       |  FROM bucketed q JOIN bucketed e
-       |    ON q.bucket = e.bucket AND q.vec_id != e.vec_id
-       |  WHERE q.vec_id < $QueryMax)
+       |  FROM probes q JOIN bucketed e
+       |    ON q.bucket = e.bucket AND q.vec_id != e.vec_id)
        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -249,9 +267,14 @@ object VectorOps {
 
   // ---------------------------------------------------------------- IVF ANN
 
-  /** Coarse-quantizer cell count and probe width for the IVF index. */
+  /** Coarse-quantizer cell count and probe width for the IVF index.
+    * NProbe=4 of 16 cells: each probe scans ~1/4 of the corpus — the
+    * recall/cost point chosen for this corpus's weak neighbor
+    * structure (see the recall ladder in PERF.md; on clustered data
+    * the planted-corpus spec shows the same operator at ~full recall
+    * with the same probe width). */
   val Cells  = 16
-  val NProbe = 2
+  val NProbe = 4
 
   /** Deterministic pseudo-random cell centroids (same LCG family as
     * [[planeW]], offset so the two sketches are independent). */
@@ -353,8 +376,11 @@ object VectorOps {
     }
   }
 
-  /** ADC shortlist size fed to the exact re-rank stage. */
-  val PqShortlist = 10
+  /** ADC shortlist size fed to the exact re-rank stage: 50 of the
+    * 500-vector corpus — the 10% scan point on the recall ladder
+    * (PERF.md); the shortlist stays a CONSTANT per probe at any
+    * corpus size, the re-rank cost does not grow with N. */
+  val PqShortlist = 50
 
   /** Product-quantized kNN — shortlist by asymmetric distance, re-rank
     * exactly, the two-stage shape production ANN engines run:
@@ -625,16 +651,12 @@ object VectorOps {
       .withColumn("cell", array_position(col("d"), array_min(col("d"))))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // second-best cell: mask the argmin slot, take the argmin again
-    val masked = transform(sequence(lit(1L), lit(IvfTK.toLong)),
-      i => when(i === col("cell"), lit(1e18))
-        .otherwise(element_at(col("d"), i.cast("int"))))
+    // top-NProbe nearest cells per query (L2 → ascending; narrow
+    // array_sort, zero shuffles — see topCells)
     val q = broadcast(e.filter(col("vec_id") < QueryMax)
-      .withColumn("m", masked)
-      .withColumn("cell2", array_position(col("m"), array_min(col("m"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(array(col("cell"), col("cell2"))).as("cell")))
+        explode(topCells(col("d"), NProbe, IvfTK, ascending = true)).as("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
@@ -656,14 +678,15 @@ object VectorOps {
        |           c -> list_dot_product(c, c) - 2 * list_dot_product(v, c)) AS d
        |  FROM base),
        |cells AS (SELECT vec_id, v, nrm, d, list_position(d, list_min(d)) AS cell FROM dots),
-       |probes AS (
-       |  SELECT vec_id, v, nrm, cell,
-       |         list_transform(range(1, ${IvfTK + 1}),
-       |           i -> CASE WHEN i = cell THEN 1e18 ELSE d[i] END) AS m
-       |  FROM cells WHERE vec_id < $QueryMax),
-       |qcells AS (
-       |  SELECT vec_id, v, nrm, unnest([cell, list_position(m, list_min(m))]) AS cell
-       |  FROM probes),
+       |qd AS (
+       |  SELECT vec_id, v, nrm, CAST(j.j AS BIGINT) + 1 AS cell, d[j.j + 1] AS dv
+       |  FROM cells, (SELECT unnest(range($IvfTK)) AS j) j
+       |  WHERE vec_id < $QueryMax),
+       |qr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY dv, cell) AS prank
+       |  FROM qd),
+       |qcells AS (SELECT vec_id, v, nrm, cell FROM qr WHERE prank <= $NProbe),
        |scored AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
@@ -686,21 +709,36 @@ object VectorOps {
     * the standard inverted-file trade of recall for cost. Same probe
     * set as [[knnBrute]] so recall is measurable against the exact
     * result. */
+  /** Top-`n` cell ids (1-based) from a distance/score array `d` of
+    * length `cells`, smallest-first when `ascending` (L2 argmin) or
+    * largest-first otherwise (dot argmax); ties broken by cell id so
+    * the first slot reproduces array_position's first-extreme
+    * tie-break. A narrow array_sort over `cells` elements — probe-cell
+    * selection costs ZERO shuffles (vs a rank window, which would add
+    * an exchange just to pick 4 of 16 slots). */
+  private def topCells(d: Column, n: Int, cells: Int, ascending: Boolean): Column = {
+    val structs = transform(sequence(lit(1L), lit(cells.toLong)),
+      i => struct(element_at(d, i.cast("int")).as("dv"), i.as("cell")))
+    val sorted = array_sort(structs, (l, r) => {
+      val (ld, rd) = (l.getField("dv"), r.getField("dv"))
+      val better = if (ascending) ld < rd else ld > rd
+      val worse  = if (ascending) ld > rd else ld < rd
+      when(better, -1).when(worse, 1)
+        .otherwise(when(l.getField("cell") < r.getField("cell"), -1)
+          .when(l.getField("cell") > r.getField("cell"), 1).otherwise(0))
+    })
+    transform(slice(sorted, 1, n), s => s.getField("cell"))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
       .withColumn("d", centDots(col("v")))
       .withColumn("cell", array_position(col("d"), array_max(col("d"))))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // second-best cell: mask the argmax slot, take the argmax again
-    val masked = transform(sequence(lit(1L), lit(Cells.toLong)),
-      i => when(i === col("cell"), lit(-1e18))
-        .otherwise(element_at(col("d"), i.cast("int"))))
     val q = broadcast(e.filter(col("vec_id") < QueryMax)
-      .withColumn("m", masked)
-      .withColumn("cell2", array_position(col("m"), array_max(col("m"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(array(col("cell"), col("cell2"))).as("cell")))
+        explode(topCells(col("d"), NProbe, Cells, ascending = false)).as("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
@@ -716,14 +754,15 @@ object VectorOps {
     s"""WITH $vecsSql,
        |dots AS (SELECT vec_id, v, nrm, ${centDotsSql("v")} AS d FROM vecs),
        |cells AS (SELECT vec_id, v, nrm, d, list_position(d, list_max(d)) AS cell FROM dots),
-       |probes AS (
-       |  SELECT vec_id, v, nrm, cell,
-       |         list_transform(range(1, ${Cells + 1}),
-       |           i -> CASE WHEN i = cell THEN -1e18 ELSE d[i] END) AS m
-       |  FROM cells WHERE vec_id < $QueryMax),
-       |qcells AS (
-       |  SELECT vec_id, v, nrm, unnest([cell, list_position(m, list_max(m))]) AS cell
-       |  FROM probes),
+       |qd AS (
+       |  SELECT vec_id, v, nrm, CAST(j.j AS BIGINT) + 1 AS cell, d[j.j + 1] AS dv
+       |  FROM cells, (SELECT unnest(range($Cells)) AS j) j
+       |  WHERE vec_id < $QueryMax),
+       |qr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY dv DESC, cell) AS prank
+       |  FROM qd),
+       |qcells AS (SELECT vec_id, v, nrm, cell FROM qr WHERE prank <= $NProbe),
        |scored AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
@@ -738,9 +777,10 @@ object VectorOps {
   // -------------------------------------------------- JL random projection
 
   /** Output dimensionality of the random projection (q83/q84).
-    * Measured trade-off on this corpus (TrainingOpsSpec, recall@3 of
-    * the q84 shortlist): RpK=16 → 0.27, RpK=32 → 0.43 at a 20-row
-    * shortlist — 32 matches PQ's recall with no training step. */
+    * Measured trade-off on this corpus (recall ladder in PERF.md /
+    * VectorRecallSpec): RpK=16 → 0.27 recall@3 at a 20-row shortlist,
+    * RpK=32 → 0.43; with the 50-row shortlist RpK=32 reaches 0.67
+    * isotropic / 1.00 planted-cluster. */
   val RpK = 32
 
   /** Deterministic ±1 entry of the RpK×Dim sign matrix. The hash squares
@@ -786,8 +826,9 @@ object VectorOps {
        |             / sqrt(${RpK}.0), 4) AS value
        |FROM base CROSS JOIN (SELECT unnest(range($RpK)) AS j) d""".stripMargin
 
-  /** Shortlist size for the RP-ANN two-stage search (q84). */
-  val RpShortlist = 20
+  /** Shortlist size for the RP-ANN two-stage search (q84) — same 10%
+    * scan point as PQ (recall ladder in PERF.md). */
+  val RpShortlist = 50
 
   /** The projection column: RpK rounded coordinates of v·R/√RpK. */
   private def rpProjCol: Column = array(rpMatrix.map(r =>
@@ -857,8 +898,9 @@ object VectorOps {
 
   /** Leading dims used as the truncated (Matryoshka) representation. */
   val MrlDim = 16
-  /** Shortlist width the truncated scoring pass keeps per probe. */
-  val MrlShortlist = 20
+  /** Shortlist width the truncated scoring pass keeps per probe —
+    * same 10% scan point as PQ/RP (recall ladder in PERF.md). */
+  val MrlShortlist = 50
 
   /** Matryoshka-style two-stage kNN (q136): score every candidate on
     * the LEADING [[MrlDim]] of [[Dim]] dimensions — the
