@@ -44,16 +44,22 @@ object EntityResolution {
           "substring(c_name, cast(12 + c_custkey % 6 as int)))").as("name"))
     val reg = cust.select(col("c_custkey").as("id"), col("c_name").as("name"))
       .unionAll(typo)
-    val keys = reg.select(col("id"), col("name"),
+    // candidate keys carry IDS ONLY: a pair sharing j variant keys
+    // would otherwise shuffle its two full names j times (up to len+1
+    // copies) into the distinct — dedup the (id1, id2) pairs first,
+    // then join the names back for the single exact verify
+    val keys = reg.select(col("id"),
       explode(NativeExprs.deleteVariantHashes(col("name"))).as("k"))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("a.name").as("n1"),
-        col("b.id").as("id2"), col("b.name").as("n2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand.filter(levenshtein(col("n1"), col("n2")) <= 1)
-      .select(col("id1"), col("id2"),
-        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+    cand
+      .join(reg.select(col("id").as("id1"), col("name").as("n1")), "id1")
+      .join(reg.select(col("id").as("id2"), col("name").as("n2")), "id2")
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist"))
   }
 
   /** Oracle: the naive quadratic form — independent formulation whose

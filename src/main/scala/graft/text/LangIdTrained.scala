@@ -108,12 +108,22 @@ object LangIdTrained {
 
   /** Learn K micro-unit weight vectors: [[Rounds]] × (one 30-column
     * long-sum aggregate over the train split + a 30-long collect).
-    * Returns (weights, materialized feature table). */
+    *
+    * The per-round job runs over a SIZE-CONSOLIDATED view of the
+    * train split: coalesce to ~100k rows/partition (never below 1,
+    * never above the checkpoint's own partition count — coalesce only
+    * merges). At gate scale that collapses 32 near-empty tasks per
+    * round into one; at 100 TB the divisor keeps thousands of
+    * partitions, so the consolidation is scale-neutral. (Weights stay
+    * literals: a broadcast-weights variant was measured SLOWER — the
+    * per-round broadcast build outweighs the janino recompile it
+    * avoids.) Returns (weights, materialized feature table). */
   def learn(spark: SparkSession, dir: String): (Array[Array[Long]], DataFrame) = {
     val f = feats(spark, dir).localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = f.filter(col("split") === "train").count()
     val tr = f.filter(col("split") === "train")
-    val n = tr.count()
+      .coalesce(math.max(1, (n / 100000L).toInt))
     var w = Array.fill(K)(Array.fill(F + 1)(0L))
     val xref: Seq[Column] = lit(1.0) +: (1 to F).map(j => col(s"x$j"))
     for (_ <- 0 until Rounds) {

@@ -104,12 +104,17 @@ object QualityClassifier {
     val f = feats(spark, dir).localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = f.count()
+    // size-consolidated gradient view (~100k rows/partition, floor 1):
+    // collapses the gate corpus's near-empty tasks per round, keeps
+    // thousands of partitions at 100 TB (coalesce only merges) — same
+    // trade as LangIdTrained.learn
+    val tr = f.coalesce(math.max(1, (n / 100000L).toInt))
     var w = Array.fill(6)(0L)
     for (_ <- 0 until Rounds) {
       val r = residCol(zCol(w))
       val xs: Seq[Column] = Seq(lit(1.0), col("x1"), col("x2"),
         col("x3"), col("x4"), col("x5"))
-      val g = f.select(xs.zipWithIndex.map { case (x, j) =>
+      val g = tr.select(xs.zipWithIndex.map { case (x, j) =>
         sum(floor((r * x) * lit(1000000.0) + lit(0.5))).as(s"g$j") }: _*)
         .collect()(0)
       w = w.indices.map(j => w(j) - (4L * g.getLong(j)) / n).toArray
