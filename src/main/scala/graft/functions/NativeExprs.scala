@@ -26,6 +26,9 @@ object NativeExprs {
     ExpressionUtils.column(
       DotProductExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def quantize(v: Column, q: Double): Column =
+    ExpressionUtils.column(QuantizeExpr(ExpressionUtils.expression(v), q))
+
   def minhashSig(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(
       MinHashSigExpr(ExpressionUtils.expression(hs), a.toArray, b.toArray, p))
@@ -473,6 +476,40 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_dot"
+}
+
+/** Per-component quantization `floor(x·q + 0.5)` of an array<double>
+  * — exact small-integer-valued doubles, the deterministic base of the
+  * RP family (VectorOps.RpQ rationale). Codegen'd so 32 projection
+  * dots can consume one materialized quantized array instead of
+  * CollapseProject inlining an interpreted HOF 32×. */
+case class QuantizeExpr(child: Expression, q: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<double>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    QuantizeExpr.quant(v.asInstanceOf[ArrayData], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.QuantizeExpr.quant($v, ${q}D)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quantize"
+}
+
+object QuantizeExpr {
+  def quant(v: ArrayData, q: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      // null elements quantize to 0 (same null-as-0 convention as dot)
+      if (!v.isNullAt(i)) out(i) = math.floor(v.getDouble(i) * q + 0.5)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 object DotProductExpr {

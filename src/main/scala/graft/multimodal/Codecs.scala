@@ -18,6 +18,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Ppm {
 
+  /** Upper bound accepted for any header integer (dimension or
+    * maxval field): generous for real assets, small enough that
+    * MaxDim² · 3 stays far inside Int range — the parser sizes
+    * allocations from UNTRUSTED header bytes. */
+  val MaxDim = 1 << 14
+
   /** Encode an interleaved-RGB buffer (`width*height*3` bytes,
     * row-major) as a binary PPM (P6, maxval 255). */
   def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
@@ -74,6 +80,10 @@ object Ppm {
       var any = false
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        // fuzz guard: a crafted header like "P6 9999999999 9999999999"
+        // must reject here, BEFORE w*h*3 wraps Int and sizes a bogus
+        // allocation — headers are untrusted input
+        require(v <= MaxDim, s"PPM: header integer exceeds $MaxDim")
       }
       require(any, s"PPM: expected integer at byte offset $pos")
       v
@@ -161,12 +171,47 @@ object Png {
     out.toByteArray
   }
 
+  /** Structural walk + CRC-32 verification of every chunk. ImageIO's
+    * PNG reader does NOT reliably verify chunk CRCs (it streams IDAT
+    * through an inflater), so without this pass a bit-flipped chunk
+    * trailer could decode silently; with it, CRC corruption, lying
+    * chunk lengths, and missing critical chunks all reject
+    * deterministically — the fuzz-matrix contract (CodecFuzzSpec). */
+  private def verifyChunks(bytes: Array[Byte]): Unit = {
+    def be32(i: Int): Int =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 8
+    var sawIhdr = false; var sawIdat = false; var sawIend = false
+    while (!sawIend) {
+      require(pos + 8 <= bytes.length, s"PNG: chunk header truncated at byte $pos")
+      val len = be32(pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0, s"PNG: negative length in chunk $typ")
+      require(pos + 8 + len + 4 <= bytes.length, s"PNG: chunk $typ overruns buffer")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(pos + 8 + len),
+        s"PNG: CRC mismatch in chunk $typ")
+      typ match {
+        case "IHDR" => sawIhdr = true
+        case "IDAT" => sawIdat = true
+        case "IEND" => sawIend = true
+        case _      => ()
+      }
+      pos += 8 + len + 4
+    }
+    require(sawIhdr && sawIdat, "PNG: missing critical chunk (IHDR/IDAT)")
+  }
+
   /** Decode via the JDK's ImageIO PNG reader — a full independent
-    * implementation of inflate + scanline unfiltering. Pixel order is
-    * read back through `getRGB` so the result is layout-independent
+    * implementation of inflate + scanline unfiltering — after OUR
+    * structural/CRC chunk verification ([[verifyChunks]]). Pixel order
+    * is read back through `getRGB` so the result is layout-independent
     * of whatever BufferedImage type the reader picked. */
   def decode(bytes: Array[Byte]): Ppm.Image = {
     require(isPng(bytes), "not a PNG payload")
+    verifyChunks(bytes)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "PNG: ImageIO found no reader for payload")
     val w = img.getWidth; val h = img.getHeight
@@ -364,6 +409,9 @@ object Wav {
       require(len >= 0 && len <= buf.remaining(), s"WAV: chunk '$id' overruns buffer")
       id match {
         case "fmt " =>
+          // fuzz guard: a short fmt chunk would otherwise read its
+          // fields out of the NEXT chunk's bytes (silent misparse)
+          require(len >= 16, s"WAV: fmt chunk too short ($len < 16)")
           val p = buf.position()
           fmtTag = buf.getShort(); channels = buf.getShort()
           sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
@@ -380,6 +428,8 @@ object Wav {
     require(dataPos >= 0, "WAV: no data chunk")
     require(fmtTag == 1 && bits == 16,
       s"WAV: only 16-bit PCM supported (fmt=$fmtTag bits=$bits)")
+    require(channels >= 1 && sampleRate > 0,
+      s"WAV: invalid fmt fields (channels=$channels rate=$sampleRate)")
     val n = dataLen / 2
     val samples = new Array[Short](n)
     buf.position(dataPos)
@@ -387,4 +437,20 @@ object Wav {
     while (i < n) { samples(i) = buf.getShort(); i += 1 }
     Audio(sampleRate, channels, samples)
   }
+}
+
+/** Pipeline-level decode guard — the q150 dead-letter pattern as a
+  * shared operator: ANY malformed-payload failure inside a codec
+  * (parser `require`, ImageIO `IIOException`, buffer underflow from a
+  * lying chunk length) becomes a `Left(reason)` the caller routes to
+  * the dead-letter sink; only fatal JVM errors propagate. This is the
+  * contract the fuzz matrix (`CodecFuzzSpec`) pins per codec: corrupt
+  * assets classify, they never poison the batch. */
+object SafeDecode {
+  def apply[T](codec: String)(f: => T): Either[String, T] =
+    try Right(f) catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"$codec: " + Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .linesIterator.take(1).mkString.take(160))
+    }
 }

@@ -471,8 +471,7 @@ object MultimodalOps {
           val full = Jpeg.encode(w, h, px)
           val jpg = if (id % 13 == 5) java.util.Arrays.copyOf(full, 20) else full
           val parsed =
-            try Some((Jpeg.parseHeader(jpg), Jpeg.decode(jpg)))
-            catch { case scala.util.control.NonFatal(_) => None }
+            SafeDecode("jpeg")((Jpeg.parseHeader(jpg), Jpeg.decode(jpg))).toOption
           parsed match {
             case None =>
               (id, 0, 0, 0, 0, "dead_letter")

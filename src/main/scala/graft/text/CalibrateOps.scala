@@ -114,8 +114,11 @@ object CalibrateOps {
       .withColumn("cal_u",
         // greatest(n_src-1, 1): a singleton source's only document
         // defines percentile 0 instead of failing the whole query on
-        // divide-by-zero under ANSI mode (oracle guards identically)
-        expr("((rank_src - 1) * 1000000) div greatest(n_src - 1, 1)"))
+        // divide-by-zero under ANSI mode (oracle guards identically).
+        // rank_src is INT (row_number): widen BEFORE the ×1e6 — at
+        // ~2200+ docs/source the int product overflows, which the 10×
+        // protocol caught as an ANSI ARITHMETIC_OVERFLOW (round 9)
+        expr("((cast(rank_src as bigint) - 1) * 1000000) div greatest(n_src - 1, 1)"))
     val tq = cal.agg(expr("count(1) div 4").as("topq"))
     // global windows: the q76/q114 designed-sort trade — fine for a
     // ledger; the per-shard form applies at 100 TB

@@ -799,20 +799,45 @@ object VectorOps {
   private lazy val rpMatrix: Seq[Seq[Double]] =
     (0 until RpK).map(j => (0 until Dim).map(d => rpSign(j, d)))
 
+  /** Component quantum for the INTEGER projection path: components are
+    * quantized once to 1e-4 units (`floor(x·1e4 + 0.5)` — a single-op
+    * chain on the same parquet double, bit-identical across engines),
+    * and every projection is then a ±1-signed sum of small integers —
+    * EXACT in double regardless of summation order (|Σ| ≪ 2⁵³), so no
+    * engine's SIMD/accumulation order can move a value across a
+    * rounding boundary. The round-9 10× protocol caught exactly that:
+    * one of 1.6M projected values straddled the 4-dp HALF_UP boundary
+    * between Spark's and DuckDB's dot-sum ulps (got −0.0001, want
+    * −0.0) — the same silent-at-gate-scale failure class as the
+    * round-7 MinHash coefficient bug. */
+  val RpQ = 10000.0
+
+  /** `floor(x·RpQ + 0.5)` per component: exact small-integer-valued
+    * doubles, the deterministic base of the whole RP family
+    * (codegen'd native expression — an interpreted HOF here would be
+    * CollapseProject-inlined into all RpK projection dots). */
+  private def quantCol(v: Column): Column =
+    graft.functions.NativeExprs.quantize(v, RpQ)
+
   /** Johnson–Lindenstrauss random projection: Dim→RpK with a dense ±1
-    * matrix, scaled 1/√RpK so expected squared norm is preserved. The
-    * compressive step ahead of any ANN index — at 100 TB it is a narrow
-    * map (RpK dot products per row against broadcast-literal rows, all
-    * codegen'd), shrinking every downstream shuffle/index by Dim/RpK
-    * while approximately preserving pairwise geometry. Output is
-    * long-form (vec_id, rp_dim, value) so the oracle hash covers every
-    * coordinate. */
+    * matrix. The compressive step ahead of any ANN index — at 100 TB
+    * it is a narrow map (RpK dot products per row against
+    * broadcast-literal rows), shrinking every downstream shuffle/index
+    * by Dim/RpK while approximately preserving pairwise geometry.
+    * Output is long-form (vec_id, rp_dim, value_u, value): `value_u`
+    * is the exact integer signed sum in [[RpQ]] component units;
+    * `value` the JL-scaled double (value_u / RpQ / √RpK — two
+    * divisions of the same exact integer, bit-deterministic without
+    * any rounding). The oracle hash covers every coordinate. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("a", quantCol(col("v")))
     val proj = array(rpMatrix.map(r =>
-      round(dot(col("v"), typedLit(r)) / math.sqrt(RpK), 4)): _*)
-    base.select(col("vec_id"), posexplode(proj).as(Seq("rp_dim", "value")))
+      dot(col("a"), typedLit(r)).cast("long")): _*)
+    base.select(col("vec_id"), posexplode(proj).as(Seq("rp_dim", "value_u")))
+      .withColumn("value",
+        col("value_u") / lit(RpQ) / lit(math.sqrt(RpK)))
   }
 
   private lazy val rpMatSqlLit: String =
@@ -820,19 +845,28 @@ object VectorOps {
 
   val randomProjectionSql: String =
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |au AS (SELECT vec_id,
+       |              list_transform(v, x -> floor(x * $RpQ + 0.5)) AS a
+       |       FROM base),
        |mat AS (SELECT $rpMatSqlLit AS m)
        |SELECT vec_id, CAST(d.j AS INT) AS rp_dim,
-       |       round(list_dot_product(v, (SELECT m FROM mat)[d.j + 1])
-       |             / sqrt(${RpK}.0), 4) AS value
-       |FROM base CROSS JOIN (SELECT unnest(range($RpK)) AS j) d""".stripMargin
+       |       CAST(list_dot_product(a, (SELECT m FROM mat)[d.j + 1]) AS BIGINT) AS value_u,
+       |       CAST(list_dot_product(a, (SELECT m FROM mat)[d.j + 1]) AS BIGINT)
+       |         / $RpQ / sqrt(${RpK}.0) AS value
+       |FROM au CROSS JOIN (SELECT unnest(range($RpK)) AS j) d""".stripMargin
 
   /** Shortlist size for the RP-ANN two-stage search (q84) — same 10%
     * scan point as PQ (recall ladder in PERF.md). */
   val RpShortlist = 50
 
-  /** The projection column: RpK rounded coordinates of v·R/√RpK. */
-  private def rpProjCol: Column = array(rpMatrix.map(r =>
-    round(dot(col("v"), typedLit(r)) / math.sqrt(RpK), 4)): _*)
+  /** The projection column: RpK EXACT integer coordinates (±1-signed
+    * sums of [[RpQ]]-quantized components — see [[randomProjection]]'s
+    * determinism note; scaling by 1/√RpK is cosmetic for a shortlist
+    * ranking and dropped here). */
+  private def rpProjCol: Column = {
+    val a = quantCol(col("v"))
+    array(rpMatrix.map(r => dot(a, typedLit(r))): _*)
+  }
 
   /** ANN via random projection — the sketch-compression member of the
     * family (vs q25 LSH buckets, q35/q81 IVF cells, q79 PQ codes):
@@ -856,7 +890,9 @@ object VectorOps {
     q.join(projected.select(col("vec_id").as("neighbor_id"),
         col("v"), col("nrm"), col("p")),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("rp_sim", round(dot(col("qp"), col("p")), 4))
+      // exact integer product-sum of the quantized projections
+      // (|terms| bounded far inside 2^53 — order-independent)
+      .withColumn("rp_sim", dot(col("qp"), col("p")).cast("long"))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= RpShortlist)
       .withColumn("cos_sim", round(
@@ -872,12 +908,12 @@ object VectorOps {
        |proj AS (
        |  SELECT vec_id, v, nrm,
        |         list_transform((SELECT m FROM mat),
-       |           r -> round(list_dot_product(v, r) / sqrt(${RpK}.0), 4)) AS p
+       |           r -> list_dot_product(list_transform(v, x -> floor(x * $RpQ + 0.5)), r)) AS p
        |  FROM vecs),
        |pairs AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         q.v AS qv, q.nrm AS qn, e.v AS ev, e.nrm AS en,
-       |         round(list_dot_product(q.p, e.p), 4) AS rp_sim
+       |         CAST(list_dot_product(q.p, e.p) AS BIGINT) AS rp_sim
        |  FROM proj q JOIN proj e
        |    ON q.vec_id < $QueryMax AND q.vec_id != e.vec_id),
        |short AS (
