@@ -40,10 +40,12 @@ object CalibrateOps {
     * the log's argument — score_u = (c_ab·N·10⁶) div (c_a·c_b), an
     * exact integer — and no logarithm is ever taken (the q147
     * convention). A [[MinPairCount]] floor removes the rare-pair
-    * noise PMI is notorious for. Integer-range note: c_ab·N·10⁶
-    * needs c_ab·N < 9.2e12 — beyond that, pre-divide by c_a first
-    * (the q147 overflow contract: ANSI mode fails loudly in both
-    * engines).
+    * noise PMI is notorious for. Integer-range note (round 9): the
+    * product c_ab·N·10⁶ outgrows BIGINT past ~100× this corpus, so
+    * the score is computed in 128-bit-exact form — DECIMAL(38,0) on
+    * the Spark side, HUGEINT in DuckDB — and only the QUOTIENT (which
+    * is ≤ 10⁶·N/c_ab², comfortably BIGINT at any corpus size) is cast
+    * back down. Same exact integer at every scale, no overflow cliff.
     *
     * Scale shape: bigram pairs come from an in-row shifted zip (no
     * self-join); three map-side-combinable count aggregates
@@ -69,7 +71,8 @@ object CalibrateOps {
       .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
       .crossJoin(broadcast(n))
-      .withColumn("score_u", expr("(c_ab * n_tok * 1000000) div (c_a * c_b)"))
+      .withColumn("score_u", expr(
+        "cast((cast(c_ab as decimal(38,0)) * n_tok * 1000000) div (cast(c_a as decimal(38,0)) * c_b) as bigint)"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_u").desc, col("w1"), col("w2"))).cast("long"))
       .filter(col("rank") <= PmiTopK)
@@ -90,7 +93,8 @@ object CalibrateOps {
        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
        |sc AS (
        |  SELECT cab.w1, cab.w2, cab.c_ab, a.c AS c_a, b.c AS c_b,
-       |         (cab.c_ab * n.n_tok * 1000000) // (a.c * b.c) AS score_u
+       |         CAST((CAST(cab.c_ab AS HUGEINT) * n.n_tok * 1000000)
+       |              // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_u
        |  FROM cab
        |  JOIN uni a ON a.w = cab.w1
        |  JOIN uni b ON b.w = cab.w2
