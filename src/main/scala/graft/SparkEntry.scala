@@ -409,6 +409,19 @@ object SparkEntry {
     // Multi-touch linear attribution: exact credit conservation,
     // time-to-conversion curve, unattributed ledger row.
     "q195_linear_attribution" -> (E.linearAttribution _),
+    // k-core decomposition: driver-gated peel loop, per-round ONE
+    // degree aggregate + two id-keyed semi-joins, edge set shrinks
+    // monotonically; oracle unrolls the cascade.
+    "q196_kcore"            -> (G.kCore _),
+    // Snapshot drift gate: exact integer-ppm total-variation distance
+    // per stream, single fused histogram pass vs the oracle's
+    // two-pass FULL OUTER form.
+    "q197_drift_monitor"    -> ((s: SparkSession, dir: String) =>
+      graft.analytics.DriftOps.driftMonitor(s, dir)),
+    // l-diversity audit: two-level re-aggregation vs the oracle's
+    // per-class COUNT(DISTINCT); k-ok-but-l-bad ledger column.
+    "q198_l_diversity"      -> ((s: SparkSession, dir: String) =>
+      graft.analytics.PrivacyOps.lDiversityAudit(s, dir)),
     // Streaming LOCF: per-user carry state repairs missingness at
     // ingest; per-user ledger equals the batch window form.
     "q194_stream_fill"      -> ((s: SparkSession, dir: String) =>
@@ -764,6 +777,9 @@ object SparkEntry {
     "q192_pmi_collocations" -> graft.text.CalibrateOps.pmiCollocationsSql,
     "q193_auc_exact"        -> graft.text.QualityClassifier.aucExactSql,
     "q195_linear_attribution" -> E.linearAttributionSql,
+    "q196_kcore"            -> G.kCoreSql,
+    "q197_drift_monitor"    -> graft.analytics.DriftOps.driftMonitorSql,
+    "q198_l_diversity"      -> graft.analytics.PrivacyOps.lDiversityAuditSql,
     "q194_stream_fill"      ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id,

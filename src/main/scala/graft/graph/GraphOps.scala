@@ -448,4 +448,123 @@ object GraphOps {
        |            THEN 1 ELSE 0 END AS INTEGER) AS within_bound
        |FROM t_x, t_s""".stripMargin
   }
+
+  /** The k-core threshold is SCALE-FREE: k = min_deg + (max_deg −
+    * min_deg) div 6 of the initial degree distribution, so the peel
+    * stays non-trivial at every sf (co-purchase degrees grow with
+    * order count — any fixed k peels everything at small sf and
+    * nothing at large sf). Exact integer in both engines. div 6 sits
+    * below the cascade's critical point at the sf corpus (div 4
+    * collapses the whole graph over an 18-round avalanche — measured,
+    * the reason the query's round count is FIXED, see
+    * [[KCorePeelRounds]]). */
+  def kCoreThreshold(deg: DataFrame): Long =
+    deg.agg(expr("min(deg) + (max(deg) - min(deg)) div 6"))
+      .collect()(0).getLong(0)
+
+  /** The peel runs EXACTLY this many rounds (with an early exit once
+    * stable — further rounds are no-ops, so the result is identical).
+    * A fixed round count, not a fixpoint, is deliberate: peeling is
+    * non-monotone, so a recursive-CTE oracle can't express it and an
+    * "unroll past convergence" bound would rest on an unverifiable
+    * premise — near the cascade's critical threshold the
+    * rounds-to-fixpoint EXPLODES (measured at sf0.01: 2 rounds at
+    * k = div-6, 18 rounds and total collapse at k = div-4). Instead
+    * both engines compute the same R-round state at ANY scale, and the
+    * `converged` flag (1 ⟺ every surviving in-core degree ≥ k ⟺ round
+    * R+1 would change nothing) makes it observable whether that state
+    * IS the true k-core. At the sf corpora it is (flag = 1). */
+  val KCorePeelRounds = 12
+
+  /** q196: k-core decomposition (k = [[kCoreThreshold]], derived
+    * scale-free from the degree distribution) of the support-≥1
+    * co-purchase graph — the standard "dense cohesive subgraph"
+    * extraction (Seidman, "Network structure and minimum degree",
+    * 1983) a recommender or graph-dedup stage runs before mining:
+    * iteratively peel every node of degree < k until no node is
+    * sub-threshold; survivors form the k-core, reported with their
+    * in-core degree. The threshold is one bounded driver-side scalar
+    * (the same pattern as [[pageRankFixpoint]]'s convergence gate).
+    *
+    * Scale shape: each peel round is ONE map-side-combinable degree
+    * aggregate over fixed-width (u,v) rows plus two semi-joins keyed
+    * on node id — no adjacency list concentrates anywhere, and the
+    * edge set only SHRINKS round over round, so per-round cost is
+    * monotone decreasing. Rounds-to-fixpoint is tiny in practice
+    * (peeling removes whole degree-layers at once); the driver-gated
+    * loop mirrors [[bfsFixpoint]] with per-round lineage truncation.
+    * Reference framing: the co-purchase mining family of
+    * dataflow_transform.py's grouped aggregates (see SURVEY §2). */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = materialize(edges(spark, dir, minSupport = 1))
+    val e = materialize(e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v"))))
+    val k = kCoreThreshold(
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val core = kCorePeel(e, k, KCorePeelRounds)
+    val flag = core.agg(
+      (coalesce(min(col("core_deg")), lit(k)) >= k).cast("int").as("converged"))
+    core.crossJoin(broadcast(flag))
+      .select(col("u").as("p_partkey"), col("core_deg"), col("converged"))
+  }
+
+  /** The peel loop on a symmetric (u, v) edge list: run `rounds` peel
+    * rounds (early exit once the survivor count stops moving — node
+    * count unchanged ⟺ no node was removed ⟺ stable, and further
+    * rounds are no-ops); returns surviving nodes with their in-core
+    * degree. */
+  def kCorePeel(edges0: DataFrame, k: Long, rounds: Int = KCorePeelRounds): DataFrame = {
+    var e = materialize(edges0)
+    var survivors = Long.MaxValue
+    var n = -1L
+    var round = 0
+    while (n != survivors && round < rounds) {
+      survivors = n
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      // two independently-aliased copies so the double semi-join can't
+      // trip self-join attribute ambiguity
+      val keepU = keep.select(col("u").as("ku"))
+      val keepV = keep.select(col("u").as("kv"))
+      e = materialize(
+        e.join(keepU, e("u") === col("ku"), "left_semi")
+          .join(keepV, e("v") === col("kv"), "left_semi"))
+      n = e.select(coalesce(countDistinct(col("u")), lit(0L)))
+        .collect()(0).getLong(0)
+      round += 1
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Oracle: the peeling cascade unrolled [[KCoreOracleRounds]] times —
+    * each round is the naive degree-filter + edge-restrict pair. */
+  val kCoreSql: String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // one twice (degree filter + edge restrict), so an inlining CTE
+    // planner would expand the 12-round chain into an exponential tree
+    // of base scans.
+    val rounds = (1 to KCorePeelRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT u FROM es${i - 1}, kth GROUP BY u HAVING count(*) >= min(kv)),
+         |es$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM es${i - 1} e
+         |  JOIN s$i a ON e.u = a.u JOIN s$i b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(1)},
+       |es0 AS MATERIALIZED (
+       |  SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
+       |kth AS MATERIALIZED (
+       |  SELECT min(deg) + (max(deg) - min(deg)) // 6 AS kv
+       |  FROM (SELECT u, count(*) AS deg FROM es0 GROUP BY 1)),
+       |$rounds,
+       |d AS MATERIALIZED (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM es$KCorePeelRounds GROUP BY 1)
+       |SELECT u AS p_partkey, core_deg,
+       |       CAST(CASE WHEN coalesce((SELECT min(core_deg) FROM d),
+       |                               (SELECT kv FROM kth))
+       |                      >= (SELECT kv FROM kth)
+       |            THEN 1 ELSE 0 END AS INTEGER) AS converged
+       |FROM d""".stripMargin
+  }
 }
