@@ -536,7 +536,7 @@ object GraphOps {
     e.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
   }
 
-  /** Oracle: the peeling cascade unrolled [[KCoreOracleRounds]] times —
+  /** Oracle: the peeling cascade unrolled [[KCorePeelRounds]] times —
     * each round is the naive degree-filter + edge-restrict pair. */
   val kCoreSql: String = {
     // MATERIALIZED is load-bearing: each round references the previous
