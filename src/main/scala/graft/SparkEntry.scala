@@ -422,6 +422,25 @@ object SparkEntry {
     // per-class COUNT(DISTINCT); k-ok-but-l-bad ledger column.
     "q198_l_diversity"      -> ((s: SparkSession, dir: String) =>
       graft.analytics.PrivacyOps.lDiversityAudit(s, dir)),
+    // t-closeness audit: ppm-quantized ordinal EMD between each QI
+    // class's sensitive CDF and the global CDF on a dense band grid.
+    "q199_t_closeness"      -> ((s: SparkSession, dir: String) =>
+      graft.analytics.PrivacyOps.tClosenessAudit(s, dir)),
+    // Padding-waste batching audit: arrival-order vs length-bucketed
+    // loader strategies priced on the same corpus, waste in ppm.
+    "q200_padding_waste"    -> (T.paddingWaste _),
+    // TextRank keywords: weighted integer-mass PageRank over the
+    // token co-occurrence graph, K unrolled rounds, bit-exact.
+    "q201_textrank"         -> ((s: SparkSession, dir: String) =>
+      graft.text.TextRank.textRank(s, dir)),
+    // DP histogram release: two-sided geometric noise from an exact
+    // dyadic inverse-CDF ladder, seeded per cell — ε = ln 2.
+    "q202_dp_histogram"     -> ((s: SparkSession, dir: String) =>
+      graft.analytics.DpRelease.dpHistogram(s, dir)),
+    // q197 as a live ingest gate: streamed current-window histogram
+    // (bounded band state) + static reference; ledger ≡ batch form.
+    "q203_stream_drift"     -> ((s: SparkSession, dir: String) =>
+      graft.analytics.DriftOps.driftStream(s, dir)),
     // Streaming LOCF: per-user carry state repairs missingness at
     // ingest; per-user ledger equals the batch window form.
     "q194_stream_fill"      -> ((s: SparkSession, dir: String) =>
@@ -780,6 +799,12 @@ object SparkEntry {
     "q196_kcore"            -> G.kCoreSql,
     "q197_drift_monitor"    -> graft.analytics.DriftOps.driftMonitorSql,
     "q198_l_diversity"      -> graft.analytics.PrivacyOps.lDiversityAuditSql,
+    "q199_t_closeness"      -> graft.analytics.PrivacyOps.tClosenessAuditSql,
+    "q200_padding_waste"    -> T.paddingWasteSql,
+    "q201_textrank"         -> graft.text.TextRank.textRankSql,
+    "q202_dp_histogram"     -> graft.analytics.DpRelease.dpHistogramSql,
+    // the streaming twin must reproduce the batch drift ledger exactly
+    "q203_stream_drift"     -> graft.analytics.DriftOps.driftMonitorSql,
     "q194_stream_fill"      ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id,

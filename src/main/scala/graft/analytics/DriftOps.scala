@@ -62,6 +62,13 @@ object DriftOps {
     val hist = tagged.groupBy(col("event_type"), col("band"))
       .agg(sum(when(col("win") === 0L, 1L).otherwise(0L)).as("cnt_ref"),
            sum(when(col("win") === 1L, 1L).otherwise(0L)).as("cnt_cur"))
+    tvLedger(hist)
+  }
+
+  /** The per-type TV rollup over a (event_type, band, cnt_ref,
+    * cnt_cur) histogram — shared by the batch monitor and its
+    * streaming twin [[driftStream]]. */
+  def tvLedger(hist: DataFrame): DataFrame = {
     val totals = hist.groupBy(col("event_type"))
       .agg(sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
     hist.join(totals, "event_type")
@@ -74,6 +81,38 @@ object DriftOps {
              "- cnt_cur * 1000000 div greatest(n_cur, 1))) div 2").as("tv_ppm"))
       .withColumn("drifted",
         (col("tv_ppm") > DriftTvPpmThreshold).cast("int"))
+  }
+
+  /** q203: the drift monitor as a LIVE ingest gate — the current
+    * window is a Structured Streaming aggregate (the arriving batch),
+    * the reference histogram is static (the blessed corpus), and the
+    * ledger must hash-equal the q197 batch form. The stream side
+    * keeps only (event_type, band) count state — bounded by
+    * type-count × band-count, never event count — and the midpoint
+    * boundary is a 1-row batch pre-pass (bounded driver collect, the
+    * model-artifact pattern). After the AvailableNow drain the
+    * reference join and TV rollup run as plain batch plans. */
+  def driftStream(spark: SparkSession, dir: String): DataFrame = {
+    def proj(df: DataFrame): DataFrame = df.select(
+      col("event_type"),
+      unix_millis(col("ts")).as("ms"),
+      expr(s"cast(round(value * 100, 0) as bigint) div $BandCents").as("band"))
+    val evB = proj(Tables.events(spark, dir))
+    val mid = evB.agg(expr("(min(ms) + max(ms)) div 2")).collect()(0).getLong(0)
+    val cur = proj(graft.streaming.EventsStream.source(spark, dir))
+      .filter(col("ms") >= mid)
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("cnt_cur"))
+    val drained = graft.streaming.EventsStream.runAvailableNow(
+      spark, cur, "q203_stream_drift", outputMode = "complete")
+    val ref = evB.filter(col("ms") < mid)
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("cnt_ref"))
+    val hist = ref.join(drained, Seq("event_type", "band"), "full_outer")
+      .select(col("event_type"), col("band"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+    tvLedger(hist)
   }
 
   /** Oracle: two independent per-window histograms FULL-OUTER-joined —

@@ -115,6 +115,125 @@ object PrivacyOps {
           .otherwise(0L)).as("n_k_ok_l_bad"))
   }
 
+  /** t-closeness breach threshold in ppm (t = 0.25). */
+  val TClosePpm = 250000L
+
+  /** q199: t-closeness audit — the third rung of the release-gate
+    * ladder (Li, Li & Venkatasubramanian, "t-Closeness: Privacy Beyond
+    * k-Anonymity and l-Diversity", ICDE 2007). l-diversity counts
+    * distinct sensitive values but is blind to their DISTRIBUTION: a
+    * class can hold l distinct balance bands yet sit almost entirely in
+    * one of them, leaking the value probabilistically. t-closeness
+    * bounds, per QI class, the Earth Mover's Distance between the
+    * class's sensitive distribution and the GLOBAL one. For an ordinal
+    * sensitive attribute (balance band) over an m-value ladder the EMD
+    * has the closed form  (1/(m-1)) · Σ_{i<m} |CDF_class(i) − CDF_global(i)|.
+    *
+    * The statistic is defined in ppm-QUANTIZED form — each CDF is
+    * floored to ppm before the difference — so every step is BIGINT
+    * (the one product that could overflow at 100 TB row counts,
+    * cum·10⁶, widens through DECIMAL(38,0)/HUGEINT exactly as q192's
+    * PMI score does) and the result is bit-identical across engines,
+    * runs, and partitionings. QI = (nation, segment) — one
+    * generalization step FINER than q198's, so the three audits
+    * (k, l, t) grade the same release candidate from three angles.
+    *
+    * Scale shape: two map-side-combinable aggregates over the scan
+    * (global band histogram; per-(QI, band) counts), then all remaining
+    * work happens on the CLASS×BAND grid — |QI classes| · m rows,
+    * thousands at most, independent of corpus row count. The dense
+    * band ladder is broadcast so absent (class, band) cells still
+    * contribute their CDF gap, and the per-class window runs over
+    * m-row partitions in parallel across classes. The oracle builds
+    * the same grid from a cross join + left join and computes both
+    * CDFs with explicit window sums — a green hash certifies the
+    * quantized-EMD pipeline end to end. */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band")))
+
+  /** The audit over any (nation, segment, band) projection — split out
+    * so specs can plant distributions with known closed-form EMD. */
+  def tClosenessOf(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // global ordinal CDF in ppm over the dense band ladder
+    val glob = c.groupBy(col("band")).agg(count(lit(1)).as("g"))
+    val globTot = glob.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("m_bands"))
+    val globCdf = glob
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(globTot))
+      .select(col("band"), col("m_bands"),
+        expr("cast((cast(cum_g as decimal(38,0)) * 1000000) div n_total as bigint)")
+          .as("cdf_g_ppm"))
+    val classes = c.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n_class"))
+    val cells = c.groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("cc"))
+    // dense grid: every class × every global band (absent cells = 0)
+    val grid = classes.crossJoin(broadcast(globCdf))
+      .join(cells, Seq("nation", "segment", "band"), "left")
+      .withColumn("cc", coalesce(col("cc"), lit(0L)))
+      .withColumn("cum_c", sum(col("cc")).over(
+        Window.partitionBy(col("nation"), col("segment"))
+          .orderBy(col("band")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cdf_c_ppm",
+        expr("cast((cast(cum_c as decimal(38,0)) * 1000000) div n_class as bigint)"))
+    grid.groupBy(col("nation"), col("segment"), col("n_class"))
+      .agg(
+        expr(s"sum(abs(cdf_c_ppm - cdf_g_ppm)) div greatest(max(m_bands) - 1, 1)")
+          .as("t_ppm"))
+      .withColumn("breach",
+        when(col("t_ppm") > TClosePpm, 1L).otherwise(0L))
+  }
+
+  /** Oracle: the same quantized EMD from explicit window-sum CDFs on a
+    * cross-join grid; the cum·10⁶ product goes through HUGEINT, the
+    * exact 128-bit twin of the Spark side's DECIMAL(38,0). */
+  val tClosenessAuditSql: String =
+    s"""WITH q AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+       |  FROM customer),
+       |gh AS (SELECT band, count(*) AS g FROM q GROUP BY 1),
+       |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+       |               CAST(count(*) AS BIGINT) AS m_bands FROM gh),
+       |gcdf AS (
+       |  SELECT band, m_bands,
+       |         CAST((CAST(sum(g) OVER (ORDER BY band
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS HUGEINT) * 1000000) // n_total AS BIGINT) AS cdf_g_ppm
+       |  FROM gh CROSS JOIN tot),
+       |cls AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_class
+       |        FROM q GROUP BY 1, 2),
+       |cells AS (SELECT nation, segment, band, count(*) AS cc
+       |          FROM q GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT cls.nation, cls.segment, cls.n_class, gcdf.band,
+       |         gcdf.m_bands, gcdf.cdf_g_ppm,
+       |         coalesce(cells.cc, 0) AS cc
+       |  FROM cls CROSS JOIN gcdf
+       |  LEFT JOIN cells ON cells.nation = cls.nation
+       |              AND cells.segment = cls.segment
+       |              AND cells.band = gcdf.band),
+       |cdf AS (
+       |  SELECT nation, segment, n_class, m_bands, cdf_g_ppm,
+       |         CAST((CAST(sum(cc) OVER (PARTITION BY nation, segment
+       |                 ORDER BY band
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS HUGEINT) * 1000000) // n_class AS BIGINT) AS cdf_c_ppm
+       |  FROM grid)
+       |SELECT nation, segment, n_class,
+       |       CAST(sum(abs(cdf_c_ppm - cdf_g_ppm))
+       |            // greatest(max(m_bands) - 1, 1) AS BIGINT) AS t_ppm,
+       |       CAST(CASE WHEN sum(abs(cdf_c_ppm - cdf_g_ppm))
+       |                      // greatest(max(m_bands) - 1, 1) > $TClosePpm
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS breach
+       |FROM cdf GROUP BY 1, 2, 3""".stripMargin
+
   /** Oracle: per-class COUNT(DISTINCT segment) — the direct form of
     * the diversity the Spark side derives by two-level aggregation. */
   val lDiversityAuditSql: String =

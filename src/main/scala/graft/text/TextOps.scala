@@ -530,6 +530,100 @@ object TextOps {
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- padding-waste audit
+
+  /** Sequences per padded batch. */
+  val PadBatch = 32L
+  /** Parallel loader shards batching runs inside. */
+  val PadShards = 8L
+  /** Token width of one length bucket for the sorted strategy. */
+  val PadBucketW = 64L
+
+  /** q200: padding-waste batching audit — the efficiency twin of
+    * [[seqPacking]] for workloads that CANNOT concat-and-chunk
+    * (inference serving, SFT with per-example loss masks): sequences
+    * batch together and every sequence pads to its batch's max length,
+    * so wasted tokens = Σ_batch (max_len·n − Σ len). The audit prices
+    * two deterministic loader strategies on the same corpus:
+    * `arrival` batches docs in doc_id order within each of
+    * [[PadShards]] hash shards (what a naive parallel loader does);
+    * `sorted` first buckets by length ([[PadBucketW]]-token bands,
+    * still sharded) and batches within the bucket — the standard
+    * length-bucketed batching fix. One ledger row per strategy with
+    * batch count, real/padded/wasted token sums, and waste in ppm of
+    * the padded total; the delta between the two rows is exactly the
+    * token budget length-bucketing buys.
+    *
+    * All arithmetic is BIGINT on token counts (the ppm quotient widens
+    * through DECIMAL(38,0)/HUGEINT so a 100 TB token sum cannot
+    * overflow the product); batch assignment is a row_number window
+    * PARTITIONED by (shard) or (bucket, shard) — bounded per-partition
+    * work that parallelizes across shards, never a global sort. The
+    * oracle replays both strategies with explicit window functions. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame =
+    paddingWasteOf(Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.countWsTokens(col("text")).cast("long").as("n_tok")))
+
+  /** The audit over any (doc_id, n_tok) table — split out so specs can
+    * plant length profiles with hand-computable waste. */
+  def paddingWasteOf(docs0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0
+      .withColumn("shard", col("doc_id") % PadShards)
+      .withColumn("bucket", expr(s"n_tok div $PadBucketW"))
+    def ledger(strategy: String, parts: Seq[String],
+        ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy(parts.map(col): _*).orderBy(ord: _*)
+      val batches = docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("batch", expr(s"(rn - 1) div $PadBatch"))
+        .groupBy((parts :+ "batch").map(col): _*)
+        .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+          sum(col("n_tok")).as("tk"))
+      batches.agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("tk")).as("real_tokens"),
+          sum(col("mx") * col("n")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          (col("padded_tokens") - col("real_tokens")).as("waste_tokens"),
+          expr("cast((cast(padded_tokens - real_tokens as decimal(38,0)) * 1000000) div padded_tokens as bigint)")
+            .as("waste_ppm"))
+    }
+    ledger("arrival", Seq("shard"), Seq(col("doc_id")))
+      .unionAll(ledger("sorted", Seq("bucket", "shard"),
+        Seq(col("n_tok"), col("doc_id"))))
+  }
+
+  val paddingWasteSql: String = {
+    def ledger(strategy: String, parts: String, ord: String) =
+      s"""SELECT '$strategy' AS strategy,
+         |       CAST(count(*) AS BIGINT) AS n_batches,
+         |       CAST(sum(tk) AS BIGINT) AS real_tokens,
+         |       CAST(sum(mx * n) AS BIGINT) AS padded_tokens,
+         |       CAST(sum(mx * n) - sum(tk) AS BIGINT) AS waste_tokens,
+         |       CAST((CAST(sum(mx * n) - sum(tk) AS HUGEINT) * 1000000)
+         |            // sum(mx * n) AS BIGINT) AS waste_ppm
+         |FROM (
+         |  SELECT count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS tk
+         |  FROM (
+         |    SELECT $parts, n_tok,
+         |           (row_number() OVER (PARTITION BY $parts ORDER BY $ord) - 1)
+         |             // $PadBatch AS batch
+         |    FROM t)
+         |  GROUP BY $parts, batch)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+       |         doc_id % $PadShards AS shard,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) // $PadBucketW AS bucket
+       |  FROM documents)
+       |${ledger("arrival", "shard", "doc_id")}
+       |UNION ALL
+       |${ledger("sorted", "bucket, shard", "n_tok, doc_id")}""".stripMargin
+  }
+
   // -------------------------------------------------- data-mixture audit
 
   /** Per-(source, lang) corpus mixture table: doc count, token sum,

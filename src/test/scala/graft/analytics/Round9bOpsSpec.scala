@@ -1,0 +1,208 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.SparkTestSession
+import graft.tables.Tables
+
+/** q199–q202 pins the oracle gate cannot see: closed-form EMD on
+  * planted distributions, hand-computed padding ledgers, exact
+  * stationary mass on planted graphs, and the DP ladder's inverse-CDF
+  * boundaries + release invariants. */
+class Round9bOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.01"
+  import spark.implicits._
+
+  // ------------------------------------------------------------- q199
+
+  test("q199: concentrated classes against a uniform global hit the closed-form EMD") {
+    // 4 classes, class k holds 25 rows all in band k → global is
+    // uniform over 4 bands; quantized EMD is computable by hand
+    val rows = (0 until 4).flatMap(k =>
+      Seq.fill(25)((k.toLong, "S", k.toLong)))
+    val out = PrivacyOps.tClosenessOf(rows.toDF("nation", "segment", "band"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // class 0: Σ|CDF gaps| = 750000+500000+250000 → /3 = 500000
+    // class 1: 250000+500000+250000 → /3 = 333333 (floor div)
+    assert(out(0L) === (500000L, 1L))
+    assert(out(1L) === (333333L, 1L))
+    assert(out(2L) === (333333L, 1L))
+    assert(out(3L) === (500000L, 1L))
+  }
+
+  test("q199: a class matching the global distribution scores exactly zero") {
+    val rows = (0 until 2).flatMap(c => (0 until 4).flatMap(b =>
+      Seq.fill(10)((c.toLong, "S", b.toLong))))
+    val out = PrivacyOps.tClosenessOf(rows.toDF("nation", "segment", "band"))
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(3) === 0L, s"class ${r.getLong(0)} t_ppm")
+      assert(r.getLong(4) === 0L)
+    }
+  }
+
+  test("q199: sf audit stays in ppm range and breach agrees with the threshold") {
+    val rows = PrivacyOps.tClosenessAudit(spark, dir).collect()
+    assert(rows.length === 125, "25 nations × 5 segments")
+    rows.foreach { r =>
+      val t = r.getLong(3)
+      assert(t >= 0L && t <= 1000000L)
+      assert(r.getLong(4) === (if (t > PrivacyOps.TClosePpm) 1L else 0L))
+    }
+  }
+
+  // ------------------------------------------------------------- q200
+
+  test("q200: uniform lengths waste zero under both strategies") {
+    val docs = (0L until 64L).map(i => (i, 10L)).toDF("doc_id", "n_tok")
+    val out = graft.text.TextOps.paddingWasteOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("arrival") === (8L, 640L, 640L, 0L, 0L))
+    assert(out("sorted") === (8L, 640L, 640L, 0L, 0L))
+  }
+
+  test("q200: interleaved short/long docs — sorted batching erases the arrival waste") {
+    // 64 docs all in shard 0 (ids ≡ 0 mod 8), alternating 1- and
+    // 1000-token lengths in arrival order
+    val docs = (0L until 64L).map(i =>
+      (i * 8L, if (i % 2 == 0) 1L else 1000L)).toDF("doc_id", "n_tok")
+    val out = graft.text.TextOps.paddingWasteOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // arrival: 2 batches of 32 interleaved → both pad to 1000
+    assert(out("arrival") === (2L, 32032L, 64000L, 31968L))
+    // sorted: lengths 1 and 1000 land in different 64-token buckets →
+    // two homogeneous batches, zero padding
+    assert(out("sorted") === (2L, 32032L, 32032L, 0L))
+  }
+
+  test("q200: sf ledger equals an independent Scala replay of both strategies") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.countWsTokens(col("text")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val B = graft.text.TextOps.PadBatch.toInt
+    def replay(parts: ((Long, Long)) => (Long, Long),
+        ord: ((Long, Long)) => (Long, Long)): (Long, Long, Long) = {
+      val batches = docs.groupBy(parts).toSeq.flatMap { case (_, ds) =>
+        ds.sortBy(ord).grouped(B).toSeq
+      }
+      (batches.size.toLong,
+        batches.map(_.map(_._2).sum).sum,
+        batches.map(b => b.map(_._2).max * b.size.toLong).sum)
+    }
+    val W = graft.text.TextOps.PadBucketW
+    val S = graft.text.TextOps.PadShards
+    val arrival = replay(d => (d._1 % S, 0L), d => (d._1, 0L))
+    val sorted = replay(d => (d._2 / W, d._1 % S), d => (d._2, d._1))
+    val out = graft.text.TextOps.paddingWaste(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("arrival") === arrival)
+    assert(out("sorted") === sorted)
+    // and on this corpus, length-bucketing must actually help
+    val waste = graft.text.TextOps.paddingWaste(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(waste("sorted") < waste("arrival"),
+      "sorted strategy should waste strictly fewer tokens on the sf corpus")
+  }
+
+  // ------------------------------------------------------------- q201
+
+  test("q201: a symmetric pair is a fixpoint at exactly the initial mass") {
+    val e = Seq((1L.toString, 2L.toString, 10L), (2L.toString, 1L.toString, 10L))
+      .toDF("u", "v", "w").localCheckpoint(true)
+    // rankEdges emits (n, mass, s)
+    val out = graft.text.TextRank.rankEdges(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("1" -> (1000000L, 10L), "2" -> (1000000L, 10L)))
+  }
+
+  test("q201: star graph — hand-unrolled 3-round masses, hub first, leaves tie") {
+    val leaves = (1 to 4).map(_.toString)
+    val e = leaves.flatMap(l => Seq(("hub", l, 10L), (l, "hub", 10L)))
+      .toDF("u", "v", "w").localCheckpoint(true)
+    val out = graft.text.TextRank.rankEdges(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r1: hub 150000+85%·4e6 = 3550000; leaf 150000+85%·250000 = 362500
+    // r2: hub 1382500; leaf 904375
+    // r3: hub 150000+85%·(4·904375) = 3224875; leaf 150000+85%·345625 = 443781
+    assert(out("hub") === 3224875L)
+    leaves.foreach(l => assert(out(l) === 443781L, s"leaf $l"))
+  }
+
+  test("q201: sf keyword table is 20 rows, rank-ordered, mass above teleport base") {
+    val rows = graft.text.TextRank.textRank(spark, dir).collect()
+    assert(rows.length === graft.text.TextRank.TopK)
+    val masses = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(masses.zip(masses.tail).forall { case (a, b) => a >= b },
+      "mass must be non-increasing in rank")
+    assert(masses.head > graft.text.TextRank.InitMass,
+      "the top keyword must have attracted mass beyond its own start")
+  }
+
+  // ------------------------------------------------------------- q203
+
+  test("q203: streaming drift ledger row-for-row equals the batch monitor") {
+    val batch = DriftOps.driftMonitor(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    val stream = DriftOps.driftStream(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(stream === batch,
+      "the live ingest gate must reproduce the batch TV ledger exactly")
+  }
+
+  // ------------------------------------------------------------- q202
+
+  test("q202: inverse-CDF ladder hits its closed-form boundaries exactly") {
+    val B = DpRelease.GeomB
+    val D = DpRelease.GeomD
+    val probes = Seq(
+      0L -> -B.toLong,                        // first dyadic cell
+      (DpRelease.cum(-1) - 1) -> -1L,         // last u mapping to −1
+      DpRelease.cum(-1) -> 0L,                // first u mapping to 0
+      (DpRelease.cum(0) - 1) -> 0L,           // last u mapping to 0
+      DpRelease.cum(0) -> 1L,                 // first u mapping to +1
+      (D - 1) -> B.toLong)                    // top of the ladder
+    val got = probes.map(_._1).toDF("u")
+      .withColumn("noise", expr(DpRelease.ladderSql("u")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { case (u, want) =>
+      assert(got(u) === want, s"ladder($u)")
+    }
+  }
+
+  test("q202: ladder mass per noise value is the dyadic geometric profile") {
+    // P(0) = 2^B/D, P(±k) = 2^(B−k)/D: check by differencing cum
+    val B = DpRelease.GeomB
+    assert(DpRelease.cum(0) - DpRelease.cum(-1) === (1L << B))
+    (1 to B).foreach { k =>
+      assert(DpRelease.cum(k) - DpRelease.cum(k - 1) === (1L << (B - k)), s"+$k")
+      assert(DpRelease.cum(-k) - (if (k == B) 0L else DpRelease.cum(-k - 1))
+        === (1L << (B - k)), s"−$k")
+    }
+    assert(DpRelease.cum(B) === DpRelease.GeomD, "ladder exhausts the draw range")
+  }
+
+  test("q202: release is deterministic, bounded, and mostly low-noise") {
+    val rel = DpRelease.dpHistogram(spark, dir)
+    val a = rel.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = DpRelease.dpHistogram(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a === b, "seeded noise must be idempotent across runs")
+    val truth = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a.keySet === truth.keySet)
+    val noises = a.map { case (k, v) => v - truth(k) }
+    noises.foreach(n => assert(math.abs(n) <= DpRelease.GeomB, s"noise $n"))
+    a.values.foreach(v => assert(v >= 0L))
+    // P(|noise| ≤ 2) ≈ 5/6 — across 125 cells, well over half is sure
+    assert(noises.count(n => math.abs(n) <= 2) * 2 > noises.size,
+      "the geometric profile concentrates near zero")
+  }
+}
