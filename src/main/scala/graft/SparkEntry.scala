@@ -441,6 +441,14 @@ object SparkEntry {
     // (bounded band state) + static reference; ledger ≡ batch form.
     "q203_stream_drift"     -> ((s: SparkSession, dir: String) =>
       graft.analytics.DriftOps.driftStream(s, dir)),
+    // Isotonic (PAVA) calibration of the quality score per source:
+    // exact scaled-floor means, oracle is the minimax closed form.
+    "q204_isotonic"         -> ((s: SparkSession, dir: String) =>
+      graft.text.IsotonicOps.isotonicCalibration(s, dir)),
+    // Greedy k-center coreset selection: K farthest-point rounds,
+    // integer-exact quantized distances, per-round coverage radius.
+    "q205_kcenter"          -> ((s: SparkSession, dir: String) =>
+      graft.vector.CoresetOps.kCenter(s, dir)),
     // Streaming LOCF: per-user carry state repairs missingness at
     // ingest; per-user ledger equals the batch window form.
     "q194_stream_fill"      -> ((s: SparkSession, dir: String) =>
@@ -805,6 +813,8 @@ object SparkEntry {
     "q202_dp_histogram"     -> graft.analytics.DpRelease.dpHistogramSql,
     // the streaming twin must reproduce the batch drift ledger exactly
     "q203_stream_drift"     -> graft.analytics.DriftOps.driftMonitorSql,
+    "q204_isotonic"         -> graft.text.IsotonicOps.isotonicCalibrationSql,
+    "q205_kcenter"          -> graft.vector.CoresetOps.kCenterSql,
     "q194_stream_fill"      ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id,

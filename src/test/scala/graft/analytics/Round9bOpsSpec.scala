@@ -143,6 +143,78 @@ class Round9bOpsSpec extends AnyFunSuite {
       "the top keyword must have attracted mass beyond its own start")
   }
 
+  // ------------------------------------------------------------- q205
+
+  test("q205: collinear powers of two select farthest-first with exact radii") {
+    // 8 points on a line at 0,1,2,4,8,16,32,64 (quant units, dim 64
+    // with only component 0 set): Gonzalez picks them in strictly
+    // halving-radius order, and sel_dist2(r) = radius_after(r−1)
+    val xs = Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L)
+    val vecs = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x.toDouble +: Seq.fill(63)(0.0))
+    }.toDF("vec_id", "q")
+    val out = graft.vector.CoresetOps.kCenterOf(spark, vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 4096L), (2L, 7L, 4096L, 1024L), (3L, 6L, 1024L, 256L),
+      (4L, 5L, 256L, 64L), (5L, 4L, 64L, 16L), (6L, 3L, 16L, 4L),
+      (7L, 2L, 4L, 1L), (8L, 1L, 1L, 0L)))
+  }
+
+  test("q205: sf ledger — distinct centers, non-increasing radii, chained selection") {
+    val rows = graft.vector.CoresetOps.kCenter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length === graft.vector.CoresetOps.KCenters)
+    assert(rows.map(_._2).distinct.length === rows.length, "centers distinct")
+    val radii = rows.map(_._4)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "coverage radius must be non-increasing")
+    // Gonzalez invariant: each pick's distance IS the previous radius
+    rows.sliding(2).foreach { case Array(prev, curN) =>
+      assert(curN._3 === prev._4,
+        s"round ${curN._1}: sel_dist2 must equal the prior coverage radius")
+    }
+  }
+
+  // ------------------------------------------------------------- q204
+
+  test("q204: PAVA leaves monotone means untouched") {
+    val fits = graft.text.IsotonicOps.pava(Array((2L, 0L), (2L, 1L), (2L, 2L)))
+    assert(fits.toSeq === Seq(0L, 500000L, 1000000L))
+  }
+
+  test("q204: PAVA pools violators to the exact rational mean") {
+    assert(graft.text.IsotonicOps.pava(Array((1L, 1L), (1L, 0L))).toSeq
+      === Seq(500000L, 500000L))
+    // [1, 0, 0, 1]: the first three pool to 1/3, the final 1 stands
+    assert(graft.text.IsotonicOps.pava(
+      Array((1L, 1L), (1L, 0L), (1L, 0L), (1L, 1L))).toSeq
+      === Seq(333333L, 333333L, 333333L, 1000000L))
+  }
+
+  test("q204: sf calibration curves are monotone and conserve the joined corpus") {
+    val out = graft.text.IsotonicOps.isotonicCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val byBin = rows.sortBy(_._2)
+      val fits = byBin.map(_._5)
+      assert(fits.zip(fits.tail).forall { case (a, b) => a <= b },
+        s"$src: isotonic fit must be nondecreasing in score bin")
+      byBin.foreach { case (_, _, n, s, f) =>
+        assert(s >= 0L && s <= n, "pool sums stay within cell counts")
+        assert(f >= 0L && f <= 1000000L)
+      }
+    }
+    // every doc that survives both feature joins lands in exactly one cell
+    val joined = graft.text.TextOps.qualityScore(spark, dir).select("doc_id")
+      .join(graft.text.TextOps.repetitionScore(spark, dir).select("doc_id"), "doc_id")
+      .count()
+    assert(out.map(_._3).sum === joined)
+  }
+
   // ------------------------------------------------------------- q203
 
   test("q203: streaming drift ledger row-for-row equals the batch monitor") {
