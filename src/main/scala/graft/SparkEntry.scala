@@ -449,6 +449,12 @@ object SparkEntry {
     // integer-exact quantized distances, per-round coverage radius.
     "q205_kcenter"          -> ((s: SparkSession, dir: String) =>
       graft.vector.CoresetOps.kCenter(s, dir)),
+    // First-order Markov next-event predictor: trained on the first
+    // 80% of the time span, scored on the held-out 20%, exact ppm.
+    "q206_markov_eval"      -> (E.markovEval _),
+    // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
+    // rational precision terms cleared by lcm(1..10) — no floats.
+    "q207_map_eval"         -> (V.mapEval _),
     // Streaming LOCF: per-user carry state repairs missingness at
     // ingest; per-user ledger equals the batch window form.
     "q194_stream_fill"      -> ((s: SparkSession, dir: String) =>
@@ -815,6 +821,8 @@ object SparkEntry {
     "q203_stream_drift"     -> graft.analytics.DriftOps.driftMonitorSql,
     "q204_isotonic"         -> graft.text.IsotonicOps.isotonicCalibrationSql,
     "q205_kcenter"          -> graft.vector.CoresetOps.kCenterSql,
+    "q206_markov_eval"      -> E.markovEvalSql,
+    "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id,

@@ -1061,6 +1061,94 @@ object EventOps {
       |SELECT from_type, to_type, n, (n * 10000) // total AS share_bp
       |FROM counts CROSS JOIN tot""".stripMargin
 
+  /** q206: next-event Markov predictor with temporal holdout — q119's
+    * transition matrix promoted to a TRAINED-AND-EVALUATED model (the
+    * q146/q149 discipline applied to sequence prediction): transitions
+    * whose source event falls in the first 80 % of the observed time
+    * span train a first-order Markov predictor (per from_type, the
+    * most frequent next type, ties broken lexicographically), and the
+    * last 20 % is the held-out test window the ledger scores —
+    * per-from_type hit counts and exact accuracy in ppm. The split
+    * boundary is scale-free (min + 8·span div 10 from a broadcast
+    * 1-row aggregate, the q197 midpoint pattern) and time-based, so
+    * the eval answers the deployment question: does yesterday's
+    * transition structure predict tomorrow?
+    *
+    * Scale shape: one window pass per user (the q119 shuffle), one
+    * map-side-combinable count aggregate on the 5×5 type key space,
+    * a broadcast model join, and a tiny rollup — nothing grows with
+    * event count except the two scans. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame =
+    markovEvalOf(Tables.events(spark, dir))
+
+  /** The train/eval pipeline over any (user_id, ts, event_id,
+    * event_type) table — split out so specs can plant sequences with a
+    * hand-computable model and score. */
+  def markovEvalOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("from_us", lag(col("us"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"), col("from_us"))
+    val bound = pairs.agg(
+      expr("min(from_us) + ((max(from_us) - min(from_us)) * 8) div 10").as("cut"))
+    val tagged = pairs.crossJoin(broadcast(bound))
+      .withColumn("is_train", col("from_us") < col("cut"))
+    val trainCounts = tagged.filter(col("is_train"))
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val model = trainCounts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("from_type")).orderBy(desc("n"), col("to_type"))))
+      .filter(col("rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    val trainN = trainCounts.groupBy(col("from_type")).agg(sum(col("n")).as("n_train"))
+    tagged.filter(!col("is_train"))
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy(col("from_type"), coalesce(col("predicted"), lit("(none)")).as("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L)).as("hits"))
+      .join(broadcast(trainN), Seq("from_type"), "left")
+      .select(col("from_type"), col("predicted"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        col("n_test"), col("hits"),
+        expr("(hits * 1000000) div greatest(n_test, 1)").as("acc_ppm"))
+  }
+
+  val markovEvalSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER w AS from_type,
+      |         event_type AS to_type,
+      |         lag(epoch_us(ts)) OVER w AS from_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT * FROM pairs WHERE from_type IS NOT NULL),
+      |b AS (SELECT min(from_us) + ((max(from_us) - min(from_us)) * 8) // 10 AS cut
+      |      FROM p),
+      |tagged AS (SELECT p.*, p.from_us < b.cut AS is_train FROM p CROSS JOIN b),
+      |tc AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM tagged WHERE is_train GROUP BY 1, 2),
+      |model AS (
+      |  SELECT from_type, to_type AS predicted FROM (
+      |    SELECT from_type, to_type,
+      |           row_number() OVER (PARTITION BY from_type
+      |             ORDER BY n DESC, to_type) AS rk
+      |    FROM tc) WHERE rk = 1),
+      |tn AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_train FROM tc GROUP BY 1),
+      |ev AS (
+      |  SELECT t.from_type, coalesce(m.predicted, '(none)') AS predicted,
+      |         CAST(count(*) AS BIGINT) AS n_test,
+      |         CAST(sum(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS hits
+      |  FROM tagged t LEFT JOIN model m ON m.from_type = t.from_type
+      |  WHERE NOT t.is_train GROUP BY 1, 2)
+      |SELECT ev.from_type, ev.predicted,
+      |       coalesce(tn.n_train, 0) AS n_train, ev.n_test, ev.hits,
+      |       (ev.hits * 1000000) // greatest(ev.n_test, 1) AS acc_ppm
+      |FROM ev LEFT JOIN tn ON tn.from_type = ev.from_type""".stripMargin
+
   val gapfillHourlySql: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n

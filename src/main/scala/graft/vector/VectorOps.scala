@@ -930,6 +930,104 @@ object VectorOps {
        |  FROM rer)
        |WHERE rank <= $KLsh""".stripMargin
 
+  // ------------------------------------------------ MAP retrieval eval
+
+  /** Depth of both the relevant set and the scored ranking. */
+  val KMap = 10
+  /** LCM(1..10): P@i denominators clear exactly. */
+  val APScale = 2520L
+
+  /** q207: exact mean-average-precision eval of a sketch ranking —
+    * the retrieval-quality LEDGER beside the recall floors the spec
+    * suite pins: ground truth is the exact cosine top-[[KMap]] per
+    * probe, the system under test is the RAW random-projection
+    * ordering (q84's integer rp_sim WITHOUT its exact re-rank — the
+    * honest sketch, so the score is informative), and the metric is
+    * AP@10, chosen over nDCG because its precision terms are RATIONAL:
+    * AP·R·[[APScale]] = Σᵢ hitᵢ·hits@i·(2520/i) is an exact integer
+    * (2520 = lcm 1..10), so the eval is bit-identical across engines —
+    * no logarithmic discount, no float accumulation. Emitted per
+    * probe: relevant-found count, the integer AP numerator, and AP in
+    * ppm; the corpus MAP is the spec-side mean.
+    *
+    * Scale shape: one broadcast probe join (the q24 brute pass — the
+    * ground-truth cost any retrieval eval pays), two bounded top-k
+    * windows per probe, one cumulative-sum window over ≤ [[KMap]]
+    * rows per probe. */
+  def mapEval(spark: SparkSession, dir: String): DataFrame = {
+    val projected = vecs(spark, dir).withColumn("p", rpProjCol)
+    val q = broadcast(projected.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("p").as("qp")))
+    val pairs = q.join(projected.select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("p")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .withColumn("rp_sim", dot(col("qp"), col("p")).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rp_sim"))
+    val rel = pairs.withColumn("rrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos_sim"), col("neighbor_id"))))
+      .filter(col("rrank") <= KMap)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_rel"))
+    val ret = pairs.withColumn("i", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("rp_sim"), col("neighbor_id"))).cast("long"))
+      .filter(col("i") <= KMap)
+      .select(col("query_id"), col("neighbor_id"), col("i"))
+    ret.join(rel, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("is_rel"), lit(0L)))
+      .withColumn("hits_at", sum(col("hit")).over(
+        Window.partitionBy(col("query_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("hit")).as("n_rel_found"),
+        sum(col("hit") * col("hits_at") * expr(s"$APScale div i")).as("ap_u"))
+      .withColumn("ap_ppm",
+        expr(s"(ap_u * 1000000) div ${APScale * KMap}"))
+  }
+
+  val mapEvalSql: String =
+    s"""WITH $vecsSql,
+       |mat AS (SELECT $rpMatSqlLit AS m),
+       |proj AS (
+       |  SELECT vec_id, v, nrm,
+       |         list_transform((SELECT m FROM mat),
+       |           r -> list_dot_product(list_transform(v, x -> floor(x * $RpQ + 0.5)), r)) AS p
+       |  FROM vecs),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim,
+       |         CAST(list_dot_product(q.p, e.p) AS BIGINT) AS rp_sim
+       |  FROM proj q JOIN proj e
+       |    ON q.vec_id < $QueryMax AND q.vec_id != e.vec_id),
+       |rel AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS rr
+       |  FROM pairs) WHERE rr <= $KMap),
+       |ret AS (SELECT query_id, neighbor_id, CAST(i AS BIGINT) AS i FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rp_sim DESC, neighbor_id) AS i
+       |  FROM pairs) WHERE i <= $KMap),
+       |sc AS (
+       |  SELECT r.query_id, r.i,
+       |         CASE WHEN rel.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM ret r LEFT JOIN rel ON rel.query_id = r.query_id
+       |                          AND rel.neighbor_id = r.neighbor_id),
+       |c AS (SELECT query_id, i, hit,
+       |             sum(hit) OVER (PARTITION BY query_id ORDER BY i
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits_at
+       |      FROM sc)
+       |SELECT query_id,
+       |       CAST(sum(hit) AS BIGINT) AS n_rel_found,
+       |       CAST(sum(hit * hits_at * ($APScale // i)) AS BIGINT) AS ap_u,
+       |       CAST(sum(hit * hits_at * ($APScale // i)) * 1000000
+       |            // ${APScale * KMap} AS BIGINT) AS ap_ppm
+       |FROM c GROUP BY 1""".stripMargin
+
   // -------------------------------------------- Matryoshka prefix-dim kNN
 
   /** Leading dims used as the truncated (Matryoshka) representation. */

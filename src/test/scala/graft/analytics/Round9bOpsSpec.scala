@@ -143,6 +143,97 @@ class Round9bOpsSpec extends AnyFunSuite {
       "the top keyword must have attracted mass beyond its own start")
   }
 
+  // ------------------------------------------------------------- q207
+
+  test("q207: integer AP numerator equals the exact rational AP for every hit pattern") {
+    // all 2^10 hit patterns: Σ hitᵢ·hits@i·(2520/i) over 2520·10 must
+    // equal AP computed in exact rational arithmetic
+    val K = graft.vector.VectorOps.KMap
+    val S = graft.vector.VectorOps.APScale
+    (0 until (1 << K)).foreach { pat =>
+      val hits = (1 to K).map(i => (pat >> (i - 1)) & 1)
+      var cum = 0L
+      var apU = 0L
+      var num = BigInt(0); var den = BigInt(1) // exact Σ hits@i/i
+      (1 to K).foreach { i =>
+        cum += hits(i - 1)
+        if (hits(i - 1) == 1) {
+          apU += cum * (S / i)
+          num = num * i + den * cum; den = den * i
+          val g = num.gcd(den); if (g > 1) { num /= g; den /= g }
+        }
+      }
+      assert(BigInt(apU) * den === num * S,
+        s"pattern $pat: integer AP ≠ rational AP")
+    }
+  }
+
+  test("q207: sf MAP ledger — bounded, self-consistent, and informative") {
+    val rows = graft.vector.VectorOps.mapEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === graft.vector.VectorOps.QueryMax)
+    val full = graft.vector.VectorOps.APScale * graft.vector.VectorOps.KMap
+    rows.foreach { case (q, nRel, apU, apPpm) =>
+      assert(nRel >= 0L && nRel <= graft.vector.VectorOps.KMap)
+      assert(apU >= 0L && apU <= full, s"q$q ap_u $apU")
+      assert(apPpm === apU * 1000000L / full, s"q$q ppm consistency")
+      // AP can't exceed what a perfect ordering of the found set gives
+      assert(apU <= nRel * graft.vector.VectorOps.APScale)
+    }
+    val map = rows.map(_._4).sum / rows.length
+    assert(map > 0L, "the RP sketch must retrieve something")
+    info(s"RP-sketch MAP@10 = $map ppm over ${rows.length} probes")
+  }
+
+  // ------------------------------------------------------------- q206
+
+  test("q206: planted sequence — hand-computed model, split, and scores") {
+    // one user, types A B A B A B A C A B A at seconds 0..10: the 80%
+    // cut over transition-source times [0s, 9s] lands at 7.2s, so
+    // transitions 0..7 train (A→B ×3, B→A ×3, A→C, C→A) and 8..9 test
+    val types = Seq("A", "B", "A", "B", "A", "B", "A", "C", "A", "B", "A")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong * 1000000L, i.toLong, t)
+    }.toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = EventOps.markovEvalOf(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out === Map(
+      "A" -> (("B", 4L, 1L, 1L, 1000000L)),
+      "B" -> (("A", 3L, 1L, 1L, 1000000L))))
+  }
+
+  test("q206: sf ledger equals an independent Scala replay of train and eval") {
+    val raw = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = raw.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4, a._2)
+      }
+    }.toSeq
+    val cut = pairs.map(_._3).min +
+      (pairs.map(_._3).max - pairs.map(_._3).min) * 8 / 10
+    val (train, test) = pairs.partition(_._3 < cut)
+    val model = train.groupBy(p => (p._1, p._2)).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1).map { case (f, cs) =>
+        f -> cs.sortBy { case ((_, t), n) => (-n, t) }.head._1._2
+      }
+    val expect = test.groupBy(_._1).map { case (f, ts) =>
+      val hits = ts.count(t => model.get(f).contains(t._2))
+      f -> (model.getOrElse(f, "(none)"),
+        train.count(_._1 == f).toLong, ts.size.toLong, hits.toLong,
+        hits.toLong * 1000000L / math.max(ts.size.toLong, 1L))
+    }
+    val got = EventOps.markovEval(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------- q205
 
   test("q205: collinear powers of two select farthest-first with exact radii") {
