@@ -452,6 +452,10 @@ object SparkEntry {
     // First-order Markov next-event predictor: trained on the first
     // 80% of the time span, scored on the held-out 20%, exact ppm.
     "q206_markov_eval"      -> (E.markovEval _),
+    // Label-propagation communities: K synchronous majority-vote
+    // rounds (tie -> min label), deterministic, bit-exact vs the
+    // unrolled-CTE oracle; the density complement to q134's CC.
+    "q208_label_prop"       -> (G.labelProp _),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -822,6 +826,7 @@ object SparkEntry {
     "q204_isotonic"         -> graft.text.IsotonicOps.isotonicCalibrationSql,
     "q205_kcenter"          -> graft.vector.CoresetOps.kCenterSql,
     "q206_markov_eval"      -> E.markovEvalSql,
+    "q208_label_prop"       -> G.labelPropSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

@@ -567,4 +567,92 @@ object GraphOps {
        |            THEN 1 ELSE 0 END AS INTEGER) AS converged
        |FROM d""".stripMargin
   }
+
+  /** Synchronous LPA rounds — fixed so the oracle is a statically
+    * unrolled CTE chain (same contract as [[PageRankIters]]). */
+  val LabelPropRounds = 4
+
+  /** q208: label-propagation community detection (Raghavan et al.,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", 2007) over the support-≥2 co-purchase
+    * graph — the community complement to q134's connectivity: CC says
+    * "reachable", LPA says "densely together", which is what a
+    * catalog-curation or co-purchase-merchandising stage actually
+    * wants. Every node starts as its own label; each synchronous round
+    * it adopts the MAJORITY label among its neighbors (tie → smallest
+    * label id, so the update is a pure deterministic function of the
+    * previous round — no RNG, no visit order, bit-identical across
+    * engines). Isolated catalog parts keep their own label (singleton
+    * communities).
+    *
+    * Scale shape: a round is ONE equi-join of the fixed-width label
+    * table against the edge list keyed on node id, a map-side-
+    * combinable (node, label) count, and a per-node top-1 window —
+    * exactly q124's per-round cost plus a ranking pass; labels are
+    * single longs, so nothing wider than (id, id, count) ever
+    * shuffles, and the hub node's update reads its neighbors' labels
+    * (bounded fanout per edge), never materializing an adjacency
+    * list. Reference framing: the co-purchase mining family of
+    * dataflow_transform.py's grouped aggregates (SURVEY §2). */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = materialize(edges(spark, dir, minSupport = 2))
+    val e = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+    // fresh scan per reference (attribute-id collision, see pageRank)
+    def nodes: DataFrame = Tables.part(spark, dir).select(col("p_partkey").as("n"))
+    val fin = labelPropRounds(nodes _, e, LabelPropRounds)
+    val sizes = fin.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    fin.join(sizes, "lab")
+      .select(col("n").as("p_partkey"), col("lab").as("community"),
+        col("comm_size"))
+  }
+
+  /** The synchronous LPA fold on an explicit symmetric (u, v) edge
+    * list and a `n`-column node catalog (`nodes` is a thunk: each
+    * round needs a FRESH plan to avoid self-join attribute
+    * collisions). Exposed for fixture-graph specs. */
+  def labelPropRounds(nodes: () => DataFrame, e: DataFrame,
+                      rounds: Int): DataFrame = {
+    val be = maybeBroadcast(e)
+    val lab0 = nodes().select(col("n"), col("n").as("lab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(desc("c"), col("lab"))
+    (1 to rounds).foldLeft(lab0) { (lab, _) =>
+      val vote = lab.join(be, lab("n") === be("v"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("vn"), col("lab").as("vlab"))
+      val nr = nodes()
+      nr.join(vote, nr("n") === vote("vn"), "left")
+        .select(nr("n"), coalesce(col("vlab"), nr("n")).as("lab"))
+    }
+  }
+
+  /** Oracle: the synchronous majority-vote rounds unrolled. */
+  val labelPropSql: String = {
+    val rounds = (1 to LabelPropRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT nodes.n, coalesce(b.vlab, nodes.n) AS lab
+         |  FROM nodes LEFT JOIN (
+         |    SELECT u AS n, lab AS vlab FROM (
+         |      SELECT u, lab, row_number() OVER (
+         |               PARTITION BY u ORDER BY c DESC, lab) AS rn
+         |      FROM (SELECT e.u, l.lab, count(*) AS c
+         |            FROM e JOIN l${r - 1} l ON l.n = e.v
+         |            GROUP BY 1, 2))
+         |    WHERE rn = 1
+         |  ) b ON nodes.n = b.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(2)},
+       |e AS MATERIALIZED (
+       |  SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
+       |nodes AS MATERIALIZED (SELECT p_partkey AS n FROM part),
+       |l0 AS (SELECT n, n AS lab FROM nodes),
+       |$rounds,
+       |sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
+       |          FROM l$LabelPropRounds GROUP BY 1)
+       |SELECT f.n AS p_partkey, f.lab AS community, s.comm_size
+       |FROM l$LabelPropRounds f JOIN sizes s ON f.lab = s.lab""".stripMargin
+  }
 }
