@@ -456,6 +456,10 @@ object SparkEntry {
     // rounds (tie -> min label), deterministic, bit-exact vs the
     // unrolled-CTE oracle; the density complement to q134's CC.
     "q208_label_prop"       -> (G.labelProp _),
+    // BM25-shaped lexical retrieval: integer-exact Okapi saturation +
+    // monotone rational idf, per-query top-10 through GroupedTopK.
+    "q209_bm25"             -> ((s: SparkSession, dir: String) =>
+      graft.text.SearchOps.bm25Retrieval(s, dir)),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -827,6 +831,7 @@ object SparkEntry {
     "q205_kcenter"          -> graft.vector.CoresetOps.kCenterSql,
     "q206_markov_eval"      -> E.markovEvalSql,
     "q208_label_prop"       -> G.labelPropSql,
+    "q209_bm25"             -> graft.text.SearchOps.bm25RetrievalSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (
