@@ -460,6 +460,9 @@ object SparkEntry {
     // monotone rational idf, per-query top-10 through GroupedTopK.
     "q209_bm25"             -> ((s: SparkSession, dir: String) =>
       graft.text.SearchOps.bm25Retrieval(s, dir)),
+    // chi-square discriminative terms per source: exact 2x2 presence
+    // contingency through DECIMAL(38,0), top-5 vocabulary drift ledger.
+    "q210_chi2_terms"       -> (T.chi2Terms _),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -832,6 +835,7 @@ object SparkEntry {
     "q206_markov_eval"      -> E.markovEvalSql,
     "q208_label_prop"       -> G.labelPropSql,
     "q209_bm25"             -> graft.text.SearchOps.bm25RetrievalSql,
+    "q210_chi2_terms"       -> T.chi2TermsSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

@@ -360,6 +360,99 @@ object TextOps {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ------------------------------------- chi-square term-source association
+
+  /** q210: χ² discriminative-term selection per source — the classic
+    * feature-selection statistic (Yang & Pedersen, "A comparative
+    * study on feature selection in text categorization", ICML'97):
+    * for each (source, term), the 2×2 document-presence contingency
+    *   a = docs in source with term      b = docs elsewhere with term
+    *   c = docs in source without term   d = docs elsewhere without
+    * scores χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), kept
+    * integer-exact as chi2_u = (N·(ad−bc)²·10⁶) div margins — the
+    * (ad−bc)² product crosses 2⁶³ at ~50k docs, so the numerator is
+    * widened through DECIMAL(38,0)/HUGEINT. The widened form is exact
+    * to N ≈ 4·10⁶ docs (N⁵·10⁶/16 hits DECIMAL(38) there) — ample
+    * for a per-snapshot audit scope; past it Spark's ANSI decimal
+    * overflow FAILS LOUD rather than corrupting, and the documented
+    * 100 TB path audits per time-slice/stratum (or drops to float χ²,
+    * surrendering the cross-engine hash contract, not correctness —
+    * χ² ordering tolerates float). A term present in EVERY document
+    * zeroes
+    * both (ad−bc) and a margin — div greatest(margins, 1) defines
+    * that 0/0 as 0 in both engines.
+    *
+    * Scale shape: presence postings (doc, term) shuffle once to
+    * (source, term) counts; df and per-source doc counts are
+    * broadcast-sized side aggregates; the ranking is one per-source
+    * window over the vocab-sized score table. What it's for: the
+    * per-source vocabulary drift ledger a mixture audit (q77) reads
+    * to EXPLAIN a drift flag (q197) — which terms make this source
+    * different. */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame =
+    chi2TermsOf(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The χ² ladder on an explicit (source, doc_id, text) frame —
+    * exposed for planted-contingency specs. */
+  def chi2TermsOf(docs: DataFrame): DataFrame = {
+    val pres = docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(tokensCol(col("text")))).as("term"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val a = pres.groupBy(col("source"), col("term")).agg(count(lit(1)).as("a"))
+    val dft = pres.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nsrc = docs
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nAll = docs.agg(count(lit(1)).as("nn"))
+    val scored = a.join(dft, "term").join(broadcast(nsrc), "source")
+      .crossJoin(broadcast(nAll))
+      .withColumn("chi2_u", expr(
+        """cast((cast(nn as decimal(38,0))
+          |        * (cast(a as decimal(38,0)) * (nn - df - n_src + a)
+          |           - cast(df - a as decimal(38,0)) * (n_src - a))
+          |        * (cast(a as decimal(38,0)) * (nn - df - n_src + a)
+          |           - cast(df - a as decimal(38,0)) * (n_src - a))
+          |        * 1000000)
+          |  div greatest(cast(df as decimal(38,0)) * (nn - df)
+          |                 * n_src * (nn - n_src), 1)
+          |  as bigint)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("chi2_u"), col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("term"), col("a").as("df_in"),
+        col("df"), col("chi2_u"), col("rank"))
+  }
+
+  val chi2TermsSql: String = {
+    val t = tokensSql("text")
+    s"""WITH pres AS (
+       |  SELECT source, doc_id, unnest(list_distinct($t)) AS term
+       |  FROM documents),
+       |a AS (SELECT source, term, count(*) AS a FROM pres GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY 1),
+       |nsrc AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+       |nall AS (SELECT count(*) AS nn FROM documents),
+       |scored AS (
+       |  SELECT a.source, a.term, a.a, f.df,
+       |         CAST((CAST(c.nn AS HUGEINT)
+       |                 * (CAST(a.a AS HUGEINT) * (c.nn - f.df - s.n_src + a.a)
+       |                    - CAST(f.df - a.a AS HUGEINT) * (s.n_src - a.a))
+       |                 * (CAST(a.a AS HUGEINT) * (c.nn - f.df - s.n_src + a.a)
+       |                    - CAST(f.df - a.a AS HUGEINT) * (s.n_src - a.a))
+       |                 * 1000000)
+       |           // greatest(CAST(f.df AS HUGEINT) * (c.nn - f.df)
+       |                        * s.n_src * (c.nn - s.n_src), 1)
+       |           AS BIGINT) AS chi2_u
+       |  FROM a JOIN dft f ON a.term = f.term
+       |  JOIN nsrc s ON a.source = s.source CROSS JOIN nall c)
+       |SELECT source, term, a AS df_in, df, chi2_u, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |              ORDER BY chi2_u DESC, term) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // ------------------------------------------------- array-function surface
 
   /** Array/collection-function surface over the token arrays:
