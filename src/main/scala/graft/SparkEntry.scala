@@ -463,6 +463,10 @@ object SparkEntry {
     // chi-square discriminative terms per source: exact 2x2 presence
     // contingency through DECIMAL(38,0), top-5 vocabulary drift ledger.
     "q210_chi2_terms"       -> (T.chi2Terms _),
+    // Power-iteration dominant eigendirection of the embedding
+    // second-moment matrix: one 256-cell Gram pass + 6 exact integer
+    // renormalized rounds; Rayleigh quotient emitted beside.
+    "q211_power_iteration"  -> (V.powerIteration _),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -836,6 +840,7 @@ object SparkEntry {
     "q208_label_prop"       -> G.labelPropSql,
     "q209_bm25"             -> graft.text.SearchOps.bm25RetrievalSql,
     "q210_chi2_terms"       -> T.chi2TermsSql,
+    "q211_power_iteration"  -> V.powerIterationSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

@@ -1281,4 +1281,109 @@ object VectorOps {
        |LEFT JOIN best ON best.vec_id = s.vec_id
        |LEFT JOIN pairs p ON p.id2 = s.vec_id AND p.id1 = best.dup_of""".stripMargin
   }
+
+  // ------------------------------------------- power-iteration spectrum
+
+  /** Power-iteration geometry — cross-engine contract. The direction
+    * lives in the leading [[PiDim]] coordinates (the Matryoshka prefix
+    * of q136, keeping the 2nd-moment matrix PiDim² = 256 cells);
+    * components quantize to [[PiQ]] units so every Gram cell is an
+    * exact integer; the iterate is held at L∞ scale [[PiS]]. */
+  val PiDim = 16
+  val PiQ = 100.0
+  val PiS = 1000000L
+  val PiRounds = 6
+
+  /** q211: dominant spectral direction of the corpus embedding
+    * second-moment matrix by power iteration — the training primitive
+    * behind PCA whitening / spectral data selection (the direction a
+    * curation stage inspects for "is one axis eating the variance",
+    * cf. Mu & Viswanath, "All-but-the-top", ICLR'18). Six synchronous
+    * rounds of w ← G·w with an exact integer renormalization to L∞
+    * scale [[PiS]] after each round; the returned `lambda_u` is the
+    * Rayleigh quotient wᵀGw/wᵀw in 10⁻⁶ units — converged ⟺ it
+    * stabilizes round-over-round (spec-pinned).
+    *
+    * Integer-exactness: components quantize ONCE to [[PiQ]] units
+    * (the q83 lesson — every downstream sum is then exact at any
+    * accumulation order); G accumulates in DECIMAL(38,0)/HUGEINT.
+    * Renormalization has NO negative division anywhere: both engines
+    * floor-divide a NONNEGATIVE dividend by the positive max-abs m
+    * via the shift identity w' = ((u + m)·S) div m − S (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they agree only on
+    * nonnegative operands, so the shift is load-bearing), and the
+    * Rayleigh numerator is nonnegative because G is PSD.
+    *
+    * Scale shape: ONE narrow codegen'd pass builds all 256 Gram cells
+    * as map-side-combined sums (no self-join, no fanout shuffle); the
+    * 6 rounds run over the 256-row cell table — broadcast-trivial at
+    * ANY corpus size, the model-artifact pattern of q80's Lloyd. */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        slice(graft.functions.NativeExprs.quantize(
+          col("embedding").cast("array<double>"), PiQ), 1, PiDim).as("a"))
+      // materialize so CollapseProject cannot inline the quantize
+      // chain into all 256 Gram-cell aggregates (the q83/RpK note)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cells = for (i <- 0 until PiDim; j <- 0 until PiDim) yield
+      sum(expr(s"cast(element_at(a, ${i + 1}) as decimal(38,0))" +
+        s" * cast(element_at(a, ${j + 1}) as decimal(38,0))")).as(s"g_${i}_${j}")
+    val grow = a.agg(cells.head, cells.tail: _*)
+    val stackArgs = (for (i <- 0 until PiDim; j <- 0 until PiDim)
+      yield s"$i, $j, g_${i}_${j}").mkString(", ")
+    val g = grow.select(expr(
+        s"stack(${PiDim * PiDim}, $stackArgs) as (i, j, g)"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    import spark.implicits._
+    val w0 = (0 until PiDim).map(j => (j, BigDecimal(PiS)))
+      .toDF("j", "w").select(col("j"), col("w").cast("decimal(38,0)").as("w"))
+    val wFin = (1 to PiRounds).foldLeft(w0) { (w, _) =>
+      val u = g.join(w, g("j") === w("j"))
+        .groupBy(g("i").as("i"))
+        .agg(sum(expr("g * w")).as("u"))
+      val m = u.agg(greatest(max(abs(col("u"))),
+        lit(1).cast("decimal(38,0)")).as("m"))
+      u.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          expr(s"((u + m) * $PiS) div m - $PiS").cast("decimal(38,0)").as("w"))
+    }
+    val lamNum = g.join(wFin.select(col("j").as("i"), col("w").as("wi")), "i")
+      .join(wFin.select(col("j"), col("w").as("wj")), "j")
+      .agg(sum(expr("g * wi * wj")).as("num"))
+    val lamDen = wFin.agg(sum(expr("w * w")).as("den"))
+    wFin.crossJoin(broadcast(lamNum)).crossJoin(broadcast(lamDen))
+      .select(col("j").cast("int").as("pi_dim"),
+        col("w").cast("long").as("w"),
+        expr("cast((num * 1000000) div den as bigint)").as("lambda_u"))
+  }
+
+  val powerIterationSql: String = {
+    val rounds = (1 to PiRounds).map { r =>
+      s"""u$r AS (SELECT g.i, sum(g.g * w.w) AS u
+         |        FROM g JOIN w${r - 1} w ON g.j = w.j GROUP BY 1),
+         |m$r AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$r),
+         |w$r AS (SELECT u.i AS j, ((u.u + m.m) * $PiS) // m.m - $PiS AS w
+         |        FROM u$r u, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[],
+       |                        x -> CAST(floor(x * $PiQ + 0.5) AS HUGEINT))[1:$PiDim] AS a
+       |  FROM embeddings),
+       |g AS MATERIALIZED (
+       |  SELECT i.i, j.j, sum(a.a[i.i + 1] * a.a[j.j + 1]) AS g
+       |  FROM a, range($PiDim) i(i), range($PiDim) j(j) GROUP BY 1, 2),
+       |w0 AS (SELECT j, CAST($PiS AS HUGEINT) AS w FROM range($PiDim) t(j)),
+       |$rounds,
+       |num AS (SELECT sum(g.g * wi.w * wj.w) AS num
+       |        FROM g JOIN w$PiRounds wi ON g.i = wi.j
+       |        JOIN w$PiRounds wj ON g.j = wj.j),
+       |den AS (SELECT sum(w * w) AS den FROM w$PiRounds)
+       |SELECT CAST(f.j AS INT) AS pi_dim, CAST(f.w AS BIGINT) AS w,
+       |       CAST((num.num * 1000000) // den.den AS BIGINT) AS lambda_u
+       |FROM w$PiRounds f, num, den""".stripMargin
+  }
 }
