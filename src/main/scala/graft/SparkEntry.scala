@@ -467,6 +467,9 @@ object SparkEntry {
     // second-moment matrix: one 256-cell Gram pass + 6 exact integer
     // renormalized rounds; Rayleigh quotient emitted beside.
     "q211_power_iteration"  -> (V.powerIteration _),
+    // Count-Min sketch over shingles: mergeable native counter agg,
+    // point estimates bit-exact vs a full relational counter rebuild.
+    "q212_countmin"         -> (T.countMinShingles _),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -841,6 +844,7 @@ object SparkEntry {
     "q209_bm25"             -> graft.text.SearchOps.bm25RetrievalSql,
     "q210_chi2_terms"       -> T.chi2TermsSql,
     "q211_power_iteration"  -> V.powerIterationSql,
+    "q212_countmin"         -> T.countMinShinglesSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

@@ -81,6 +81,13 @@ object NativeExprs {
       BottomKAggExpr(ExpressionUtils.expression(h), k)
         .toAggregateExpression())
 
+  def countMinAgg(h: Column, width: Int, a: Seq[Long], b: Seq[Long],
+                  p: Long): Column =
+    ExpressionUtils.column(
+      CountMinAggExpr(ExpressionUtils.expression(h), width,
+        a.toArray, b.toArray, p)
+        .toAggregateExpression())
+
   def misraGries(tokens: Column, capacity: Int): Column =
     ExpressionUtils.column(
       MisraGriesAggExpr(ExpressionUtils.expression(tokens), capacity)
@@ -1245,6 +1252,89 @@ case class BloomAggExpr(
   * absorbed (KMV is a DISTINCT-value summary — a re-seen hash must not
   * evict anything). eval() emits the ascending array<long>, which the
   * oracle reproduces as row_number() OVER (ORDER BY h) <= k. */
+/** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+  * mergeable TypedImperativeAggregate: `depth = a.length` rows of
+  * `width` counters; each input hash increments one counter per row at
+  * cell ((a_r·h + b_r) mod p) mod width. Merge is elementwise counter
+  * addition — partials combine map-side, state is O(depth·width) per
+  * partition regardless of key cardinality. eval() returns the full
+  * flattened counter array (row-major), so point estimates
+  * min_r counters[r·width + cell_r(h)] stay DECLARATIVE `element_at`
+  * expressions and a relational oracle can rebuild every counter. */
+case class CountMinAggExpr(
+    child: Expression,
+    width: Int,
+    a: Array[Long], b: Array[Long], p: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  private def depth = a.length
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var r = 0
+      while (r < depth) {
+        val cell = (((a(r) * h + b(r)) % p) % width).toInt
+        buf(r * width + cell) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected bigint, got $other")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAggExpr =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_count_min_agg"
+  override def equals(o: Any): Boolean = o match {
+    case m: CountMinAggExpr =>
+      m.child == child && m.p == p && m.width == width &&
+        m.mutableAggBufferOffset == mutableAggBufferOffset &&
+        m.inputAggBufferOffset == inputAggBufferOffset &&
+        java.util.Arrays.equals(m.a, a) && java.util.Arrays.equals(m.b, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(width),
+      Integer.valueOf(java.util.Arrays.hashCode(a)))
+}
+
 case class BottomKAggExpr(
     child: Expression,
     k: Int,

@@ -1100,6 +1100,79 @@ object TextOps {
        |FROM c CROSS JOIN tot
        |WHERE n * ${MgCapacity + 1} > total""".stripMargin
 
+  // --------------------------------------------- Count-Min sketch (q212)
+
+  /** Count-Min geometry: depth×width counters, row-r cell =
+    * ((CmA(r)·h + CmB(r)) mod P) mod CmWidth over the polynomial
+    * shingle hash. Width is deliberately SMALL relative to the
+    * distinct-shingle count so collisions are real and the
+    * overestimate ledger is non-trivial at test scale. */
+  val CmWidth = 512
+  val CmA: Seq[Long] = Seq(293177L, 1093571L, 48718793L, 145913717L)
+  val CmB: Seq[Long] = Seq(7L, 5381L, 104729L, 2654435L)
+  val CmTopK = 10
+
+  /** q212: Count-Min frequency sketch over 3-word shingles — the
+    * streaming-friendly counter complement to q116's Misra-Gries
+    * (MG keeps top items, CMS answers POINT queries for any key and
+    * merges by pure counter addition, so partials combine map-side
+    * and daily sketches re-aggregate like q156's HLL partials). The
+    * native [[graft.functions.CountMinAggExpr]] holds O(depth·width)
+    * state per partition regardless of shingle cardinality; the full
+    * counter array is emitted, so estimates are declarative
+    * `element_at` + `least` expressions and the DuckDB oracle rebuilds
+    * EVERY counter relationally — the estimate itself hash-matches
+    * bit-exactly (stronger than the q44 bound-only convention), and
+    * est ≥ exact by construction with `over_u` the collision mass.
+    * Probes: the exact top-[[CmTopK]] shingles (the keys a production
+    * monitor would query). */
+  def countMinShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(shinglesCol(tokensCol(col("text")))).as("s"))
+      .select(col("s"), polyHashCol(col("s")).as("h"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sk = sh.agg(graft.functions.NativeExprs.countMinAgg(
+      col("h"), CmWidth, CmA, CmB, P).as("sk"))
+    val exact = sh.groupBy(col("s"), col("h")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), col("s"))
+    val top = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CmTopK)
+    val estimates = CmA.indices.map { r =>
+      expr(s"element_at(sk, cast(((${CmA(r)} * h + ${CmB(r)}) % $P) % $CmWidth as int)" +
+        s" + ${r * CmWidth} + 1)")
+    }
+    top.crossJoin(broadcast(sk))
+      .select(col("s").as("shingle"), col("n"),
+        least(estimates: _*).as("est"))
+      .withColumn("over_u", col("est") - col("n"))
+  }
+
+  val countMinShinglesSql: String = {
+    val consts = CmA.zip(CmB).zipWithIndex.map { case ((a, b), r) =>
+      s"($r, CAST($a AS BIGINT), CAST($b AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT s, ${polyHashSql("s")} AS h FROM (
+       |    SELECT unnest(${shinglesSql(tokensSql("text"))}) AS s FROM documents)),
+       |consts(r, a, b) AS (VALUES $consts),
+       |exact AS (SELECT s, h, count(*) AS n FROM sh GROUP BY 1, 2),
+       |counters AS (
+       |  SELECT c.r, ((c.a * e.h + c.b) % ${P}) % $CmWidth AS cell,
+       |         CAST(sum(e.n) AS BIGINT) AS v
+       |  FROM exact e CROSS JOIN consts c GROUP BY 1, 2),
+       |top AS (SELECT s, h, n FROM (
+       |  SELECT *, row_number() OVER (ORDER BY n DESC, s) AS rn FROM exact)
+       |  WHERE rn <= $CmTopK)
+       |SELECT t.s AS shingle, t.n,
+       |       CAST(min(co.v) AS BIGINT) AS est,
+       |       CAST(min(co.v) - t.n AS BIGINT) AS over_u
+       |FROM top t CROSS JOIN consts c
+       |JOIN counters co
+       |  ON co.r = c.r AND co.cell = ((c.a * t.h + c.b) % ${P}) % $CmWidth
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------- token commonality (q133)
 
   /** A token is "rare" when it holds under 1% of the corpus token mass
