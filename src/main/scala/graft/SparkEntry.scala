@@ -470,6 +470,9 @@ object SparkEntry {
     // Count-Min sketch over shingles: mergeable native counter agg,
     // point estimates bit-exact vs a full relational counter rebuild.
     "q212_countmin"         -> (T.countMinShingles _),
+    // GSP-style gapped sequential triples with distinct-user support:
+    // one window pass + bounded expansion, never a timeline self-join.
+    "q213_seq_patterns"     -> (E.seqPatterns _),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -845,6 +848,7 @@ object SparkEntry {
     "q210_chi2_terms"       -> T.chi2TermsSql,
     "q211_power_iteration"  -> V.powerIterationSql,
     "q212_countmin"         -> T.countMinShinglesSql,
+    "q213_seq_patterns"     -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

@@ -1230,4 +1230,85 @@ object EventOps {
        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        |       round(sum(value), 2) AS total_value
        |FROM p GROUP BY 1""".stripMargin
+
+  // ------------------------------------------ sequential patterns (q213)
+
+  /** Positional gap bound and relative support floor (percent of all
+    * users) for [[seqPatterns]]. */
+  val SeqGap = 3
+  val SeqMinSupPct = 30L
+
+  /** q213: frequent sequential patterns — GSP/SPAM-style mining
+    * (Srikant & Agrawal, EDBT'96) of ordered event-type TRIPLES
+    * occurring as a gapped subsequence of a user's timeline: positions
+    * i < j < k with j−i ≤ [[SeqGap]] and k−j ≤ [[SeqGap]], support =
+    * DISTINCT users containing the pattern (the sequence-mining
+    * support measure — repeat occurrences within one user count once),
+    * kept when support ≥ [[SeqMinSupPct]]% of all users. This is the
+    * ORDERED complement to q186's unordered Apriori triples and the
+    * length-3/gapped generalization of q119's adjacent transitions —
+    * the "what do journeys look like" question behind funnel design
+    * (q110 then MEASURES a chosen pattern).
+    *
+    * Scale shape: candidate occurrences come from ONE user-keyed
+    * window pass (2·[[SeqGap]] lead columns) expanded SeqGap²-fold per
+    * row — a constant-factor narrow map, never a timeline self-join —
+    * then (user, pattern) dedup and a pattern-keyed count, both
+    * map-side-combinable with 5³-bounded key cardinality; the user
+    * total is a 1-row broadcast. */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame =
+    seqPatternsOf(Tables.events(spark, dir))
+
+  /** The mining ladder on an explicit (user_id, ts, event_id,
+    * event_type) frame — exposed for planted-timeline specs (the
+    * uniform synthetic corpus keeps every triple above the support
+    * floor, so gap exclusion and sub-threshold drop are proven on
+    * fixtures). */
+  def seqPatternsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val leads = (1 to 2 * SeqGap).map(d =>
+      lead(col("event_type"), d).over(w).as(s"l$d"))
+    val base = events
+      .select(Seq(col("user_id"), col("event_type").as("t0")) ++ leads: _*)
+    val triples = array(
+      (for (d1 <- 1 to SeqGap; d2 <- 1 to SeqGap) yield
+        struct(col("t0").as("t1"), col(s"l$d1").as("t2"),
+          col(s"l${d1 + d2}").as("t3"))): _*)
+    val occ = base.select(col("user_id"), explode(triples).as("tr"))
+      .select(col("user_id"), col("tr.t1"), col("tr.t2"), col("tr.t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .distinct()
+    val users = events
+      .agg(countDistinct(col("user_id")).as("n_total"))
+    occ.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(users))
+      .filter(col("n_users") * 100 >= col("n_total") * SeqMinSupPct)
+      .select(col("t1"), col("t2"), col("t3"), col("n_users"),
+        expr("(n_users * 10000) div n_total").as("support_bp"))
+  }
+
+  val seqPatternsSql: String = {
+    val leadCols = (1 to 2 * SeqGap)
+      .map(d => s"lead(event_type, $d) OVER (PARTITION BY user_id " +
+        s"ORDER BY ts, event_id) AS l$d").mkString(",\n         ")
+    val arms = (for (d1 <- 1 to SeqGap; d2 <- 1 to SeqGap) yield
+      s"SELECT user_id, t0 AS t1, l$d1 AS t2, l${d1 + d2} AS t3 FROM base")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_type AS t0,
+       |         $leadCols
+       |  FROM events),
+       |occ AS (
+       |  SELECT DISTINCT user_id, t1, t2, t3 FROM (
+       |  $arms)
+       |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+       |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+       |        FROM events),
+       |pat AS (SELECT t1, t2, t3, count(*) AS n_users
+       |        FROM occ GROUP BY 1, 2, 3)
+       |SELECT t1, t2, t3, n_users, (n_users * 10000) // n_total AS support_bp
+       |FROM pat CROSS JOIN tot
+       |WHERE n_users * 100 >= n_total * $SeqMinSupPct""".stripMargin
+  }
 }
