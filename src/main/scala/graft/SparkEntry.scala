@@ -473,6 +473,13 @@ object SparkEntry {
     // GSP-style gapped sequential triples with distinct-user support:
     // one window pass + bounded expansion, never a timeline self-join.
     "q213_seq_patterns"     -> (E.seqPatterns _),
+    // Streaming Count-Min: the aggregate state IS the sketch (fixed
+    // counters per type); probe estimates bit-equal the batch rebuild.
+    "q214_stream_countmin"  -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.runAvailableNow(
+        s, graft.streaming.EventsStream.countMinUsers(
+          graft.streaming.EventsStream.source(s, dir)), "q214_stream_countmin",
+        outputMode = "complete")),
     // Exact MAP@10 of the raw RP sketch ranking vs exact cosine truth:
     // rational precision terms cleared by lcm(1..10) — no floats.
     "q207_map_eval"         -> (V.mapEval _),
@@ -849,6 +856,7 @@ object SparkEntry {
     "q211_power_iteration"  -> V.powerIterationSql,
     "q212_countmin"         -> T.countMinShinglesSql,
     "q213_seq_patterns"     -> E.seqPatternsSql,
+    "q214_stream_countmin"  -> graft.streaming.EventsStream.countMinUsersSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

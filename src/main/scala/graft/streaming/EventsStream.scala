@@ -355,6 +355,61 @@ object EventsStream {
           .otherwise(expr(s"${(K - 1).toLong * P}L div kth_h")))
   }
 
+  /** Probe users for [[countMinUsers]] — fixed ids whose estimates the
+    * ledger emits (cell positions are compile-time constants in BOTH
+    * engines, so the probe math never touches the data path). */
+  val CmProbeUsers: Seq[Long] = 0L until 10L
+
+  /** q214: Count-Min per event type ON A LIVE STREAM — the aggregate's
+    * state IS the sketch (q157's principle, counters instead of HLL
+    * registers): depth×width fixed longs per event_type, NEVER
+    * per-user state, merged across micro-batches by counter addition
+    * (graft.functions.CountMinAggExpr), so an unbounded stream's
+    * frequency-monitor memory is O(types·depth·width) forever. The
+    * ledger emits, per type, the event count and the point estimates
+    * for [[CmProbeUsers]] — batch-exact: the DuckDB oracle rebuilds
+    * every probed counter relationally and must hash-match BIT-equal
+    * (the q170 streaming-sketch contract, not a bound check). */
+  def countMinUsers(events: DataFrame): DataFrame = {
+    import graft.dedup.KmvSketch.{Ua, Ub}
+    import graft.text.TextOps.{CmA, CmB, CmWidth}
+    val P = graft.functions.TextExprs.P
+    val h = (lit(Ua) * col("user_id") + lit(Ub)) % lit(P)
+    val ests = CmProbeUsers.map { u =>
+      val hu = (Ua * u + Ub) % P
+      least(CmA.indices.map { r =>
+        val cell = ((CmA(r) * hu + CmB(r)) % P) % CmWidth
+        element_at(col("sk"), lit((r * CmWidth + cell + 1).toInt))
+      }: _*).as(s"est_u$u")
+    }
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.NativeExprs.countMinAgg(h, CmWidth, CmA, CmB, P)
+        .as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type") +: col("n_events") +: ests: _*)
+  }
+
+  /** Oracle: each probed counter rebuilt as a conditional count in one
+    * grouped pass (cell positions are the same Scala-computed
+    * literals the engine probes). */
+  val countMinUsersSql: String = {
+    import graft.dedup.KmvSketch.{Ua, Ub}
+    import graft.text.TextOps.{CmA, CmB, CmWidth}
+    val P = graft.functions.TextExprs.P
+    val estCols = CmProbeUsers.map { u =>
+      val hu = (Ua * u + Ub) % P
+      val terms = CmA.indices.map { r =>
+        val cell = ((CmA(r) * hu + CmB(r)) % P) % CmWidth
+        s"sum(CASE WHEN (((${CmA(r)} * (($Ua * user_id + $Ub) % $P)" +
+          s" + ${CmB(r)}) % $P) % $CmWidth) = $cell THEN 1 ELSE 0 END)"
+      }
+      s"CAST(least(${terms.mkString(", ")}) AS BIGINT) AS est_u$u"
+    }
+    s"""SELECT event_type, count(*) AS n_events,
+       |       ${estCols.mkString(",\n       ")}
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   /** Streaming exact dedup — the ingest-side "drop already-seen keys"
     * operator a training-data pipeline runs in front of its corpus
     * store. `dropDuplicates` holds one state-store entry per key,

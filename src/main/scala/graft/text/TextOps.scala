@@ -1134,10 +1134,9 @@ object TextOps {
     val sk = sh.agg(graft.functions.NativeExprs.countMinAgg(
       col("h"), CmWidth, CmA, CmB, P).as("sk"))
     val exact = sh.groupBy(col("s"), col("h")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("n"), col("s"))
-    val top = exact.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= CmTopK)
+    // global top-k via orderBy+limit -> TakeOrderedAndProject (per-
+    // partition heaps + driver merge of k), never a one-partition sort
+    val top = exact.orderBy(desc("n"), col("s")).limit(CmTopK)
     val estimates = CmA.indices.map { r =>
       expr(s"element_at(sk, cast(((${CmA(r)} * h + ${CmB(r)}) % $P) % $CmWidth as int)" +
         s" + ${r * CmWidth} + 1)")

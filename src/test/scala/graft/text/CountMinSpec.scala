@@ -39,6 +39,30 @@ class CountMinSpec extends AnyFunSuite {
     want.grouped(TextOps.CmWidth).foreach(row => assert(row.sum === hs.length))
   }
 
+  test("q214 ledger (batch form) == in-memory probe replay") {
+    import spark.implicits._
+    import graft.dedup.KmvSketch.{Ua, Ub}
+    val events = (0L until 300L).map(i =>
+      (i % 23, Seq("view", "click", "buy")(((i * 7) % 3).toInt)))
+      .toDF("user_id", "event_type")
+    val got = graft.streaming.EventsStream.countMinUsers(events)
+      .collect().map(r => r.getString(0) ->
+        (1 until r.length).map(r.getLong)).toMap
+    val byType = (0L until 300L).groupBy(i => Seq("view", "click", "buy")(((i * 7) % 3).toInt))
+    for ((t, is) <- byType) {
+      val hs = is.map(i => (Ua * (i % 23) + Ub) % P)
+      val sk = sketchOf(hs)
+      val want = graft.streaming.EventsStream.CmProbeUsers.map { u =>
+        val hu = (Ua * u + Ub) % P
+        TextOps.CmA.indices.map { r =>
+          val cell = (((TextOps.CmA(r) * hu + TextOps.CmB(r)) % P) % TextOps.CmWidth).toInt
+          sk(r * TextOps.CmWidth + cell)
+        }.min
+      }
+      assert(got(t) === hs.length.toLong +: want)
+    }
+  }
+
   test("q212 on sf0.001: est >= exact for the probed keys, over_u consistent") {
     val out = TextOps.countMinShingles(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === TextOps.CmTopK)
