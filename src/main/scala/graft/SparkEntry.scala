@@ -473,6 +473,25 @@ object SparkEntry {
     // GSP-style gapped sequential triples with distinct-user support:
     // one window pass + bounded expansion, never a timeline self-join.
     "q213_seq_patterns"     -> (E.seqPatterns _),
+    // Seasonal-naive forecast-error ledger (MASE baseline): dense grid
+    // + one type-keyed window pass for both lags, exact integer ppm.
+    "q217_seasonal_naive"   -> (E.seasonalNaiveError _),
+    // q213 live: per-user bounded buffer completes gapped triples at
+    // ingest; drained emissions collapse to the batch support ledger.
+    "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventsStream.seqSupportRollup(
+        graft.streaming.EventsStream.runAvailableNow(
+          s, graft.streaming.EventsStream.seqOccurrences(
+            graft.streaming.EventsStream.source(s, dir)), "q218_stream_seqpat",
+          outputMode = "append"))),
+    // Per-source Merkle root over doc fingerprints: O(log n) pairing
+    // rounds, content-addressed corpus provenance in one root compare.
+    "q216_merkle_manifest"  -> ((s: SparkSession, dir: String) =>
+      graft.text.MerkleOps.merkleManifest(s, dir)),
+    // Hybrid sparse+dense retrieval: BM25 arm + PRF-seeded integer-dot
+    // dense arm, integer RRF fusion, both pages through GroupedTopK.
+    "q215_hybrid_retrieval" -> ((s: SparkSession, dir: String) =>
+      graft.text.SearchOps.hybridRetrieval(s, dir)),
     // Streaming Count-Min: the aggregate state IS the sketch (fixed
     // counters per type); probe estimates bit-equal the batch rebuild.
     "q214_stream_countmin"  -> ((s: SparkSession, dir: String) =>
@@ -857,6 +876,11 @@ object SparkEntry {
     "q212_countmin"         -> T.countMinShinglesSql,
     "q213_seq_patterns"     -> E.seqPatternsSql,
     "q214_stream_countmin"  -> graft.streaming.EventsStream.countMinUsersSql,
+    "q215_hybrid_retrieval" -> graft.text.SearchOps.hybridRetrievalSql,
+    "q216_merkle_manifest"  -> graft.text.MerkleOps.merkleManifestSql,
+    "q217_seasonal_naive"   -> E.seasonalNaiveErrorSql,
+    // the streaming twin must reproduce the batch q213 ledger exactly
+    "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,
     "q194_stream_fill"      ->
       """WITH p AS (

@@ -960,8 +960,12 @@ object EventOps {
     * driver loop), and the spine × types grid is tiny, so the zero-fill
     * left join broadcasts the AGGREGATED side — no second shuffle of
     * raw events at any scale. */
-  def gapfillHourly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def gapfillHourly(spark: SparkSession, dir: String): DataFrame =
+    gapfillHourlyOf(Tables.events(spark, dir))
+
+  /** The dense-grid zero-fill on an explicit events frame (needs ts,
+    * event_type) — shared with q217 and its planted-series specs. */
+  def gapfillHourlyOf(ev: DataFrame): DataFrame = {
     val hourly = ev
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -1230,6 +1234,83 @@ object EventOps {
        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        |       round(sum(value), 2) AS total_value
        |FROM p GROUP BY 1""".stripMargin
+
+  // ------------------------------------- seasonal-naive forecast (q217)
+
+  /** Seasonal period in hours for [[seasonalNaiveError]]. */
+  val SeasonLagH = 24
+
+  /** q217: seasonal-naive forecast-error ledger — the MASE baseline
+    * (Hyndman & Koehler, "Another look at measures of forecast
+    * accuracy", IJF 2006) every monitoring/forecasting stage must
+    * beat: per event type on the DENSE hourly grid (q111's zero-fill
+    * spine, so silent-gap hours forecast as 0 rather than vanish),
+    * forecast each hour as the same hour yesterday; the ledger carries
+    * the summed absolute seasonal error, the summed one-step-naive
+    * error (the MASE denominator), and their exact ratio in ppm —
+    * mase_ppm < 10⁶ ⟺ daily seasonality is real signal for this type.
+    * All-integer: counts, absolute differences, one guarded div.
+    *
+    * Scale shape: one grouped count, the 1-row spine aggregate, a
+    * broadcast type catalog, then ONE type-keyed window pass for both
+    * lags — per-type series are independent, so the window partitions
+    * by the parallelism key; scored hours (both lags exist) roll up
+    * map-side. */
+  def seasonalNaiveError(spark: SparkSession, dir: String): DataFrame =
+    seasonalNaiveErrorOf(Tables.events(spark, dir))
+
+  /** The MASE ladder on an explicit events frame — exposed for
+    * planted-seasonality specs. */
+  def seasonalNaiveErrorOf(ev: DataFrame): DataFrame = {
+    val dense = gapfillHourlyOf(ev)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+    dense
+      .withColumn("lag1", lag(col("n_events"), 1).over(w))
+      .withColumn("lagS", lag(col("n_events"), SeasonLagH).over(w))
+      .filter(col("lag1").isNotNull && col("lagS").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n_events") - col("lagS"))).as("err_seasonal"),
+        sum(abs(col("n_events") - col("lag1"))).as("err_naive1"))
+      .select(col("event_type"), col("n_scored"),
+        col("err_seasonal"), col("err_naive1"),
+        expr("(err_seasonal * 1000000) div greatest(err_naive1, 1)")
+          .as("mase_ppm"))
+  }
+
+  val seasonalNaiveErrorSql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |         count(*) AS n FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT date_trunc('hour', min(ts)) AS lo,
+       |         date_trunc('hour', max(ts)) AS hi FROM events),
+       |spine AS (
+       |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+       |           AS window_start FROM bounds),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |dense AS (
+       |  SELECT s.window_start, t.event_type,
+       |         coalesce(h.n, 0) AS n_events
+       |  FROM spine s CROSS JOIN types t
+       |  LEFT JOIN hourly h ON h.window_start = s.window_start
+       |                    AND h.event_type = t.event_type),
+       |lagged AS (
+       |  SELECT event_type, n_events,
+       |         lag(n_events, 1) OVER (PARTITION BY event_type
+       |           ORDER BY window_start) AS lag1,
+       |         lag(n_events, $SeasonLagH) OVER (PARTITION BY event_type
+       |           ORDER BY window_start) AS lagS
+       |  FROM dense),
+       |agg AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+       |         CAST(sum(abs(n_events - lagS)) AS BIGINT) AS err_seasonal,
+       |         CAST(sum(abs(n_events - lag1)) AS BIGINT) AS err_naive1
+       |  FROM lagged WHERE lag1 IS NOT NULL AND lagS IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT event_type, n_scored, err_seasonal, err_naive1,
+       |       (err_seasonal * 1000000) // greatest(err_naive1, 1) AS mase_ppm
+       |FROM agg""".stripMargin
 
   // ------------------------------------------ sequential patterns (q213)
 

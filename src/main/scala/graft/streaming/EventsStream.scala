@@ -40,6 +40,17 @@ case class FillState(last: Option[Long], ms: Long, eid: Long)
 case class FilledEvent(
     user_id: Long, event_id: Long, was_missing: Int, filled: Option[Long])
 
+/** Per-user state for [[EventsStream.seqOccurrences]]: whether the
+  * user's presence marker was emitted, and the last ≤ 2·SeqGap event
+  * types oldest-first — the ONLY history gapped-triple completion ever
+  * needs, so state is O(1) per user at any timeline length. */
+case class SeqPatState(marked: Boolean, recent: List[String])
+
+/** One gapped-triple occurrence ending at the newest event (null
+  * pattern fields = the once-per-user presence marker that keeps the
+  * support denominator exact). */
+case class SeqOcc(user_id: Long, t1: String, t2: String, t3: String)
+
 /** Per-user funnel state for [[EventsStream.funnelStages]]: first-view,
   * first-click-after-view, first-purchase-after-that-click epoch ms
   * (−1 = stage not reached). */
@@ -359,6 +370,67 @@ object EventsStream {
     * ledger emits (cell positions are compile-time constants in BOTH
     * engines, so the probe math never touches the data path). */
   val CmProbeUsers: Seq[Long] = 0L until 10L
+
+  /** q218: q213's gapped sequential patterns ON A LIVE STREAM —
+    * `flatMapGroupsWithState` completes every triple ENDING at the
+    * arriving event from a per-user buffer of the last 2·SeqGap event
+    * types (the only history gap-bounded completion can reference), so
+    * state is O(users·2·SeqGap) regardless of timeline length and each
+    * occurrence is emitted exactly once in Append mode. A once-per-user
+    * presence marker keeps the support denominator equal to the batch
+    * DISTINCT-user count even for users too short to form a triple.
+    * [[seqSupportRollup]] collapses the drained emissions to EXACTLY
+    * the q213 ledger — stream and batch share one oracle. Same
+    * ordered-source contract as forwardFillStream: rows sort by
+    * (ts, event_id) within each micro-batch group, and the
+    * AvailableNow drain delivers a user's timeline in one batch. */
+  def seqOccurrences(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gap = graft.analytics.EventOps.SeqGap
+    val keep = 2 * gap
+    val ds = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SeqPatState, SeqOcc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[SeqPatState]) =>
+          var s = state.getOption.getOrElse(SeqPatState(false, Nil))
+          val out = Seq.newBuilder[SeqOcc]
+          if (!s.marked) {
+            out += SeqOcc(uid, null, null, null)
+            s = s.copy(marked = true)
+          }
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, t) =>
+            val recent = s.recent
+            val n = recent.length
+            for (d2 <- 1 to gap; d1 <- 1 to gap if n >= d1 + d2)
+              out += SeqOcc(uid, recent(n - d2 - d1), recent(n - d2), t)
+            s = s.copy(recent = (recent :+ t).takeRight(keep))
+          }
+          state.update(s)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Post-drain collapse of [[seqOccurrences]] emissions to the q213
+    * support ledger (distinct-user support, same floor). */
+  def seqSupportRollup(occ: DataFrame): DataFrame = {
+    val pct = graft.analytics.EventOps.SeqMinSupPct
+    val users = occ.agg(countDistinct(col("user_id")).as("n_total"))
+    occ.filter(col("t1").isNotNull)
+      .distinct()
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(users))
+      .filter(col("n_users") * 100 >= col("n_total") * pct)
+      .select(col("t1"), col("t2"), col("t3"), col("n_users"),
+        expr("(n_users * 10000) div n_total").as("support_bp"))
+  }
 
   /** q214: Count-Min per event type ON A LIVE STREAM — the aggregate's
     * state IS the sketch (q157's principle, counters instead of HLL

@@ -153,6 +153,103 @@ object SearchOps {
         col("score_u"), col("n_hit"))
   }
 
+  /** Arm depth and output page for [[hybridRetrieval]]. */
+  val HybridDepth = 10
+  val HybridOut = 10
+
+  /** q215: hybrid sparse+dense retrieval with pseudo-relevance
+    * feedback — the full hybrid-search COMPOSITION a RAG/retrieval
+    * stack runs: q209's BM25 ranking is the sparse arm; its rank-1 hit
+    * per query seeds the dense arm (classic PRF — the text query has
+    * no embedding, so the top lexical hit's vector stands in, Rocchio
+    * degenerate to one positive document); both 10-deep arms fuse by
+    * reciprocal-rank (q190's integer 10⁶ div (60+rank) form —
+    * calibration-free, BM25 units never meet dot-product units).
+    *
+    * Dense arm determinism: components quantize once to [[VectorOps
+    * .RpQ]] units (the q83 contract) and candidates rank on the EXACT
+    * integer dot product (near-unit-norm corpus ⇒ dot ≈ cosine;
+    * ordering is what matters, and the integer form is
+    * accumulation-order-proof). Both per-query top-10s run through the
+    * bounded-heap GroupedTopK; the seed join is 4 broadcast rows, the
+    * dense scan is one narrow codegen'd pass over the embeddings.
+    * Ledger columns `in_lex`/`in_dense` make each arm's contribution
+    * auditable. */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Retrieval(spark, dir)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val lex = bm.select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    val seeds = bm.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("seed_id"))
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), graft.functions.NativeExprs.quantize(
+        col("embedding").cast("array<double>"),
+        graft.vector.VectorOps.RpQ).as("a"))
+    val qv = broadcast(seeds.join(emb, seeds("seed_id") === emb("vec_id"))
+      .select(col("query_id"), col("a").as("qa")))
+    val dense0 = emb.crossJoin(qv)
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.NativeExprs.dotProduct(col("a"), col("qa"))
+          .cast("long").as("sim_u"))
+    val dense = graft.plans.GroupedTopK(dense0,
+      groupCols = Seq("query_id"),
+      orderBy = Seq("sim_u" -> false, "vec_id" -> true), k = HybridDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr("1000000 div (60 + r_lex)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + r_dense)"), lit(0L)))
+      .withColumn("in_lex",
+        when(col("r_lex").isNotNull, 1L).otherwise(0L))
+      .withColumn("in_dense",
+        when(col("r_dense").isNotNull, 1L).otherwise(0L))
+    graft.plans.GroupedTopK(fused,
+      groupCols = Seq("query_id"),
+      orderBy = Seq("rrf_u" -> false, "doc_id" -> true), k = HybridOut)
+      .select(col("query_id"), col("rank").as("fused_rank"), col("doc_id"),
+        col("rrf_u"), col("in_lex"), col("in_dense"))
+  }
+
+  /** Oracle: the whole composition re-derived — q209's SQL as the
+    * sparse arm, the quantized-dot dense arm, window-ranked fusion. */
+  lazy val hybridRetrievalSql: String = {
+    val q = graft.vector.VectorOps.RpQ
+    s"""WITH bm AS (SELECT * FROM ($bm25RetrievalSql) bmq),
+       |seeds AS (SELECT query_id, doc_id AS seed_id FROM bm WHERE rank = 1),
+       |emb AS (SELECT vec_id,
+       |               list_transform(embedding::DOUBLE[],
+       |                              x -> floor(x * $q + 0.5)) AS a
+       |        FROM embeddings),
+       |qv AS (SELECT s.query_id, e.a AS qa
+       |       FROM seeds s JOIN emb e ON e.vec_id = s.seed_id),
+       |dense0 AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         CAST(list_dot_product(e.a, q.qa) AS BIGINT) AS sim_u
+       |  FROM emb e CROSS JOIN qv q),
+       |dense AS (
+       |  SELECT query_id, vec_id AS doc_id, rn AS r_dense FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY sim_u DESC, vec_id) AS INT) AS rn
+       |    FROM dense0) WHERE rn <= $HybridDepth),
+       |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM bm),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |         CAST(coalesce(1000000 // (60 + l.r_lex), 0)
+       |              + coalesce(1000000 // (60 + d.r_dense), 0) AS BIGINT) AS rrf_u,
+       |         CAST(CASE WHEN l.r_lex IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_lex,
+       |         CAST(CASE WHEN d.r_dense IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_dense
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, fused_rank, doc_id, rrf_u, in_lex, in_dense FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY rrf_u DESC, doc_id) AS INT) AS fused_rank
+       |  FROM fused)
+       |WHERE fused_rank <= $HybridOut""".stripMargin
+  }
+
   /** Oracle: same integer formulas, window-ranked. */
   val bm25RetrievalSql: String = {
     val t = tokensSql("text")

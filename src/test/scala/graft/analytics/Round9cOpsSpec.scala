@@ -1,0 +1,104 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.etl.SparkTestSession
+
+/** Round-9 late additions: hybrid retrieval (q215), Merkle manifest
+  * (q216), seasonal-naive error (q217), streaming seq patterns (q218). */
+class Round9cOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  test("q215: fused page is consistent — ranks dense from 1, rrf_u matches arm membership") {
+    val out = graft.text.SearchOps.hybridRetrieval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq)
+      // rrf_u non-increasing with rank; every row came from >= 1 arm;
+      // a row in both arms outscores a same-rank single-arm row bound
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(x, y) => assert(x._4 >= y._4)
+        case _ =>
+      }
+      rows.foreach { r =>
+        assert(r._5 + r._6 >= 1L)
+        val maxPossible = (if (r._5 == 1) 1000000L / 61 else 0L) +
+          (if (r._6 == 1) 1000000L / 61 else 0L)
+        assert(r._4 <= maxPossible)
+        assert(r._4 > 0L)
+      }
+    }
+  }
+
+  test("q216: Merkle root is tamper-evident and replayable") {
+    import spark.implicits._
+    def manifest(rows: Seq[(String, Long, String)]) =
+      graft.text.MerkleOps.merkleManifestOf(
+        rows.toDF("source", "doc_id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = (0L until 5L).map(i => ("srcA", i, s"alpha beta doc $i")) ++
+      (0L until 3L).map(i => ("srcB", i, s"gamma doc $i"))
+    val m1 = manifest(base)
+    // deterministic across runs
+    assert(manifest(base) === m1)
+    // editing ONE document changes ONLY that source's root
+    val tampered = base.map { case t @ ("srcA", 2L, _) =>
+      ("srcA", 2L, "alpha beta doc TAMPERED")
+    case t => t }
+    val m2 = manifest(tampered)
+    assert(m2("srcA")._2 !== m1("srcA")._2)
+    assert(m2("srcB") === m1("srcB"))
+    // replay the tree by hand for srcB (3 leaves)
+    val P = graft.functions.TextExprs.P
+    def ph(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    def tok(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).mkString(" ")
+    val leaves = (0L until 3L).map(i => ph(tok(s"gamma doc $i")))
+    val mult = graft.text.MerkleOps.MerkleMult
+    val l1 = Seq((leaves(0) * mult + leaves(1)) % P, leaves(2))
+    val root = (l1(0) * mult + l1(1)) % P
+    assert(m1("srcB") === ((3L, root)))
+  }
+
+  test("q217: planted perfect daily seasonality scores err_seasonal 0; noise does not") {
+    import spark.implicits._
+    // 4 days of hourly events, daily-periodic count pattern for type S
+    // (h%24 copies), non-periodic drift for type N
+    val rows = for {
+      d <- 0 until 4; h <- 0 until 24
+      val nS = 1 + (h % 5)
+      val nN = 1 + ((d * 24 + h) % 7)
+      (t, n) <- Seq(("S", nS), ("N", nN))
+      k <- 0 until n
+    } yield (t, new Timestamp(((d * 24 + h) * 3600L + 1) * 1000L),
+      (d * 1000 + h * 10 + k).toLong)
+    val ev = rows.toDF("event_type", "ts", "event_id")
+      .withColumn("user_id", lit(1L))
+    val out = EventOps.seasonalNaiveErrorOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(out("S")._1 === 0L) // seasonal forecast perfect
+    assert(out("S")._2 === 0L) // mase 0
+    assert(out("N")._1 > 0L)
+  }
+
+  test("q218: streamed support ledger row-equals the batch q213 ledger (sf0.001)") {
+    val stream = graft.streaming.EventsStream.seqSupportRollup(
+      graft.streaming.EventsStream.runAvailableNow(
+        spark, graft.streaming.EventsStream.seqOccurrences(
+          graft.streaming.EventsStream.source(spark, dir)),
+        "q218_spec", outputMode = "append"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = EventOps.seqPatterns(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(stream === batch)
+  }
+}
