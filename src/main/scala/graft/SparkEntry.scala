@@ -476,6 +476,9 @@ object SparkEntry {
     // Seasonal-naive forecast-error ledger (MASE baseline): dense grid
     // + one type-keyed window pass for both lags, exact integer ppm.
     "q217_seasonal_naive"   -> (E.seasonalNaiveError _),
+    // Pareto-front (skyline) data selection on (quality, length):
+    // bucket prune + exact range-window sweep vs the quadratic oracle.
+    "q219_skyline"          -> (T.skylineDocs _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -879,6 +882,7 @@ object SparkEntry {
     "q215_hybrid_retrieval" -> graft.text.SearchOps.hybridRetrievalSql,
     "q216_merkle_manifest"  -> graft.text.MerkleOps.merkleManifestSql,
     "q217_seasonal_naive"   -> E.seasonalNaiveErrorSql,
+    "q219_skyline"          -> T.skylineDocsSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -1100,6 +1100,83 @@ object TextOps {
        |FROM c CROSS JOIN tot
        |WHERE n * ${MgCapacity + 1} > total""".stripMargin
 
+  // ------------------------------------------- Pareto skyline (q219)
+
+  /** Bucket width (quality bp) for the skyline's distributed prune. */
+  val SkyBucketBp = 500L
+
+  /** q219: Pareto-front (skyline) data selection — the multi-criteria
+    * version of threshold filtering (Börzsönyi et al., "The skyline
+    * operator", ICDE'01): keep documents no other document beats on
+    * BOTH quality (q17's integer quality_bp) and length (n_tokens) —
+    * the curation question "which docs are undominated trade-offs",
+    * where any single blended score would impose an arbitrary weighting.
+    * d' dominates d ⟺ q' ≥ q ∧ t' ≥ t with one strict.
+    *
+    * Two-phase scale shape: (1) a PRUNE pass — bucket quality into
+    * [[SkyBucketBp]] bands, take per-bucket max token count (a tiny
+    * map-side-combined aggregate, broadcast back); a doc dominated by
+    * a strictly-higher bucket's max is certainly dominated (every
+    * member of that bucket has strictly higher quality), so the
+    * full corpus never sorts — only survivors (front-adjacent mass)
+    * reach (2) the EXACT sweep, one quality-ordered range window
+    * computing max tokens over strictly-better and equal-quality
+    * peers. The oracle is the independent quadratic NOT-EXISTS form.
+    * Front rows emit with a deterministic rank. */
+  def skylineDocs(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_bp"), col("n_tokens")))
+
+  /** The two-phase skyline on an explicit (doc_id, quality_bp,
+    * n_tokens) frame — exposed for planted-front specs. */
+  def skylineOf(points: DataFrame): DataFrame = {
+    val pts = points
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val buckets = pts
+      .groupBy(expr(s"quality_bp div $SkyBucketBp").as("b"))
+      .agg(max(col("n_tokens")).as("max_t"))
+    // strictly-higher-bucket running max: every doc in bucket b' > b
+    // has quality >= b'·width > quality of anything in bucket b
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prune = broadcast(buckets
+      .withColumn("dom_t", max(col("max_t")).over(wB))
+      .select(col("b"), col("dom_t")))
+    val survivors = pts
+      .withColumn("b", expr(s"quality_bp div $SkyBucketBp"))
+      .join(prune, "b")
+      .filter(col("dom_t").isNull || col("dom_t") < col("n_tokens"))
+    val wHi = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("quality_bp"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wEq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("quality_bp"))
+    val front = survivors
+      .withColumn("hi_t", max(col("n_tokens")).over(wHi))
+      .withColumn("eq_t", max(col("n_tokens")).over(wEq))
+      .filter((col("hi_t").isNull || col("hi_t") < col("n_tokens")) &&
+        col("eq_t") === col("n_tokens"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("quality_bp"), desc("n_tokens"), col("doc_id"))
+    front.withColumn("front_rank", row_number().over(wR))
+      .select(col("front_rank"), col("doc_id"), col("quality_bp"),
+        col("n_tokens"))
+  }
+
+  /** Oracle: quadratic dominance NOT EXISTS over the same scores. */
+  lazy val skylineDocsSql: String =
+    s"""WITH pts AS (
+       |  SELECT doc_id, quality_bp, n_tokens FROM ($qualityScoreSql) qs)
+       |SELECT CAST(row_number() OVER (ORDER BY quality_bp DESC,
+       |              n_tokens DESC, doc_id) AS INT) AS front_rank,
+       |       doc_id, quality_bp, n_tokens
+       |FROM pts p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pts d
+       |  WHERE d.quality_bp >= p.quality_bp AND d.n_tokens >= p.n_tokens
+       |    AND (d.quality_bp > p.quality_bp OR d.n_tokens > p.n_tokens))""".stripMargin
+
   // --------------------------------------------- Count-Min sketch (q212)
 
   /** Count-Min geometry: depth×width counters, row-r cell =
