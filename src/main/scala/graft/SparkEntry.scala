@@ -479,6 +479,14 @@ object SparkEntry {
     // Pareto-front (skyline) data selection on (quality, length):
     // bucket prune + exact range-window sweep vs the quadratic oracle.
     "q219_skyline"          -> (T.skylineDocs _),
+    // Term-proximity rerank of the BM25 page: minimal cover span via
+    // the running-max sweep, one (query, doc)-keyed window pass.
+    "q220_term_proximity"   -> ((s: SparkSession, dir: String) =>
+      graft.text.SearchOps.termProximity(s, dir)),
+    // Snapshot diff through the manifest: O(1) root verdict per source
+    // + the leaf-level edited/removed explanation ledger.
+    "q221_manifest_diff"    -> ((s: SparkSession, dir: String) =>
+      graft.text.MerkleOps.manifestDiff(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -883,6 +891,8 @@ object SparkEntry {
     "q216_merkle_manifest"  -> graft.text.MerkleOps.merkleManifestSql,
     "q217_seasonal_naive"   -> E.seasonalNaiveErrorSql,
     "q219_skyline"          -> T.skylineDocsSql,
+    "q220_term_proximity"   -> graft.text.SearchOps.termProximitySql,
+    "q221_manifest_diff"    -> graft.text.MerkleOps.manifestDiffSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -157,6 +157,131 @@ object SearchOps {
   val HybridDepth = 10
   val HybridOut = 10
 
+  /** q220: term-proximity reranking of the q209 page — the classic
+    * positional-index feature BM25 is blind to (bag-of-words scores
+    * "spark … 500 tokens … window" equal to the phrase "spark window"):
+    * per (query, page doc), the MINIMAL token span covering ALL query
+    * terms, by the running-max sweep — one (query, doc)-keyed window
+    * pass over the doc's query-term positions ordered by position,
+    * where lt_i = running max position of term i; whenever every
+    * required term has been seen, pos − least(lt_*) + 1 is a candidate
+    * cover, and the minimum over the sweep is EXACTLY the minimal
+    * cover span (each candidate is the tightest window ending at pos).
+    * The page reranks by (all-terms-present, span asc, BM25 score
+    * desc, doc) — phrase-tight documents first, bag-of-words order as
+    * the tiebreak.
+    *
+    * Scale shape: positions explode ONLY for page docs (a semi-join
+    * with the 40-row page) and ONLY for query terms, so the sweep
+    * input is O(page·occurrences); the window partitions by
+    * (query, doc) — thousands of independent partitions at fleet
+    * scale, never a global sort. */
+  def termProximity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val page = bm25Retrieval(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"),
+        col("score_u"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val qterms = broadcast(
+      Bm25Queries.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (q, t, i + 1) }
+      }.toDF("query_id", "term", "idx"))
+    val nterms = broadcast(
+      Bm25Queries.map { case (q, ts) => (q, ts.length.toLong) }
+        .toDF("query_id", "n_terms"))
+    val pos = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(tokensCol(col("text")))
+        .as(Seq("pos", "term")))
+      .join(page.select(col("query_id"), col("doc_id")), Seq("doc_id"))
+      .join(qterms, Seq("query_id", "term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val lasts = (1 to 4).map(i =>
+      max(when(col("idx") === i, col("pos"))).over(w).as(s"l$i"))
+    val swept = pos.select(
+      Seq(col("query_id"), col("doc_id"), col("pos")) ++ lasts: _*)
+      .join(nterms, "query_id")
+      .withColumn("l_min", expr(
+        "CASE WHEN n_terms = 4 THEN least(l1, l2, l3, l4)" +
+          " ELSE least(l1, l2, l3) END"))
+      .withColumn("complete", expr(
+        "l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL" +
+          " AND (n_terms < 4 OR l4 IS NOT NULL)"))
+    val spans = swept
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(when(col("complete"), col("pos") - col("l_min") + 1))
+        .cast("long").as("span_raw"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("has_all"), col("span_min"), desc("score_u"), col("doc_id"))
+    page.join(spans, Seq("query_id", "doc_id"), "left")
+      .withColumn("has_all",
+        when(col("span_raw").isNotNull, 1L).otherwise(0L))
+      .withColumn("span_min", coalesce(col("span_raw"), lit(0L)))
+      .withColumn("rerank", row_number().over(wR))
+      .select(col("query_id"), col("rerank"), col("doc_id"), col("r_lex"),
+        col("has_all"), col("span_min"))
+  }
+
+  /** Oracle: the identical sweep in window SQL over the q209 page. */
+  lazy val termProximitySql: String = {
+    val t = tokensSql("text")
+    val qvals = Bm25Queries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (term, i) =>
+        s"(CAST($q AS BIGINT), '$term', ${i + 1})"
+      }
+    }.mkString(", ")
+    val nvals = Bm25Queries.map { case (q, ts) =>
+      s"(CAST($q AS BIGINT), CAST(${ts.length} AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH page AS (
+       |  SELECT query_id, doc_id, rank AS r_lex, score_u
+       |  FROM ($bm25RetrievalSql) bmq),
+       |qt(query_id, term, idx) AS (VALUES $qvals),
+       |nt(query_id, n_terms) AS (VALUES $nvals),
+       |pos AS (
+       |  SELECT p.query_id, t.doc_id, t.pos - 1 AS pos, q.idx
+       |  FROM (SELECT doc_id, unnest($t) AS term,
+       |               generate_subscripts($t, 1) AS pos
+       |        FROM documents) t
+       |  JOIN page p ON p.doc_id = t.doc_id
+       |  JOIN qt q ON q.query_id = p.query_id AND q.term = t.term),
+       |swept AS (
+       |  SELECT query_id, doc_id, pos,
+       |         max(CASE WHEN idx = 1 THEN pos END) OVER wsc AS l1,
+       |         max(CASE WHEN idx = 2 THEN pos END) OVER wsc AS l2,
+       |         max(CASE WHEN idx = 3 THEN pos END) OVER wsc AS l3,
+       |         max(CASE WHEN idx = 4 THEN pos END) OVER wsc AS l4
+       |  FROM pos
+       |  WINDOW wsc AS (PARTITION BY query_id, doc_id ORDER BY pos
+       |                 ROWS UNBOUNDED PRECEDING)),
+       |spans AS (
+       |  SELECT s.query_id, s.doc_id,
+       |         CAST(min(CASE WHEN s.l1 IS NOT NULL AND s.l2 IS NOT NULL
+       |                        AND s.l3 IS NOT NULL
+       |                        AND (n.n_terms < 4 OR s.l4 IS NOT NULL)
+       |                   THEN s.pos - (CASE WHEN n.n_terms = 4
+       |                                 THEN least(s.l1, s.l2, s.l3, s.l4)
+       |                                 ELSE least(s.l1, s.l2, s.l3) END) + 1
+       |                   END) AS BIGINT) AS span_raw
+       |  FROM swept s JOIN nt n ON n.query_id = s.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY has_all DESC, span_min, score_u DESC, doc_id)
+       |            AS INT) AS rerank,
+       |       doc_id, r_lex, has_all, span_min
+       |FROM (
+       |  SELECT p.query_id, p.doc_id, p.r_lex, p.score_u,
+       |         CAST(CASE WHEN s.span_raw IS NOT NULL THEN 1 ELSE 0 END
+       |              AS BIGINT) AS has_all,
+       |         coalesce(s.span_raw, 0) AS span_min
+       |  FROM page p LEFT JOIN spans s
+       |    ON s.query_id = p.query_id AND s.doc_id = p.doc_id)""".stripMargin
+  }
+
   /** q215: hybrid sparse+dense retrieval with pseudo-relevance
     * feedback — the full hybrid-search COMPOSITION a RAG/retrieval
     * stack runs: q209's BM25 ranking is the sparse arm; its rank-1 hit

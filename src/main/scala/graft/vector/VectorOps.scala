@@ -1340,16 +1340,23 @@ object VectorOps {
     import spark.implicits._
     val w0 = (0 until PiDim).map(j => (j, BigDecimal(PiS)))
       .toDF("j", "w").select(col("j"), col("w").cast("decimal(38,0)").as("w"))
+    // each round's u is materialized: m and the renormalized w' BOTH
+    // read it, and without truncation every reference re-derives the
+    // whole preceding round chain — the plan doubles per round (the
+    // DedupOps.materialize caveat; 16-row checkpoints, negligible)
     val wFin = (1 to PiRounds).foldLeft(w0) { (w, _) =>
       val u = g.join(w, g("j") === w("j"))
         .groupBy(g("i").as("i"))
         .agg(sum(expr("g * w")).as("u"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val m = u.agg(greatest(max(abs(col("u"))),
         lit(1).cast("decimal(38,0)")).as("m"))
       u.crossJoin(broadcast(m))
         .select(col("i").as("j"),
           expr(s"((u + m) * $PiS) div m - $PiS").cast("decimal(38,0)").as("w"))
-    }
+    }.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val lamNum = g.join(wFin.select(col("j").as("i"), col("w").as("wi")), "i")
       .join(wFin.select(col("j"), col("w").as("wj")), "j")
       .agg(sum(expr("g * wi * wj")).as("num"))

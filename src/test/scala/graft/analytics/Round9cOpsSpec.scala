@@ -88,6 +88,22 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(out("N")._1 > 0L)
   }
 
+  test("q221: root verdict agrees with the leaf ledger on sf0.001") {
+    val out = graft.text.MerkleOps.manifestDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(out.length === 20)
+    out.foreach { case (src, n1, n2, same, edited, removed) =>
+      assert(n2 === n1 - removed, src)
+      // any content change or removal must flip the root; an untouched
+      // source must keep it (positions only shift on removal)
+      if (edited > 0 || removed > 0) assert(same === 0L, src)
+      else assert(same === 1L, src)
+    }
+    // the fixture touches SOME but not ALL sources at this scale
+    assert(out.exists(_._4 === 0L) && out.exists(_._4 === 1L))
+  }
+
   test("q218: streamed support ledger row-equals the batch q213 ledger (sf0.001)") {
     val stream = graft.streaming.EventsStream.seqSupportRollup(
       graft.streaming.EventsStream.runAvailableNow(
