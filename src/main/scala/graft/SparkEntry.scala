@@ -487,6 +487,20 @@ object SparkEntry {
     // + the leaf-level edited/removed explanation ledger.
     "q221_manifest_diff"    -> ((s: SparkSession, dir: String) =>
       graft.text.MerkleOps.manifestDiff(s, dir)),
+    // Reliability diagram + ECE for the q146 classifier: exact integer
+    // algebraic-sigmoid probabilities, decile bins, weighted gap.
+    "q222_reliability"      -> ((s: SparkSession, dir: String) =>
+      graft.text.QualityClassifier.reliabilityDiagram(s, dir)),
+    // Theil-Sen robust trend: exact median of calendar-bounded pairwise
+    // slopes beside the OLS fit, sign-agreement flag.
+    "q223_theil_sen"        -> (R.theilSenTrend _),
+    // HITS hubs/authorities on the directed customer->part graph:
+    // exact-integer mutual-reinforcement rounds, max-renormalized.
+    "q224_hits"             -> (G.hits _),
+    // Split-conformal admission gate on the learned quality score:
+    // distribution-free coverage knob, exact order-stat threshold.
+    "q225_conformal"        -> ((s: SparkSession, dir: String) =>
+      graft.text.QualityClassifier.conformalGate(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -893,6 +907,10 @@ object SparkEntry {
     "q219_skyline"          -> T.skylineDocsSql,
     "q220_term_proximity"   -> graft.text.SearchOps.termProximitySql,
     "q221_manifest_diff"    -> graft.text.MerkleOps.manifestDiffSql,
+    "q222_reliability"      -> graft.text.QualityClassifier.reliabilityDiagramSql,
+    "q223_theil_sen"        -> R.theilSenTrendSql,
+    "q224_hits"             -> G.hitsSql,
+    "q225_conformal"        -> graft.text.QualityClassifier.conformalGateSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

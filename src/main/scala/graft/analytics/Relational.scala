@@ -178,16 +178,32 @@ object Relational {
     * (the sufficient statistics stay far below int64 here; at real
     * revenue volumes keep the slope multiplier ≤ 10⁴ or pre-scale y
     * to dollars — documented bound, same class as LmFluency's). */
-  def groupTrend(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(nation, month) revenue in integer cents — shared input of
+    * the OLS (q162) and Theil-Sen (q223) trend fits. */
+  private def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = broadcast(Tables.nation(spark, dir))
-    val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"),
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
           .cast("long").as("m"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+  }
+
+  private val monthlyRevenueSql: String =
+    """SELECT n_name,
+      |       (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+      |         + month(o_orderdate) - 1 AS m,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  def groupTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = monthlyRevenue(spark, dir)
     monthly.groupBy(col("n_name"))
       .agg(count(lit(1)).as("nm"), sum(col("m")).as("sx"),
         sum(col("y")).as("sy"), sum(col("m") * col("y")).as("sxy"),
@@ -225,6 +241,69 @@ object Relational {
       |            WHEN (10000 * (nm * sxy - sx * sy)) // (nm * sxx - sx * sx) < 0 THEN 'down'
       |            ELSE 'flat' END AS trend
       |FROM s""".stripMargin
+
+  /** q223: Theil-Sen robust trend per nation — the median-of-pairwise-
+    * slopes estimator (Sen 1968; 29% breakdown point vs OLS's 0%: one
+    * corrupted month cannot move it, the q161 MAD principle applied to
+    * regression). slope_ts_u = exact lower median (percentile_disc
+    * semantics, the q33 contract) of ((y2−y1)·10⁴) div (m2−m1) over
+    * all C(months, 2) in-nation pairs; the OLS slope rides along and
+    * `agree` flags sign disagreement — the rows a revenue-quality
+    * monitor investigates.
+    *
+    * Scale shape: the pair space is C(distinct months, 2) — bounded by
+    * the CALENDAR, not the fact table (the corpus collapses to
+    * nation×month cells first), so the self-join is a constant-size
+    * broadcast job at any corpus scale; the median runs per nation
+    * partition. */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = monthlyRevenue(spark, dir)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val a = monthly.select(col("n_name"), col("m").as("m1"), col("y").as("y1"))
+    val b = monthly.select(col("n_name"), col("m").as("m2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("n_name")).filter(col("m1") < col("m2"))
+      .select(col("n_name"),
+        expr("((y2 - y1) * 10000) div (m2 - m1)").as("s_u"))
+    val ts = slopes.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s_u)")
+          .cast("long").as("slope_ts_u"))
+    val ols = groupTrend(spark, dir)
+      .select(col("n_name"), col("slope_u").as("slope_ols_u"))
+    ts.join(ols, "n_name")
+      .select(col("n_name"), col("n_pairs"), col("slope_ts_u"),
+        col("slope_ols_u"),
+        (signum(col("slope_ts_u")) === signum(col("slope_ols_u")))
+          .cast("long").as("agree"))
+  }
+
+  val theilSenTrendSql: String =
+    s"""WITH monthly AS ($monthlyRevenueSql),
+       |pairs AS (
+       |  SELECT a.n_name, ((b.y - a.y) * 10000) // (b.m - a.m) AS s_u
+       |  FROM monthly a JOIN monthly b
+       |    ON a.n_name = b.n_name AND a.m < b.m),
+       |ts AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(min(CASE WHEN cd >= 0.5 THEN s_u END) AS BIGINT)
+       |           AS slope_ts_u
+       |  FROM (SELECT n_name, s_u,
+       |               cume_dist() OVER (PARTITION BY n_name ORDER BY s_u) AS cd
+       |        FROM pairs)
+       |  GROUP BY 1),
+       |ols AS (
+       |  SELECT n_name,
+       |         CAST((10000 * (nm * sxy - sx * sy)) // (nm * sxx - sx * sx)
+       |              AS BIGINT) AS slope_ols_u
+       |  FROM (SELECT n_name, CAST(count(*) AS BIGINT) AS nm,
+       |               CAST(sum(m) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |               CAST(sum(m * y) AS BIGINT) AS sxy,
+       |               CAST(sum(m * m) AS BIGINT) AS sxx
+       |        FROM monthly GROUP BY 1))
+       |SELECT ts.n_name, ts.n_pairs, ts.slope_ts_u, ols.slope_ols_u,
+       |       CAST(CASE WHEN sign(ts.slope_ts_u) = sign(ols.slope_ols_u)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM ts JOIN ols ON ts.n_name = ols.n_name""".stripMargin
 
   val revenueByNationSql: String =
     """SELECT r_name, n_name,

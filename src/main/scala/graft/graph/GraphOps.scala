@@ -655,4 +655,117 @@ object GraphOps {
        |SELECT f.n AS p_partkey, f.lab AS community, s.comm_size
        |FROM l$LabelPropRounds f JOIN sizes s ON f.lab = s.lab""".stripMargin
   }
+
+  /** Synchronous HITS rounds — fixed so the oracle is a statically
+    * unrolled CTE chain (same contract as [[PageRankIters]]). */
+  val HitsRounds = 2
+
+  /** Unit scale for HITS scores (micro-units). */
+  val HitsScale = 1000000L
+
+  /** q224: HITS hubs & authorities (Kleinberg, "Authoritative sources
+    * in a hyperlinked environment", JACM'99) on the DIRECTED bipartite
+    * purchase graph customer → part — the directed complement to
+    * q124's undirected PageRank: a part is authoritative when bought
+    * by broad-basket (hub) customers, a customer is a hub when their
+    * basket concentrates on authoritative parts. Mutual-reinforcement
+    * rounds: h = A·a then renormalize, a = Aᵀ·h then renormalize.
+    *
+    * Renormalization is the q211 exact-integer contract: scores are
+    * NONNEGATIVE throughout (sums of nonnegative terms), so
+    * `(raw · 10⁶) div max(raw)` is rounding-mode-proof across engines
+    * with no shift needed; the per-round max is a 1-row aggregate
+    * broadcast back (the repo's scalar-join pattern). Result is
+    * bit-identical across engines and runs.
+    *
+    * Scale shape: each half-round is ONE equi-join of the fixed-width
+    * (node, score) table against the edge list keyed on the node id +
+    * one map-side-combined sum — q124's per-round cost exactly; the
+    * edge list is (custkey, partkey) pairs deduped from the fact
+    * table, so nothing wider than two ids and a long ever shuffles,
+    * and no adjacency list materializes. Score magnitude is bounded
+    * by max-degree · 10⁶ ≤ ~10¹³ at any realistic catalog — safe in
+    * int64 (the oracle CASTs DuckDB's HUGEINT sums back to BIGINT).
+    * Reference framing: the co-purchase mining family of
+    * dataflow_transform.py's grouped aggregates (SURVEY §2). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val buys = materialize(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct())
+    val be = maybeBroadcast(buys)
+    def parts: DataFrame = Tables.part(spark, dir).select(col("p_partkey").as("pn"))
+    def custs: DataFrame =
+      Tables.customer(spark, dir).select(col("c_custkey").as("cn"))
+    def renorm(df0: DataFrame, score: String): DataFrame = {
+      // truncate lineage FIRST: the raw table is referenced twice (max
+      // aggregate + the scaling join), and without truncation each
+      // renorm would DOUBLE the plan — 2·rounds renorms = 2^(2·rounds)×
+      // plan blowup, a driver-side scale-killer long before any data
+      // moves (caught by the plan-shape golden gate).
+      val df = materialize(df0)
+      val mx = df.agg(max(col(score)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(df.columns.filter(_ != score).map(col) :+
+          expr(s"($score * $HitsScale) div greatest(mx, 1)").as(score): _*)
+    }
+    val a0 = parts.select(col("pn"), lit(HitsScale).as("auth"))
+    val fin = (1 to HitsRounds).foldLeft(a0) { (a, _) =>
+      val hRaw = custs.join(
+          a.join(be, a("pn") === be("p"))
+            .groupBy(col("c")).agg(sum(col("auth")).as("hub")),
+          col("cn") === col("c"), "left")
+        .select(col("cn"), coalesce(col("hub"), lit(0L)).as("hub"))
+      val h = renorm(hRaw, "hub")
+      val aRaw = parts.join(
+          h.join(be, h("cn") === be("c"))
+            .groupBy(col("p")).agg(sum(col("hub")).as("auth")),
+          col("pn") === col("p"), "left")
+        .select(col("pn"), coalesce(col("auth"), lit(0L)).as("auth"))
+      renorm(aRaw, "auth")
+    }
+    val deg = be.groupBy(col("p")).agg(count(lit(1)).as("n_buyers"))
+    fin.join(deg, fin("pn") === deg("p"), "left")
+      .select(col("pn").as("p_partkey"), col("auth").as("auth_u"),
+        coalesce(col("n_buyers"), lit(0L)).as("n_buyers"))
+  }
+
+  val hitsSql: String = {
+    val rounds = (1 to HitsRounds).map { r =>
+      s"""hr$r AS (
+         |  SELECT c.cn, CAST(coalesce(s.hub, 0) AS BIGINT) AS hub
+         |  FROM custs c LEFT JOIN (
+         |    SELECT e.c, sum(a.auth) AS hub
+         |    FROM a${r - 1} a JOIN e ON a.pn = e.p GROUP BY 1
+         |  ) s ON c.cn = s.c),
+         |h$r AS (
+         |  SELECT cn, CAST((hub * $HitsScale)
+         |    // greatest((SELECT max(hub) FROM hr$r), 1) AS BIGINT) AS hub
+         |  FROM hr$r),
+         |ar$r AS (
+         |  SELECT p.pn, CAST(coalesce(s.auth, 0) AS BIGINT) AS auth
+         |  FROM parts p LEFT JOIN (
+         |    SELECT e.p, sum(h.hub) AS auth
+         |    FROM h$r h JOIN e ON h.cn = e.c GROUP BY 1
+         |  ) s ON p.pn = s.p),
+         |a$r AS (
+         |  SELECT pn, CAST((auth * $HitsScale)
+         |    // greatest((SELECT max(auth) FROM ar$r), 1) AS BIGINT) AS auth
+         |  FROM ar$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |parts AS (SELECT p_partkey AS pn FROM part),
+       |custs AS (SELECT c_custkey AS cn FROM customer),
+       |a0 AS (SELECT pn, CAST($HitsScale AS BIGINT) AS auth FROM parts),
+       |$rounds,
+       |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_buyers FROM e GROUP BY 1)
+       |SELECT a.pn AS p_partkey, a.auth AS auth_u,
+       |       CAST(coalesce(d.n_buyers, 0) AS BIGINT) AS n_buyers
+       |FROM a$HitsRounds a LEFT JOIN deg d ON a.pn = d.p""".stripMargin
+  }
 }

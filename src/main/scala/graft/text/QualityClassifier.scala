@@ -169,6 +169,75 @@ object QualityClassifier {
       .select(col("n_pos"), col("n_neg"), col("u2"), col("auc_u"))
   }
 
+  /** Equal-count bins for [[reliabilityDiagram]]. */
+  val CalBins = 10
+
+  /** q222: reliability diagram + expected calibration error for the
+    * q146 classifier — the third leg of the evaluation stool beside
+    * discrimination (q193's AUC) and repair (q204's isotonic fit): per
+    * logit decile (equal-count ntile over the total (logit, doc_id)
+    * order, so ties can't wander between bins), the mean PREDICTED
+    * probability vs the OBSERVED positive rate, gap per bin, and the
+    * count-weighted ECE (Naeini et al., AAAI'15). Predicted
+    * probability is the same algebraic sigmoid the training loop uses,
+    * in exact micro-units: dev_u = (|l|·10⁶) div (2(10⁶+|l|)) applied
+    * by sign — the division only ever sees a NONNEGATIVE dividend
+    * (σ̃ is antisymmetric around ½), making the quotient
+    * rounding-mode-proof across engines. All integers end-to-end.
+    *
+    * Scale shape: scoring is the q146 narrow map; the decile split is
+    * one designed sort (q76/q193 caveat — per-shard at fleet scale);
+    * bins and the 1-row ECE are map-side-combinable rollups. */
+  def reliabilityDiagram(spark: SparkSession, dir: String): DataFrame = {
+    val scored = classify(spark, dir).select(col("y"), col("logit_u"))
+      .withColumn("dev_u", expr(
+        "(abs(logit_u) * 1000000) div (2 * (1000000 + abs(logit_u)))"))
+      .withColumn("p_u", expr(
+        "500000 + CASE WHEN logit_u >= 0 THEN dev_u ELSE -dev_u END"))
+    val binned = scored.withColumn("bin",
+      ntile(CalBins).over(Window.orderBy(col("logit_u"), col("y"))))
+    val bins = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p_u")).as("sum_p"))
+      .withColumn("avg_p_u", expr("sum_p div n"))
+      .withColumn("obs_u", expr("(n_pos * 1000000) div n"))
+      .withColumn("gap_u", abs(col("avg_p_u") - col("obs_u")))
+    val ece = bins.agg(
+      expr("sum(n * gap_u) div sum(n)").as("ece_u"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("avg_p_u"),
+        col("obs_u"), col("gap_u"), col("ece_u"))
+  }
+
+  lazy val reliabilityDiagramSql: String =
+    s"""WITH base AS ($classifySql),
+       |p AS (
+       |  SELECT y, logit_u,
+       |         500000 + CASE WHEN logit_u >= 0
+       |           THEN (abs(logit_u) * 1000000) // (2 * (1000000 + abs(logit_u)))
+       |           ELSE -((abs(logit_u) * 1000000) // (2 * (1000000 + abs(logit_u))))
+       |         END AS p_u
+       |  FROM base),
+       |binned AS (
+       |  SELECT y, p_u,
+       |         ntile($CalBins) OVER (ORDER BY logit_u, y) AS bin
+       |  FROM p),
+       |bins AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS n_pos,
+       |         CAST(sum(p_u) AS BIGINT) AS sum_p
+       |  FROM binned GROUP BY 1),
+       |g AS (
+       |  SELECT bin, n, n_pos, sum_p // n AS avg_p_u,
+       |         (n_pos * 1000000) // n AS obs_u,
+       |         abs(sum_p // n - (n_pos * 1000000) // n) AS gap_u
+       |  FROM bins),
+       |e AS (SELECT CAST(sum(n * gap_u) // sum(n) AS BIGINT) AS ece_u FROM g)
+       |SELECT bin, n, n_pos, CAST(avg_p_u AS BIGINT) AS avg_p_u,
+       |       CAST(obs_u AS BIGINT) AS obs_u, CAST(gap_u AS BIGINT) AS gap_u,
+       |       e.ece_u
+       |FROM g, e""".stripMargin
+
   lazy val aucExactSql: String =
     s"""WITH base AS ($classifySql),
        |r AS (
@@ -238,5 +307,95 @@ object QualityClassifier {
        |SELECT doc_id, y, logit_u, logit_u > 0 AS pred,
        |       (logit_u > 0) = (y = 1) AS correct, wf.fp AS w_fp
        |FROM fin CROSS JOIN wf""".stripMargin
+  }
+
+  /** Miscoverage levels (percent) the conformal gate is evaluated at. */
+  val ConformalAlphas = Seq(10L, 20L)
+
+  /** q225: split-conformal admission gate over the learned quality
+    * score (Vovk et al.'s conformal prediction, the split/inductive
+    * form of Papadopoulos'02 / Lei'18) — the distribution-free way to
+    * turn q146's raw logit into a gate with a COVERAGE KNOB: on the
+    * held-out calibration split ('val', disjoint from training by the
+    * q97 leak-proof hash split), take the ⌈(1−α)(n+1)⌉-th smallest
+    * nonconformity score (s = −logit, higher = worse); on 'test',
+    * admit docs at or under that threshold. Finite-sample guarantee:
+    * an exchangeable conforming doc is admitted with probability
+    * ≥ 1−α — no distributional assumption, no refit per α. Ledger per
+    * α ∈ {10%, 20%}: calibration size, order-statistic index, the
+    * integer threshold, test admit counts/rate, and the
+    * calibration-side coverage sanity rate (≥ 1−α by construction).
+    *
+    * Scale shape: scoring is the q146 narrow map; the order statistic
+    * is one designed sort over the CALIBRATION split only (a bounded
+    * sample at fleet scale — q76/q193 caveat applies if val is huge);
+    * thresholds are a 2-row broadcast against the test split, so the
+    * corpus-sized side is touched by exactly one codegen'd pass. */
+  def conformalGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = classify(spark, dir)
+      .select(col("doc_id"), (-col("logit_u")).as("s_u"))
+    val split = TextOps.hashSplit(spark, dir).select(col("doc_id"), col("split"))
+    // referenced by the cal rank, the test scan, and the coverage scan
+    val j = scored.join(split, "doc_id")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cal = j.filter(col("split") === "val")
+    val ranked = cal.withColumn("rn",
+      row_number().over(Window.orderBy(col("s_u"), col("doc_id"))).cast("long"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val ks = ConformalAlphas.toDF("alpha_pct").crossJoin(broadcast(nCal))
+      .withColumn("k_idx",
+        expr("least(((n_cal + 1) * (100 - alpha_pct) + 99) div 100, n_cal)"))
+    val thr = broadcast(ks.join(ranked, ks("k_idx") === ranked("rn"))
+      .select(col("alpha_pct"), col("n_cal"), col("k_idx"),
+        col("s_u").as("thr_s_u")))
+    val admitted = j.filter(col("split") === "test").crossJoin(thr)
+      .groupBy(col("alpha_pct"), col("n_cal"), col("k_idx"), col("thr_s_u"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s_u") <= col("thr_s_u"), 1L).otherwise(0L)).as("n_admit"))
+      .withColumn("admit_ppm", expr("(n_admit * 1000000) div n_test"))
+    val calCov = cal.crossJoin(broadcast(thr.select(
+        col("alpha_pct").as("a2"), col("thr_s_u").as("t2"))))
+      .groupBy(col("a2"))
+      .agg(sum(when(col("s_u") <= col("t2"), 1L).otherwise(0L)).as("n_cal_within"))
+    admitted.join(calCov, col("alpha_pct") === col("a2"))
+      .select(col("alpha_pct"), col("n_cal"), col("k_idx"), col("thr_s_u"),
+        col("n_test"), col("n_admit"), col("admit_ppm"),
+        expr("(n_cal_within * 1000000) div n_cal").as("cal_cov_ppm"))
+  }
+
+  lazy val conformalGateSql: String = {
+    val alphas = ConformalAlphas
+      .map(a => s"(CAST($a AS BIGINT))").mkString(", ")
+    s"""WITH base AS ($classifySql),
+       |sp AS (${TextOps.hashSplitSql}),
+       |j AS (SELECT b.doc_id, -b.logit_u AS s_u, sp.split
+       |      FROM base b JOIN sp ON b.doc_id = sp.doc_id),
+       |cal AS (SELECT s_u, CAST(row_number() OVER (ORDER BY s_u, doc_id)
+       |                         AS BIGINT) AS rn
+       |        FROM j WHERE split = 'val'),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+       |alphas AS (SELECT * FROM (VALUES $alphas) t(alpha_pct)),
+       |ks AS (SELECT alpha_pct, n_cal,
+       |              least(((n_cal + 1) * (100 - alpha_pct) + 99) // 100,
+       |                    n_cal) AS k_idx
+       |       FROM alphas CROSS JOIN n),
+       |thr AS (SELECT ks.alpha_pct, ks.n_cal, ks.k_idx, c.s_u AS thr_s_u
+       |        FROM ks JOIN cal c ON c.rn = ks.k_idx),
+       |tst AS (SELECT t.alpha_pct, t.n_cal, t.k_idx, t.thr_s_u,
+       |               CAST(count(*) AS BIGINT) AS n_test,
+       |               CAST(sum(CASE WHEN j.s_u <= t.thr_s_u THEN 1 ELSE 0 END)
+       |                    AS BIGINT) AS n_admit
+       |        FROM j CROSS JOIN thr t WHERE j.split = 'test'
+       |        GROUP BY 1, 2, 3, 4),
+       |cov AS (SELECT t.alpha_pct AS a2,
+       |               CAST(sum(CASE WHEN j.s_u <= t.thr_s_u THEN 1 ELSE 0 END)
+       |                    AS BIGINT) AS n_cal_within
+       |        FROM j CROSS JOIN thr t WHERE j.split = 'val'
+       |        GROUP BY 1)
+       |SELECT tst.alpha_pct, n_cal, k_idx, thr_s_u, n_test, n_admit,
+       |       CAST((n_admit * 1000000) // n_test AS BIGINT) AS admit_ppm,
+       |       CAST((n_cal_within * 1000000) // n_cal AS BIGINT) AS cal_cov_ppm
+       |FROM tst JOIN cov ON tst.alpha_pct = cov.a2""".stripMargin
   }
 }

@@ -1308,11 +1308,13 @@ object VectorOps {
     * (the q83 lesson — every downstream sum is then exact at any
     * accumulation order); G accumulates in DECIMAL(38,0)/HUGEINT.
     * Renormalization has NO negative division anywhere: both engines
-    * floor-divide a NONNEGATIVE dividend by the positive max-abs m
-    * via the shift identity w' = ((u + m)·S) div m − S (Spark `div`
-    * truncates toward zero, DuckDB `//` floors — they agree only on
-    * nonnegative operands, so the shift is load-bearing), and the
-    * Rayleigh numerator is nonnegative because G is PSD.
+    * divide a NONNEGATIVE dividend by the positive max-abs m via the
+    * shift identity w' = ((u + m)·S) div m − S. (Spark `div` and
+    * DuckDB `//` both truncate toward zero, so they already agree on
+    * negatives — the shift makes the quotient rounding-mode-PROOF,
+    * defending the contract against any engine that floors, e.g.
+    * Python's `//`.) The Rayleigh numerator is nonnegative because G
+    * is PSD.
     *
     * Scale shape: ONE narrow codegen'd pass builds all 256 Gram cells
     * as map-side-combined sums (no self-join, no fanout shuffle); the

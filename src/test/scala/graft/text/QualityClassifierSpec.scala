@@ -50,4 +50,46 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(acc > majority + 0.05,
       s"accuracy $acc does not beat majority baseline $majority")
   }
+
+  test("q222: reliability bins equal an in-memory ntile+ECE replay") {
+    // independent replay: score, sort by (logit_u, y), split into
+    // ntile buckets (first n%k buckets one larger — Spark semantics),
+    // aggregate, and recompute the count-weighted ECE in exact
+    // integer arithmetic.
+    val scored = QualityClassifier.classify(spark, dir)
+      .select("y", "logit_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (y, l) => (l, y) }
+    val n = scored.length
+    val k = QualityClassifier.CalBins
+    val base = n / k; val extra = n % k
+    val sizes = (1 to k).map(b => if (b <= extra) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def pU(l: Long): Long = {
+      val dev = (math.abs(l) * 1000000L) / (2L * (1000000L + math.abs(l)))
+      if (l >= 0) 500000L + dev else 500000L - dev
+    }
+    val want = (1 to k).map { b =>
+      val rows = scored.slice(offsets(b - 1), offsets(b))
+      val nb = rows.length.toLong
+      val nPos = rows.map(_._1).sum
+      val sumP = rows.map(r => pU(r._2)).sum
+      val avgP = sumP / nb
+      val obs = (nPos * 1000000L) / nb
+      (b.toLong, nb, nPos, avgP, obs, math.abs(avgP - obs))
+    }
+    val eceWant =
+      want.map(r => r._2 * r._6).sum / want.map(_._2).sum
+    val got = QualityClassifier.reliabilityDiagram(spark, dir)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(got.length === k)
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) === want)
+    assert(got.forall(_._7 == eceWant))
+    // calibration sanity: predicted probability is monotone over the
+    // logit-ordered bins, and the ECE is a probability in micro-units
+    assert(got.map(_._4) === got.map(_._4).sorted, "avg_p_u not monotone")
+    assert(eceWant >= 0L && eceWant <= 1000000L)
+  }
 }
