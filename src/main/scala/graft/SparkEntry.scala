@@ -501,6 +501,16 @@ object SparkEntry {
     // distribution-free coverage knob, exact order-stat threshold.
     "q225_conformal"        -> ((s: SparkSession, dir: String) =>
       graft.text.QualityClassifier.conformalGate(s, dir)),
+    // Tabular CUSUM level-shift detection on the dense hourly grid:
+    // exact prefix-sum/running-min identity, cross-multiplied mean.
+    "q226_cusum"            -> (E.cusumChangepoint _),
+    // Kendall-tau order concordance of the RP sketch vs exact cosine:
+    // C(10,2) pairs per probe, exact integer tau in ppm.
+    "q227_kendall_tau"      -> (V.kendallTau _),
+    // Rendezvous (HRW) vs mod-hash resharding audit: per-shard
+    // placement + moved-key ledger at k=8 -> 9, one narrow map.
+    "q228_hrw_shards"       -> ((s: SparkSession, dir: String) =>
+      graft.sources.ShardOps.shardRebalance(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -911,6 +921,9 @@ object SparkEntry {
     "q223_theil_sen"        -> R.theilSenTrendSql,
     "q224_hits"             -> G.hitsSql,
     "q225_conformal"        -> graft.text.QualityClassifier.conformalGateSql,
+    "q226_cusum"            -> E.cusumChangepointSql,
+    "q227_kendall_tau"      -> V.kendallTauSql,
+    "q228_hrw_shards"       -> graft.sources.ShardOps.shardRebalanceSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

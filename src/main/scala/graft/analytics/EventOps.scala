@@ -1392,4 +1392,92 @@ object EventOps {
        |FROM pat CROSS JOIN tot
        |WHERE n_users * 100 >= n_total * $SeqMinSupPct""".stripMargin
   }
+
+  // ------------------------------------------------------ q226 CUSUM
+
+  /** Calibration window: the first [[CusumRefHours]] hours of the dense
+    * grid fix the in-control hourly mean per event type. */
+  val CusumRefHours = 48L
+  /** Allowance (slack) in basis points of the reference hourly mean —
+    * drift smaller than this never accumulates. */
+  val CusumSlackBp = 2500L
+  /** Alarm threshold in reference hourly means of cumulative excess. */
+  val CusumH = 5L
+
+  /** Tabular CUSUM changepoint detection (Page 1954) over the q111
+    * dense hourly grid: per event type, the one-sided cumulative sum
+    * S_i = max(0, S_{i-1} + x_i − μ − k) alarms when sustained drift
+    * accumulates past H·μ — the classic sequential level-shift
+    * detector that q173's trailing-mean z-shape cannot see (a slow
+    * ramp stays under any per-hour threshold; CUSUM integrates it).
+    *
+    * Exactness: the recursive max is NOT window-expressible, but the
+    * textbook identity S_i = P_i − min(0, min_{j≤i} P_j) with
+    * P_i = Σ_{t≤i}(x_t − μ − k) is — one running sum + one running min
+    * per type. μ is carried cross-multiplied (d_u = n_ref·x − sum_ref −
+    * slack_u), so every quantity is an exact BIGINT; the only division
+    * (slack) has a nonnegative dividend, so Spark's trunc-`div` and
+    * DuckDB's floor-`//` agree.
+    *
+    * Scale shape: the grid is calendar×types sized (independent of
+    * event cardinality), the reference stats are a tiny broadcast, and
+    * the sweep is ONE type-keyed window pass. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(gapfillHourlyOf(Tables.events(spark, dir)))
+
+  /** The CUSUM sweep on an explicit dense (window_start, event_type,
+    * n_events) grid — exposed for planted level-shift specs and the
+    * streaming twin. */
+  def cusumOf(grid: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+    val idx = grid.withColumn("idx", row_number().over(w).cast("long"))
+    val ref = idx.filter(col("idx") <= CusumRefHours)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_ref"), sum(col("n_events")).as("sum_ref"))
+    val pw = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    idx.filter(col("idx") > CusumRefHours)
+      .join(broadcast(ref), "event_type")
+      .withColumn("d_u",
+        col("n_ref") * col("n_events") - col("sum_ref")
+          - expr(s"(sum_ref * $CusumSlackBp) div 10000"))
+      .withColumn("pre_u", sum(col("d_u")).over(pw))
+      .withColumn("cusum_u",
+        col("pre_u") - least(lit(0L), min(col("pre_u")).over(pw)))
+      .withColumn("alarm",
+        (col("cusum_u") > col("sum_ref") * CusumH).cast("long"))
+      .select(col("event_type"), col("window_start"), col("n_events"),
+        col("cusum_u"), col("alarm"))
+  }
+
+  val cusumChangepointSql: String =
+    s"""WITH grid AS ($gapfillHourlySql),
+       |idx AS (
+       |  SELECT event_type, window_start, n_events,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |           ORDER BY window_start) AS BIGINT) AS idx
+       |  FROM grid),
+       |ref AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_ref,
+       |         CAST(sum(n_events) AS BIGINT) AS sum_ref
+       |  FROM idx WHERE idx <= $CusumRefHours GROUP BY 1),
+       |post AS (
+       |  SELECT i.event_type, i.window_start, i.n_events, r.sum_ref,
+       |         r.n_ref * i.n_events - r.sum_ref
+       |           - ((r.sum_ref * $CusumSlackBp) // 10000) AS d_u
+       |  FROM idx i JOIN ref r USING (event_type) WHERE i.idx > $CusumRefHours),
+       |c AS (
+       |  SELECT event_type, window_start, n_events, sum_ref,
+       |         CAST(sum(d_u) OVER (PARTITION BY event_type ORDER BY window_start
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre_u
+       |  FROM post),
+       |m AS (
+       |  SELECT event_type, window_start, n_events, sum_ref,
+       |         pre_u - least(CAST(0 AS BIGINT),
+       |           CAST(min(pre_u) OVER (PARTITION BY event_type ORDER BY window_start
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_u
+       |  FROM c)
+       |SELECT event_type, window_start, n_events, CAST(cusum_u AS BIGINT) AS cusum_u,
+       |       CAST(CASE WHEN cusum_u > sum_ref * $CusumH THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM m""".stripMargin
 }

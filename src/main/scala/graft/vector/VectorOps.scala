@@ -1395,4 +1395,89 @@ object VectorOps {
        |       CAST((num.num * 1000000) // den.den AS BIGINT) AS lambda_u
        |FROM w$PiRounds f, num, den""".stripMargin
   }
+
+  // ------------------------------------------- Kendall rank concordance
+
+  /** q227: exact Kendall-τ concordance between the exact-cosine
+    * ranking and the raw RP-sketch ranking, per probe — the ORDERING
+    * complement to q207's set-based AP@10 (AP only sees which items
+    * made the cut; τ sees whether the sketch preserves their relative
+    * order, which is what a shortlist re-ranker consumes). The item
+    * set is the exact top-[[KMap]]; both rank keys are total orders
+    * (desc score, then neighbor_id), so no tie correction is needed
+    * and τ = (C − D)/C(K,2) is exact. The ppm division shifts the
+    * dividend nonnegative first (C − D + n ≥ 0) so Spark's trunc-`div`
+    * and DuckDB's floor-`//` cannot diverge.
+    *
+    * Scale shape: the pair enumeration is C(KMap,2) = 45 rows per
+    * probe — bounded by the eval depth, never by corpus size; the
+    * corpus-sized work is the same broadcast ground-truth pass q207
+    * already pays. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val projected = vecs(spark, dir).withColumn("p", rpProjCol)
+    val q = broadcast(projected.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("p").as("qp")))
+    val pairs = q.join(projected.select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("p")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .withColumn("rp_sim", dot(col("qp"), col("p")).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rp_sim"))
+    val top = pairs.withColumn("r_e", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos_sim"), col("neighbor_id"))).cast("long"))
+      .filter(col("r_e") <= KMap)
+      .withColumn("r_s", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("rp_sim"), col("neighbor_id"))).cast("long"))
+      .select(col("query_id"), col("r_e"), col("r_s"))
+    val a = top.select(col("query_id"), col("r_e").as("e1"), col("r_s").as("s1"))
+    val b = top.select(col("query_id"), col("r_e").as("e2"), col("r_s").as("s2"))
+    a.join(b, Seq("query_id")).filter(col("e1") < col("e2"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("s1") < col("s2"), 1L).otherwise(0L)).as("concordant"))
+      .withColumn("discordant", col("n_pairs") - col("concordant"))
+      .withColumn("tau_ppm", expr(
+        "((concordant - discordant + n_pairs) * 1000000) div n_pairs - 1000000"))
+  }
+
+  val kendallTauSql: String =
+    s"""WITH $vecsSql,
+       |mat AS (SELECT $rpMatSqlLit AS m),
+       |proj AS (
+       |  SELECT vec_id, v, nrm,
+       |         list_transform((SELECT m FROM mat),
+       |           r -> list_dot_product(list_transform(v, x -> floor(x * $RpQ + 0.5)), r)) AS p
+       |  FROM vecs),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim,
+       |         CAST(list_dot_product(q.p, e.p) AS BIGINT) AS rp_sim
+       |  FROM proj q JOIN proj e
+       |    ON q.vec_id < $QueryMax AND q.vec_id != e.vec_id),
+       |et AS (
+       |  SELECT query_id, neighbor_id, rp_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS r_e
+       |  FROM pairs),
+       |top AS (
+       |  SELECT query_id, CAST(r_e AS BIGINT) AS r_e,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rp_sim DESC, neighbor_id) AS BIGINT) AS r_s
+       |  FROM et WHERE r_e <= $KMap),
+       |agg AS (
+       |  SELECT a.query_id,
+       |         CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(CASE WHEN a.r_s < b.r_s THEN 1 ELSE 0 END) AS BIGINT) AS concordant
+       |  FROM top a JOIN top b
+       |    ON a.query_id = b.query_id AND a.r_e < b.r_e
+       |  GROUP BY 1)
+       |SELECT query_id, n_pairs, concordant,
+       |       n_pairs - concordant AS discordant,
+       |       ((concordant - (n_pairs - concordant) + n_pairs) * 1000000) // n_pairs
+       |         - 1000000 AS tau_ppm
+       |FROM agg""".stripMargin
 }
