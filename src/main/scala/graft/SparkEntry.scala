@@ -511,6 +511,15 @@ object SparkEntry {
     // placement + moved-key ledger at k=8 -> 9, one narrow map.
     "q228_hrw_shards"       -> ((s: SparkSession, dir: String) =>
       graft.sources.ShardOps.shardRebalance(s, dir)),
+    // Link prediction on the co-purchase graph: common-neighbor,
+    // Jaccard, and resource-allocation scores for distance-2 pairs.
+    "q229_link_prediction"  -> (G.linkPrediction _),
+    // Multiclass eval of the heuristic lang-id: per-class P/R/F1 +
+    // accuracy, macro-F1, and Cohen's kappa, all exact integers.
+    "q230_langid_eval"      -> (T.langIdEval _),
+    // q226 live: hourly-count cells as bounded streaming state, the
+    // drained grid swept by the shared CUSUM identity.
+    "q231_stream_cusum"     -> (E.cusumStream _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -924,6 +933,10 @@ object SparkEntry {
     "q226_cusum"            -> E.cusumChangepointSql,
     "q227_kendall_tau"      -> V.kendallTauSql,
     "q228_hrw_shards"       -> graft.sources.ShardOps.shardRebalanceSql,
+    "q229_link_prediction"  -> G.linkPredictionSql,
+    "q230_langid_eval"      -> T.langIdEvalSql,
+    // the streaming accumulation must land on the batch CUSUM ledger
+    "q231_stream_cusum"     -> E.cusumChangepointSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

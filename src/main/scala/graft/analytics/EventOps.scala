@@ -965,16 +965,28 @@ object EventOps {
 
   /** The dense-grid zero-fill on an explicit events frame (needs ts,
     * event_type) — shared with q217 and its planted-series specs. */
-  def gapfillHourlyOf(ev: DataFrame): DataFrame = {
-    val hourly = ev
+  def gapfillHourlyOf(ev: DataFrame): DataFrame =
+    denseGridOfCounts(ev
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val spine = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-           date_trunc("hour", max(col("ts"))).as("hi"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Dense (hour × type) grid from pre-aggregated hourly counts
+    * `(window_start, event_type, n)`: the spine spans the observed
+    * hour range, absent cells zero-fill. The min/max hour of the
+    * counts table equals the min/max event hour, so building the grid
+    * from counts is identical to building it from raw events — which
+    * is what lets the streaming twin (q231) keep only hourly-count
+    * state and still land on the q226 batch grid exactly. */
+  def denseGridOfCounts(hourly: DataFrame): DataFrame = {
+    val spine = hourly
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
         .as("window_start"))
-    val types = ev.select(col("event_type")).distinct()
+    // triple-reference of one input (spine/types/cells): aliasing mints
+    // fresh attribute ids so a table-backed input (the streaming twin's
+    // drained memory sink) can't trip the self-join attribute conflict
+    val types = hourly.select(col("event_type").as("et")).distinct()
+      .select(col("et").as("event_type"))
     spine.crossJoin(types)
       .join(broadcast(hourly), Seq("window_start", "event_type"), "left")
       .select(col("window_start"), col("event_type"),
@@ -1448,6 +1460,27 @@ object EventOps {
         (col("cusum_u") > col("sum_ref") * CusumH).cast("long"))
       .select(col("event_type"), col("window_start"), col("n_events"),
         col("cusum_u"), col("alarm"))
+  }
+
+  /** q231: the CUSUM detector as a LIVE ingest monitor — q226's twin on
+    * the q203/q214 sketch-as-state principle: the streaming aggregate's
+    * state is the per-(event_type, hour) count cell table, bounded by
+    * calendar × type-count forever (never event or user cardinality),
+    * and each micro-batch only increments counters. After the
+    * AvailableNow drain the shared dense-grid builder and the shared
+    * [[cusumOf]] sweep run as plain batch plans over the drained cells
+    * — the ledger must hash-equal the q226 batch oracle, so a green
+    * hash pins the streaming accumulation, the grid reconstruction,
+    * and the sweep together. (On a production unbounded stream the
+    * complete-mode drain becomes a windowed append + periodic sweep;
+    * the state bound is the part that matters.) */
+  def cusumStream(spark: SparkSession, dir: String): DataFrame = {
+    val cur = graft.streaming.EventsStream.source(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val drained = graft.streaming.EventsStream.runAvailableNow(
+      spark, cur, "q231_stream_cusum", outputMode = "complete")
+    cusumOf(denseGridOfCounts(drained))
   }
 
   val cusumChangepointSql: String =

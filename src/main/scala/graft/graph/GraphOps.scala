@@ -768,4 +768,82 @@ object GraphOps {
        |       CAST(coalesce(d.n_buyers, 0) AS BIGINT) AS n_buyers
        |FROM a$HitsRounds a LEFT JOIN deg d ON a.pn = d.p""".stripMargin
   }
+
+  // ------------------------------------------------- q229 link prediction
+
+  /** Hub cap for wedge generation: common neighbors of degree above
+    * this are excluded from candidate generation. A hub contributes
+    * C(deg, 2) wedges but near-zero resource-allocation mass (1/deg),
+    * so dropping it bounds per-node fanout at C(cap, 2) — the standard
+    * estimator trade-off that keeps the wedge volume linear-ish in the
+    * edge count instead of Σ deg² on a power-law graph. Applied
+    * identically in the oracle, so the compare stays exact. */
+  val LinkPredHubCap = 64L
+
+  /** Minimum common-neighbor count for an emitted candidate — bounds
+    * the output ledger to structurally supported predictions. */
+  val LinkPredMinCn = 2L
+
+  /** Link prediction on the co-purchase graph (Liben-Nowell & Kleinberg
+    * 2003): for every non-adjacent part pair at distance 2, the three
+    * classic neighborhood scores — common-neighbor count, Jaccard of
+    * the neighbor sets, and the resource-allocation index Σ_z 1/deg(z)
+    * (Zhou et al. 2009, the log-free cousin of Adamic-Adar) — the
+    * "customers who bought X may also buy Y" candidate generator
+    * upstream of q125's observed top-k.
+    *
+    * Exactness: RA carried as Σ (10⁶ div deg_z) — every divisor is a
+    * positive degree, so trunc-`div` and floor-`//` agree; Jaccard in
+    * ppm with denominator |Γa ∪ Γb| = deg_a + deg_b − cn ≥ 1.
+    *
+    * Scale shape: wedges stream through ONE self-join of the symmetric
+    * edge list keyed on the shared neighbor z (fanout per z capped at
+    * C([[LinkPredHubCap]], 2)), fold to (a, b) with a map-side-combined
+    * count/sum, then one anti-join removes existing edges and two
+    * broadcast-sized degree joins attach the margins. Nothing wider
+    * than three ids and two longs ever shuffles. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionOf(materialize(edges(spark, dir, minSupport = 2)))
+
+  /** The scoring core on an explicit canonical (pa < pb) edge list —
+    * exposed for planted-graph specs. */
+  def linkPredictionOf(e: DataFrame): DataFrame = {
+    val sym = e.select(col("pa").as("z"), col("pb").as("x"))
+      .unionAll(e.select(col("pb").as("z"), col("pa").as("x")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val viaZ = sym.join(maybeBroadcast(deg.filter(col("deg") <= LinkPredHubCap)), "z")
+    val wedges = viaZ.as("l").join(viaZ.as("r"),
+        col("l.z") === col("r.z") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("pa"), col("r.x").as("pb"), col("l.deg").as("deg_z"))
+    val cand = wedges.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg_z")).as("ra_ppm"))
+      .filter(col("cn") >= LinkPredMinCn)
+      .join(e, Seq("pa", "pb"), "left_anti")
+    cand
+      .join(maybeBroadcast(deg.select(col("z").as("pa"), col("deg").as("deg_a"))), "pa")
+      .join(maybeBroadcast(deg.select(col("z").as("pb"), col("deg").as("deg_b"))), "pb")
+      .select(col("pa"), col("pb"), col("cn"), col("ra_ppm"),
+        expr("cn * 1000000 div (deg_a + deg_b - cn)").as("jaccard_ppm"))
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH ${edgesSql(2)},
+       |sym AS (SELECT pa AS z, pb AS x FROM e0
+       |        UNION ALL SELECT pb AS z, pa AS x FROM e0),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |viaz AS (SELECT s.z, s.x, d.deg FROM sym s JOIN deg d USING (z)
+       |         WHERE d.deg <= $LinkPredHubCap),
+       |cand AS (
+       |  SELECT l.x AS pa, r.x AS pb, CAST(count(*) AS BIGINT) AS cn,
+       |         CAST(sum(1000000 // l.deg) AS BIGINT) AS ra_ppm
+       |  FROM viaz l JOIN viaz r ON l.z = r.z AND l.x < r.x
+       |  GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinCn)
+       |SELECT c.pa, c.pb, c.cn, c.ra_ppm,
+       |       CAST(c.cn * 1000000 // (da.deg + db.deg - c.cn) AS BIGINT) AS jaccard_ppm
+       |FROM cand c
+       |JOIN deg da ON da.z = c.pa
+       |JOIN deg db ON db.z = c.pb
+       |WHERE NOT EXISTS (SELECT 1 FROM e0 e
+       |                  WHERE e.pa = c.pa AND e.pb = c.pb)""".stripMargin
 }

@@ -1683,4 +1683,137 @@ object TextOps {
        |       CAST(length(html) AS BIGINT) AS html_chars
        |FROM pages""".stripMargin
   }
+
+  // --------------------------------------------- q230 classifier evaluation
+
+  /** Full multiclass evaluation of the q16 heuristic lang-id against
+    * the gold labels: per-class precision/recall/F1 from the confusion
+    * matrix, plus global accuracy, macro-F1, and Cohen's kappa — the
+    * chance-corrected agreement statistic label-quality audits report
+    * (Cohen 1960). Completes the eval ledger family: q193 (AUC) and
+    * q222 (calibration) grade the binary quality classifier; this
+    * grades the multiclass labeler.
+    *
+    * All-integer: F1 uses the harmonic identity 2·tp/(2·tp+fp+fn) so
+    * no intermediate precision/recall float exists; kappa clears
+    * denominators — κ·10⁶ = (N·Σtp − Σ_c row_c·col_c)·10⁶ floor-div
+    * (N² − Σ_c row_c·col_c). The numerator can be negative (worse than
+    * chance), so floor division is spelled with the explicit
+    * nonneg-operand CASE that truncating `div` and flooring `//`
+    * evaluate identically.
+    *
+    * Scale shape: ONE corpus-wide (lang, predicted) count aggregate
+    * (q16's plan); everything after operates on the class-squared cell
+    * table (≤ ~36 rows) — margins, diagonal, and the three global
+    * scalars are broadcast-sized by construction. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame =
+    // the confusion table is referenced by five derivations (margins,
+    // diagonal, agreement, macro fold, per-class rows) — truncate its
+    // lineage so the ONE corpus-wide aggregate runs once, not per
+    // reference (class²-sized: a bounded model artifact)
+    evalOfConfusion(langId(spark, dir).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  /** The metric derivation on an explicit (lang, predicted, n)
+    * confusion table — exposed for hand-computed fixture specs
+    * (including the worse-than-chance negative-kappa branch). */
+  def evalOfConfusion(cm: DataFrame): DataFrame = {
+    val rowm = cm.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("row_n"))
+    val colm = cm.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("col_n"))
+    val margins = rowm.join(colm, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("row_n"), lit(0L)).as("row_n"),
+        coalesce(col("col_n"), lit(0L)).as("col_n"))
+    val diag = cm.filter(col("lang") === col("predicted"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    val perClass = margins.join(diag, Seq("cls"), "left_outer")
+      .select(col("cls"), col("row_n"), col("col_n"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("tp"),
+        (col("col_n") - col("tp")).as("fp"),
+        (col("row_n") - col("tp")).as("fn"),
+        col("row_n").as("support"), col("row_n"), col("col_n"))
+      .withColumn("precision_ppm",
+        when(col("col_n") === 0, lit(0L))
+          .otherwise(expr("tp * 1000000 div col_n")))
+      .withColumn("recall_ppm",
+        when(col("row_n") === 0, lit(0L))
+          .otherwise(expr("tp * 1000000 div row_n")))
+      .withColumn("f1_ppm",
+        when(col("row_n") + col("col_n") === 0, lit(0L))
+          .otherwise(expr("2 * tp * 1000000 div (row_n + col_n)")))
+      .drop("row_n", "col_n")
+    val glob = margins.agg(
+        sum(col("row_n")).as("n_total"),
+        sum(col("row_n") * col("col_n")).as("chance"))
+      .crossJoin(cm.filter(col("lang") === col("predicted"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_agree")))
+      .crossJoin(perClass.agg(sum(col("f1_ppm")).as("f1_sum"),
+        count(lit(1)).as("n_cls")))
+      .select(
+        expr("n_agree * 1000000 div n_total").as("accuracy_ppm"),
+        expr("f1_sum div n_cls").as("macro_f1_ppm"),
+        // N² and N²·10⁶ overflow int64 past ~3M docs — widen the kappa
+        // numerator/denominator through DECIMAL(38,0) (oracle: HUGEINT)
+        expr("""cast(n_total as decimal(38,0)) * n_agree
+               |  - cast(chance as decimal(38,0))""".stripMargin).as("knum"),
+        expr("""cast(n_total as decimal(38,0)) * n_total
+               |  - cast(chance as decimal(38,0))""".stripMargin).as("kden"))
+      .select(col("accuracy_ppm"), col("macro_f1_ppm"),
+        when(col("kden") === 0, lit(0L)).otherwise(expr(
+          """CASE WHEN knum >= 0 THEN cast(knum * 1000000 div kden as bigint)
+            |     ELSE -cast((-knum * 1000000 + kden - 1) div kden as bigint)
+            |END""".stripMargin))
+          .as("kappa_ppm"))
+    perClass.crossJoin(broadcast(glob))
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH cm AS ($langIdSql),
+       |rowm AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1),
+       |colm AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS col_n FROM cm GROUP BY 1),
+       |margins AS (
+       |  SELECT cls, coalesce(row_n, 0) AS row_n, coalesce(col_n, 0) AS col_n
+       |  FROM rowm FULL OUTER JOIN colm USING (cls)),
+       |diag AS (SELECT lang AS cls, n AS tp FROM cm WHERE lang = predicted),
+       |pc AS (
+       |  SELECT m.cls, coalesce(d.tp, 0) AS tp,
+       |         m.col_n - coalesce(d.tp, 0) AS fp,
+       |         m.row_n - coalesce(d.tp, 0) AS fn,
+       |         m.row_n AS support,
+       |         CASE WHEN m.col_n = 0 THEN 0
+       |              ELSE coalesce(d.tp, 0) * 1000000 // m.col_n END AS precision_ppm,
+       |         CASE WHEN m.row_n = 0 THEN 0
+       |              ELSE coalesce(d.tp, 0) * 1000000 // m.row_n END AS recall_ppm,
+       |         CASE WHEN m.row_n + m.col_n = 0 THEN 0
+       |              ELSE 2 * coalesce(d.tp, 0) * 1000000 // (m.row_n + m.col_n)
+       |              END AS f1_ppm
+       |  FROM margins m LEFT JOIN diag d ON m.cls = d.cls),
+       |gtot AS (
+       |  SELECT CAST(sum(row_n) AS BIGINT) AS n_total,
+       |         CAST(sum(row_n * col_n) AS BIGINT) AS chance
+       |  FROM margins),
+       |agree AS (SELECT CAST(coalesce(sum(tp), 0) AS BIGINT) AS n_agree FROM diag),
+       |mf AS (SELECT CAST(sum(f1_ppm) AS BIGINT) AS f1_sum,
+       |              CAST(count(*) AS BIGINT) AS n_cls FROM pc),
+       |gl AS (
+       |  SELECT CAST(n_agree * 1000000 // n_total AS BIGINT) AS accuracy_ppm,
+       |         CAST(f1_sum // n_cls AS BIGINT) AS macro_f1_ppm,
+       |         CAST(n_total AS HUGEINT) * n_agree - CAST(chance AS HUGEINT) AS knum,
+       |         CAST(n_total AS HUGEINT) * n_total - CAST(chance AS HUGEINT) AS kden
+       |  FROM gtot, agree, mf),
+       |gk AS (
+       |  SELECT accuracy_ppm, macro_f1_ppm,
+       |         CAST(CASE WHEN kden = 0 THEN 0
+       |                   WHEN knum >= 0 THEN knum * 1000000 // kden
+       |                   ELSE -((-knum * 1000000 + kden - 1) // kden)
+       |              END AS BIGINT) AS kappa_ppm
+       |  FROM gl)
+       |SELECT pc.cls, CAST(pc.tp AS BIGINT) AS tp, CAST(pc.fp AS BIGINT) AS fp,
+       |       CAST(pc.fn AS BIGINT) AS fn, pc.support,
+       |       CAST(pc.precision_ppm AS BIGINT) AS precision_ppm,
+       |       CAST(pc.recall_ppm AS BIGINT) AS recall_ppm,
+       |       CAST(pc.f1_ppm AS BIGINT) AS f1_ppm,
+       |       gk.accuracy_ppm, gk.macro_f1_ppm, gk.kappa_ppm
+       |FROM pc, gk""".stripMargin
 }
