@@ -520,6 +520,15 @@ object SparkEntry {
     // q226 live: hourly-count cells as bounded streaming state, the
     // drained grid swept by the shared CUSUM identity.
     "q231_stream_cusum"     -> (E.cusumStream _),
+    // Rank-exact trimmed + winsorized means from the value histogram:
+    // robust location beside q161's median/MAD.
+    "q232_trimmed_mean"     -> (T.trimmedMean _),
+    // Simpson/HHI mixture concentration per stratification axis,
+    // effective strata count — exact ppm, no log.
+    "q233_mixture_diversity" -> (T.mixtureDiversity _),
+    // Jackknife leave-one-month-out OLS influence with exact
+    // cross-multiplied slope deltas and sign-flip flags.
+    "q234_trend_influence"  -> (R.trendInfluence _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -937,6 +946,9 @@ object SparkEntry {
     "q230_langid_eval"      -> T.langIdEvalSql,
     // the streaming accumulation must land on the batch CUSUM ledger
     "q231_stream_cusum"     -> E.cusumChangepointSql,
+    "q232_trimmed_mean"     -> T.trimmedMeanSql,
+    "q233_mixture_diversity" -> T.mixtureDiversitySql,
+    "q234_trend_influence"  -> R.trendInfluenceSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

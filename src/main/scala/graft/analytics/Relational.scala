@@ -305,6 +305,91 @@ object Relational {
        |                 THEN 1 ELSE 0 END AS BIGINT) AS agree
        |FROM ts JOIN ols ON ts.n_name = ols.n_name""".stripMargin
 
+  // ----------------------------------------- q234 jackknife trend influence
+
+  /** Leave-one-out influence of every month on its nation's OLS revenue
+    * trend — the jackknife regression diagnostic (the deletion form of
+    * Cook's distance, and the closed-form "data valuation" primitive:
+    * which observation, removed, moves the fitted model most). For each
+    * (nation, month): the slope refit WITHOUT that month comes straight
+    * from the q162 sufficient statistics minus the month's contribution
+    * — no second scan, no per-month refit job.
+    *
+    * Exactness: slopes are rationals num/den; the LOO−full difference
+    * is compared by clearing denominators — delta_ppm =
+    * (num_loo·den_full − num_full·den_loo)·10⁶ over den_loo·den_full,
+    * every product widened through DECIMAL(38,0)/HUGEINT, the
+    * possibly-negative numerator floor-divided via the explicit
+    * nonneg-operand CASE (the q230 convention). `flips_sign` marks
+    * months whose removal reverses the trend direction — the rows a
+    * revenue-quality monitor escalates.
+    *
+    * Scale shape: the corpus collapses to nation×month cells first
+    * (calendar-bounded), stats are one tiny rollup joined back, and
+    * the ledger is one narrow map over the cell table. */
+  def trendInfluence(spark: SparkSession, dir: String): DataFrame =
+    trendInfluenceOf(monthlyRevenue(spark, dir)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  /** The jackknife core on an explicit (n_name, m, y) cell table —
+    * exposed for closed-form fixture specs. */
+  def trendInfluenceOf(monthly: DataFrame): DataFrame = {
+    val stats = monthly.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("nm"), sum(col("m")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("m") * col("y")).as("sxy"),
+        sum(col("m") * col("m")).as("sxx"))
+      .filter(col("nm") >= 3) // LOO fit needs >= 2 residual months
+    monthly.join(broadcast(stats), "n_name")
+      .withColumn("num_f", expr("cast(nm as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("den_f", expr("cast(nm as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("num_l", expr(
+        """cast(nm - 1 as decimal(38,0)) * (sxy - m * y)
+          |  - cast(sx - m as decimal(38,0)) * (sy - y)""".stripMargin))
+      .withColumn("den_l", expr(
+        """cast(nm - 1 as decimal(38,0)) * (sxx - m * m)
+          |  - cast(sx - m as decimal(38,0)) * (sx - m)""".stripMargin))
+      .filter(col("den_l") > 0)
+      .withColumn("dnum", expr("(num_l * den_f - num_f * den_l) * 1000000"))
+      .withColumn("dden", col("den_l") * col("den_f"))
+      .select(col("n_name"), col("m"), col("y"),
+        expr("""CASE WHEN dnum >= 0 THEN cast(dnum div dden as bigint)
+               |     ELSE -cast((-dnum + dden - 1) div dden as bigint)
+               |END""".stripMargin).as("delta_ppm"),
+        expr("""cast(CASE WHEN (num_l >= 0) != (num_f >= 0)
+               |          AND num_l != 0 AND num_f != 0
+               |     THEN 1 ELSE 0 END as bigint)""".stripMargin).as("flips_sign"))
+  }
+
+  val trendInfluenceSql: String =
+    s"""WITH monthly AS ($monthlyRevenueSql),
+       |s AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS nm,
+       |         CAST(sum(m) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(m * y) AS BIGINT) AS sxy,
+       |         CAST(sum(m * m) AS BIGINT) AS sxx
+       |  FROM monthly GROUP BY 1 HAVING count(*) >= 3),
+       |j AS (
+       |  SELECT mo.n_name, mo.m, mo.y,
+       |         CAST(s.nm AS HUGEINT) * s.sxy - CAST(s.sx AS HUGEINT) * s.sy AS num_f,
+       |         CAST(s.nm AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx AS den_f,
+       |         CAST(s.nm - 1 AS HUGEINT) * (s.sxy - mo.m * mo.y)
+       |           - CAST(s.sx - mo.m AS HUGEINT) * (s.sy - mo.y) AS num_l,
+       |         CAST(s.nm - 1 AS HUGEINT) * (s.sxx - mo.m * mo.m)
+       |           - CAST(s.sx - mo.m AS HUGEINT) * (s.sx - mo.m) AS den_l
+       |  FROM monthly mo JOIN s ON mo.n_name = s.n_name),
+       |d AS (
+       |  SELECT n_name, m, y, num_f, num_l,
+       |         (num_l * den_f - num_f * den_l) * 1000000 AS dnum,
+       |         den_l * den_f AS dden
+       |  FROM j WHERE den_l > 0)
+       |SELECT n_name, m, y,
+       |       CAST(CASE WHEN dnum >= 0 THEN dnum // dden
+       |                 ELSE -((-dnum + dden - 1) // dden) END AS BIGINT) AS delta_ppm,
+       |       CAST(CASE WHEN (num_l >= 0) != (num_f >= 0)
+       |                 AND num_l != 0 AND num_f != 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS flips_sign
+       |FROM d""".stripMargin
+
   val revenueByNationSql: String =
     """SELECT r_name, n_name,
       |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

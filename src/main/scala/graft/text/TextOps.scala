@@ -1493,6 +1493,151 @@ object TextOps {
       |JOIN mad x ON h.lang = x.lang JOIN tot t ON h.lang = t.lang
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------ q232 trimmed/winsorized mean
+
+  /** Tail mass trimmed per side, in basis points (10%). */
+  val TrimBp = 1000L
+
+  /** Robust location estimates per language from the SAME value
+    * histogram as q161's median/MAD: the 10%-trimmed mean (drop the k
+    * lowest- and k highest-ranked observations, k = ⌊n·0.10⌋) and the
+    * winsorized mean (clamp them to the cut values instead — Tukey's
+    * alternative that keeps n constant), beside the plain mean they
+    * robustify. Trimming is rank-exact on the histogram: a value's
+    * retained multiplicity is the overlap of its cumulative rank span
+    * [cum−cnt, cum) with the kept span [k, n−k) — one running sum per
+    * lang, no per-row sort, so the corpus collapses to (lang, value)
+    * cells before anything ranks (q155's scale argument).
+    *
+    * All-integer: means carried ×100 via floor division; sums bound by
+    * n·max_chars·100 ≲ 10¹⁸ at a trillion 10k-char docs — inside
+    * int64, the q172 canonical-stat convention. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame =
+    trimmedMeanOf(Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), col("n_chars")))
+
+  /** The rank-exact core on explicit (lang, n_chars) rows — exposed for
+    * planted-histogram specs. */
+  def trimmedMeanOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy("lang")
+      .agg(sum(col("cnt")).as("n"), sum(col("v") * col("cnt")).as("sv"))
+    val wl = Window.partitionBy("lang").orderBy("v")
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wl))
+      .join(tot, "lang")
+      .withColumn("k", expr(s"(n * $TrimBp) div 10000"))
+    cum.groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        expr("max(sv) * 100 div max(n)").as("mean_x100"),
+        sum(greatest(lit(0L),
+          least(col("cum"), col("n") - col("k"))
+            - greatest(col("cum") - col("cnt"), col("k"))) * col("v"))
+          .as("trim_sum"),
+        min(when(col("cum") >= col("k") + 1, col("v"))).as("lo_cut"),
+        min(when(col("cum") >= col("n") - col("k"), col("v"))).as("hi_cut"))
+      .select(col("lang"), col("n"), col("k"), col("mean_x100"),
+        expr("trim_sum * 100 div (n - 2 * k)").as("trimmed_mean_x100"),
+        col("lo_cut"), col("hi_cut"),
+        expr("(trim_sum + k * lo_cut + k * hi_cut) * 100 div n")
+          .as("wins_mean_x100"))
+  }
+
+  val trimmedMeanSql: String =
+    s"""WITH hist AS (
+       |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n,
+       |               CAST(sum(v * cnt) AS BIGINT) AS sv FROM hist GROUP BY 1),
+       |c AS (
+       |  SELECT h.lang, h.v, h.cnt, t.n, t.sv, (t.n * $TrimBp) // 10000 AS k,
+       |         CAST(sum(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.v)
+       |              AS BIGINT) AS cum
+       |  FROM hist h JOIN tot t ON h.lang = t.lang),
+       |a AS (
+       |  SELECT lang, max(n) AS n, max(k) AS k,
+       |         max(sv) * 100 // max(n) AS mean_x100,
+       |         CAST(sum(greatest(CAST(0 AS BIGINT),
+       |                 least(cum, n - k) - greatest(cum - cnt, k)) * v)
+       |              AS BIGINT) AS trim_sum,
+       |         min(CASE WHEN cum >= k + 1 THEN v END) AS lo_cut,
+       |         min(CASE WHEN cum >= n - k THEN v END) AS hi_cut
+       |  FROM c GROUP BY 1)
+       |SELECT lang, n, k, CAST(mean_x100 AS BIGINT) AS mean_x100,
+       |       CAST(trim_sum * 100 // (n - 2 * k) AS BIGINT) AS trimmed_mean_x100,
+       |       lo_cut, hi_cut,
+       |       CAST((trim_sum + k * lo_cut + k * hi_cut) * 100 // n
+       |            AS BIGINT) AS wins_mean_x100
+       |FROM a""".stripMargin
+
+  // ---------------------------------------------- q233 mixture diversity
+
+  /** Concentration/diversity audit of the training mixture along its
+    * three stratification axes (source; lang; source×lang): Simpson's
+    * index / Herfindahl-Hirschman concentration Σp² — exact in ppm as
+    * (Σ cnt²)·10⁶ div n², no per-stratum float share ever exists — the
+    * effective number of strata 1/Σp² (×100), and the largest single
+    * stratum's share. The log-free twin of Shannon diversity, on the
+    * same design argument as q197's TV-vs-KL choice: bounded, exact,
+    * and the statistic mixture monitors threshold anyway.
+    *
+    * Scale shape: ONE corpus-wide (source, lang) count aggregate; the
+    * three axis rollups operate on that stratum table (catalog-sized).
+    * Σcnt²·10⁶ reaches n²·10⁶ — widened through DECIMAL(38,0)/HUGEINT
+    * (exact past any corpus int64 would allow). */
+  def mixtureDiversity(spark: SparkSession, dir: String): DataFrame =
+    mixtureDiversityOf(Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), col("lang")))
+
+  /** The axis rollups on explicit (source, lang) rows — exposed for
+    * hand-computed fixture specs. */
+  def mixtureDiversityOf(docs: DataFrame): DataFrame = {
+    val strata = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    def axis(name: String, keyed: DataFrame): DataFrame =
+      keyed.agg(
+          count(lit(1)).as("n_strata"),
+          sum(col("cnt")).as("n_docs"),
+          sum(expr("cast(cnt as decimal(38,0)) * cnt")).as("ss"),
+          max(col("cnt")).as("max_cnt"))
+        .select(lit(name).as("axis"), col("n_strata"), col("n_docs"),
+          expr("cast(ss * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)")
+            .as("hhi_ppm"),
+          expr("cast(cast(n_docs as decimal(38,0)) * n_docs * 100 div ss as bigint)")
+            .as("eff_x100"),
+          expr("max_cnt * 1000000 div n_docs").as("max_share_ppm"))
+    axis("source", strata.groupBy(col("source")).agg(sum(col("cnt")).as("cnt")))
+      .unionAll(axis("lang", strata.groupBy(col("lang")).agg(sum(col("cnt")).as("cnt"))))
+      .unionAll(axis("source_lang", strata))
+  }
+
+  val mixtureDiversitySql: String = {
+    def axis(name: String, src: String): String =
+      s"""SELECT '$name' AS axis, CAST(count(*) AS BIGINT) AS n_strata,
+         |       CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |       CAST(sum(CAST(cnt AS HUGEINT) * cnt) * 1000000
+         |            // (CAST(sum(cnt) AS HUGEINT) * sum(cnt)) AS BIGINT) AS hhi_ppm,
+         |       CAST(CAST(sum(cnt) AS HUGEINT) * sum(cnt) * 100
+         |            // sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS eff_x100,
+         |       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS max_share_ppm
+         |FROM $src""".stripMargin
+    s"""WITH strata AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |bysrc AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS cnt FROM strata GROUP BY 1),
+       |bylang AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS cnt FROM strata GROUP BY 1)
+       |${axis("source", "bysrc")}
+       |UNION ALL
+       |${axis("lang", "bylang")}
+       |UNION ALL
+       |${axis("source_lang", "strata")}""".stripMargin
+  }
+
   val tokenCommonalitySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents),
