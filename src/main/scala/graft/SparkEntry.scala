@@ -529,6 +529,17 @@ object SparkEntry {
     // Jackknife leave-one-month-out OLS influence with exact
     // cross-multiplied slope deltas and sign-flip flags.
     "q234_trend_influence"  -> (R.trendInfluence _),
+    // CART stump per source: exact integer Gini split selection on the
+    // binned quality score, confusion ledger + training accuracy.
+    "q235_gini_stump"       -> ((s: SparkSession, dir: String) =>
+      graft.text.GiniStump.giniStump(s, dir)),
+    // Absorbing-chain conversion: K integer-mass rounds over q119's
+    // empirical transition matrix, purchase pinned absorbing.
+    "q236_absorb_prob"      -> (E.absorbProb _),
+    // Pairwise source TV over the shared top-V vocabulary: the
+    // inner-join decomposition, integer ppm shares.
+    "q237_lexical_drift"    -> ((s: SparkSession, dir: String) =>
+      graft.analytics.DriftOps.lexicalDrift(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -949,6 +960,9 @@ object SparkEntry {
     "q232_trimmed_mean"     -> T.trimmedMeanSql,
     "q233_mixture_diversity" -> T.mixtureDiversitySql,
     "q234_trend_influence"  -> R.trendInfluenceSql,
+    "q235_gini_stump"       -> graft.text.GiniStump.giniStumpSql,
+    "q236_absorb_prob"      -> E.absorbProbSql,
+    "q237_lexical_drift"    -> graft.analytics.DriftOps.lexicalDriftSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -115,6 +115,99 @@ object DriftOps {
     tvLedger(hist)
   }
 
+  // ------------------------------------------- q237 lexical drift matrix
+
+  /** The shared vocabulary the pairwise comparison runs over: the top
+    * [[LexTvTopV]] corpus tokens by count (ties → lexicographic) — a
+    * FIXED-size contract, so the pair stage's state is sources × V at
+    * any corpus scale. */
+  val LexTvTopV = 2000L
+
+  /** Cross-source lexical drift matrix: exact total-variation distance
+    * between every source pair's unigram distributions over the shared
+    * top-V vocabulary — q197's TV statistic moved from value bands to
+    * token space (the "does source B write like source A" screen a
+    * mixture designer reads before trusting one source's quality
+    * thresholds on another). TV decomposes as Σ_common |p_a − p_b| +
+    * (T_a − Σ_common p_a) + (T_b − Σ_common p_b), so only the INNER
+    * join over shared tokens is evaluated — tokens private to one
+    * source enter through the per-source totals, never as null-padded
+    * rows. All shares are integer ppm (floor), the q197 discipline.
+    *
+    * Scale shape: one corpus-wide (source, token) count, one vocab
+    * top-V rank (V fixed), then every stage runs on sources × V rows.
+    */
+  def lexicalDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExprs.tokensCol
+    val cnt = Tables.spread(Tables.documents(spark, dir))
+      .select(col("source"), explode(tokensCol(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    lexicalDriftOfCounts(cnt)
+  }
+
+  /** The pairwise TV stage on an explicit (source, tok, c) count table
+    * — exposed for hand-computed fixture specs. */
+  def lexicalDriftOfCounts(cnt: DataFrame): DataFrame = {
+    // orderBy+limit plans as TakeOrdered (bounded heap per partition +
+    // driver merge of V rows) — no global sort of the vocabulary
+    val vocab = cnt.groupBy(col("tok")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("tok").asc).limit(LexTvTopV.toInt)
+      .select(col("tok"))
+    val rc = cnt.join(broadcast(vocab), "tok")
+    val n = rc.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val p = rc.join(broadcast(n), "source")
+      .select(col("source"), col("tok"), expr("c * 1000000 div n_src").as("p"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val t = p.groupBy(col("source"))
+      .agg(sum(col("p")).as("tp"), count(lit(1)).as("n_toks"))
+    val common = p.as("a").join(p.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(abs(col("a.p") - col("b.p"))).as("d_common"),
+        sum(col("a.p")).as("ca"), sum(col("b.p")).as("cb"),
+        count(lit(1)).as("n_common"))
+    t.as("ta").join(t.as("tb"), col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+        col("ta.tp").as("tpa"), col("tb.tp").as("tpb"))
+      .join(common, Seq("src_a", "src_b"), "left_outer")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("""(coalesce(d_common, 0) + (tpa - coalesce(ca, 0))
+               |  + (tpb - coalesce(cb, 0))) div 2""".stripMargin).as("tv_ppm"))
+  }
+
+  val lexicalDriftSql: String = {
+    val toks = graft.functions.TextExprs.tokensSql("lower(text)")
+    s"""WITH cnt AS (
+       |  SELECT source, unnest($toks) AS tok, 1 AS one
+       |  FROM documents),
+       |c0 AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |       FROM cnt GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT tok FROM c0 GROUP BY tok
+       |  ORDER BY sum(c) DESC, tok ASC LIMIT $LexTvTopV),
+       |rc AS (SELECT c0.* FROM c0 JOIN vocab USING (tok)),
+       |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM rc GROUP BY 1),
+       |p AS (SELECT rc.source, rc.tok, rc.c * 1000000 // n.n_src AS p
+       |      FROM rc JOIN n ON rc.source = n.source),
+       |t AS (SELECT source, CAST(sum(p) AS BIGINT) AS tp,
+       |             CAST(count(*) AS BIGINT) AS n_toks FROM p GROUP BY 1),
+       |common AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(sum(abs(a.p - b.p)) AS BIGINT) AS d_common,
+       |         CAST(sum(a.p) AS BIGINT) AS ca, CAST(sum(b.p) AS BIGINT) AS cb,
+       |         CAST(count(*) AS BIGINT) AS n_common
+       |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ta.source AS src_a, tb.source AS src_b,
+       |       CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+       |       CAST((coalesce(cm.d_common, 0) + (ta.tp - coalesce(cm.ca, 0))
+       |             + (tb.tp - coalesce(cm.cb, 0))) // 2 AS BIGINT) AS tv_ppm
+       |FROM t ta JOIN t tb ON ta.source < tb.source
+       |LEFT JOIN common cm ON cm.src_a = ta.source AND cm.src_b = tb.source""".stripMargin
+  }
+
   /** Oracle: two independent per-window histograms FULL-OUTER-joined —
     * the naive two-pass formulation of the same ledger. */
   val driftMonitorSql: String =

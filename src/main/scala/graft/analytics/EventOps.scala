@@ -1405,6 +1405,105 @@ object EventOps {
        |WHERE n_users * 100 >= n_total * $SeqMinSupPct""".stripMargin
   }
 
+  // ----------------------------------- q236 absorbing-chain conversion
+
+  /** Unrolled absorption rounds. */
+  val AbsorbRounds = 8
+  /** The absorbing state: reaching a purchase ends the walk. */
+  val AbsorbTarget = "purchase"
+
+  /** Absorbing-Markov-chain conversion probability (the fundamental-
+    * matrix question answered iteratively): from each event type, the
+    * probability that a user's next [[AbsorbRounds]] steps under q119's
+    * empirical transition matrix reach the absorbing `purchase` state —
+    * the "how close is this state to converting" number funnel
+    * analyses (q110/q129) read off structurally rather than from one
+    * fixed stage order. reach₀(i) = 10⁶·[i = target]; each round
+    * reach_k(i) = Σ_j cnt(i,j)·reach_{k−1}(j) div out(i) with the
+    * target pinned at 10⁶ — all-integer, every dividend nonnegative,
+    * so the K-round fixpoint is bit-identical across engines (q124's
+    * discipline on q119's matrix).
+    *
+    * Scale shape: ONE user-keyed window pass builds the transition
+    * counts (the q119 shuffle); every round after that is a join on
+    * the type×type matrix — catalog-sized state, corpus touched
+    * exactly once. */
+  def absorbProb(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    absorbProbOfCounts(counts)
+  }
+
+  /** The K-round absorption fold on an explicit (from_type, to_type, n)
+    * count matrix — exposed for closed-form chain fixtures. */
+  def absorbProbOfCounts(counts: DataFrame): DataFrame = {
+    val out = counts.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
+    val types = counts.select(col("from_type").as("t"))
+      .unionAll(counts.select(col("to_type").as("t"))).distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var state = types.select(col("t"),
+      when(col("t") === AbsorbTarget, lit(1000000L)).otherwise(lit(0L)).as("p"))
+    for (_ <- 1 to AbsorbRounds) {
+      val folded = counts
+        .join(state.select(col("t").as("to_type"), col("p")), "to_type")
+        .groupBy(col("from_type")).agg(sum(col("n") * col("p")).as("mass"))
+        .join(out, "from_type")
+        .select(col("from_type").as("t"), expr("mass div out_n").as("p_new"))
+      state = types.join(folded, Seq("t"), "left_outer")
+        .select(col("t"),
+          when(col("t") === AbsorbTarget, lit(1000000L))
+            .otherwise(coalesce(col("p_new"), lit(0L))).as("p"))
+    }
+    state.join(out.select(col("from_type").as("t"), col("out_n")), Seq("t"), "left_outer")
+      .select(col("t").as("event_type"),
+        coalesce(col("out_n"), lit(0L)).as("out_n"),
+        col("p").as("reach_ppm"),
+        (col("t") === AbsorbTarget).cast("long").as("absorbing"))
+  }
+
+  val absorbProbSql: String = {
+    val rounds = (1 to AbsorbRounds).map { k =>
+      s"""r$k AS (
+         |  SELECT ty.t,
+         |         CASE WHEN ty.t = '$AbsorbTarget' THEN 1000000
+         |              ELSE coalesce(f.p_new, 0) END AS p
+         |  FROM types ty LEFT JOIN (
+         |    SELECT c.from_type AS t,
+         |           CAST(sum(c.n * r.p) AS BIGINT) // max(o.out_n) AS p_new
+         |    FROM counts c
+         |    JOIN r${k - 1} r ON r.t = c.to_type
+         |    JOIN outd o ON o.from_type = c.from_type
+         |    GROUP BY 1) f ON f.t = ty.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS from_type,
+       |         event_type AS to_type
+       |  FROM events),
+       |counts AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |outd AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n
+       |         FROM counts GROUP BY 1),
+       |types AS (SELECT from_type AS t FROM counts
+       |          UNION SELECT to_type FROM counts),
+       |r0 AS (SELECT t, CAST(CASE WHEN t = '$AbsorbTarget' THEN 1000000
+       |                           ELSE 0 END AS BIGINT) AS p FROM types),
+       |$rounds
+       |SELECT r.t AS event_type,
+       |       CAST(coalesce(o.out_n, 0) AS BIGINT) AS out_n,
+       |       CAST(r.p AS BIGINT) AS reach_ppm,
+       |       CAST(CASE WHEN r.t = '$AbsorbTarget' THEN 1 ELSE 0 END AS BIGINT)
+       |         AS absorbing
+       |FROM r$AbsorbRounds r LEFT JOIN outd o ON o.from_type = r.t""".stripMargin
+  }
+
   // ------------------------------------------------------ q226 CUSUM
 
   /** Calibration window: the first [[CusumRefHours]] hours of the dense
