@@ -540,6 +540,12 @@ object SparkEntry {
     // inner-join decomposition, integer ppm shares.
     "q237_lexical_drift"    -> ((s: SparkSession, dir: String) =>
       graft.analytics.DriftOps.lexicalDrift(s, dir)),
+    // Directed association rules over co-purchase pairs: exact integer
+    // confidence and lift (triple product widened decimal/HUGEINT).
+    "q238_assoc_rules"      -> (R.assocRules _),
+    // Kaplan-Meier time-to-conversion with right censoring: iterated
+    // integer floor survival, flatMapGroups fold vs recursive-CTE oracle.
+    "q239_kaplan_meier"     -> (E.kaplanMeier _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -963,6 +969,8 @@ object SparkEntry {
     "q235_gini_stump"       -> graft.text.GiniStump.giniStumpSql,
     "q236_absorb_prob"      -> E.absorbProbSql,
     "q237_lexical_drift"    -> graft.analytics.DriftOps.lexicalDriftSql,
+    "q238_assoc_rules"      -> R.assocRulesSql,
+    "q239_kaplan_meier"     -> E.kaplanMeierSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

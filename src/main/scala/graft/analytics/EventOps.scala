@@ -1405,6 +1405,134 @@ object EventOps {
        |WHERE n_users * 100 >= n_total * $SeqMinSupPct""".stripMargin
   }
 
+  // ------------------------------------------- q239 Kaplan-Meier survival
+
+  // NOT private: the deserializer codegen instantiates it from
+  // generated bytecode outside this object's access scope
+  final case class KmCell(target: String, day: Long, d: Long, c: Long, n_risk: Long)
+
+  /** Kaplan-Meier survival curves (Kaplan & Meier 1958) for
+    * time-to-conversion: per target event type, the probability a user
+    * is still unconverted t days after their first view, with users
+    * who never convert RIGHT-CENSORED at the observation end — the
+    * estimator that makes "median days to purchase" honest (a naive
+    * mean over converters only is survivorship-biased, the textbook
+    * failure).
+    *
+    * Semantics: origin = each user's first 'view'; conversion = first
+    * target event strictly after it; censor day = global max event day.
+    * Same-day deaths precede censors (the standard convention), so
+    * n_risk(t) counts both. Survival is the iterated integer floor
+    * S_t = S_{t−1}·(n_t−d_t) div n_t in ppm — deterministic and
+    * engine-identical; the true product lies within (rows·10⁻⁶) above
+    * the floored value. The engine folds per target inside
+    * flatMapGroups over CALENDAR-bounded day cells (the q204 PAVA
+    * pattern); the oracle re-derives the fold as a recursive CTE — two
+    * independent formulations of the same recurrence.
+    *
+    * Scale shape: two user-keyed aggregates (first view, first
+    * conversion per type) + one anti-join for the censored side — all
+    * map-side-combinable on user_id; everything after runs on
+    * targets × days cells. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nTotal = fv.count()
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("mx"))
+    val conv = ev.join(fv, "user_id")
+      .filter(col("event_type") =!= "view" && col("ts") > col("vts"))
+      .groupBy(col("user_id"), col("event_type").as("target"))
+      .agg(min(datediff(to_date(col("ts")), to_date(col("vts")))).cast("long").as("dur"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val targets = conv.select(col("target")).distinct()
+    val dCells = conv.groupBy(col("target"), col("dur").as("day"))
+      .agg(count(lit(1)).as("d"))
+    val cCells = fv.crossJoin(broadcast(targets))
+      .join(conv.select(col("user_id"), col("target")), Seq("user_id", "target"),
+        "left_anti")
+      .crossJoin(broadcast(maxDay))
+      .groupBy(col("target"),
+        datediff(col("mx"), to_date(col("vts"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val cells = dCells.join(cCells, Seq("target", "day"), "full_outer")
+      .select(col("target"), col("day"),
+        coalesce(col("d"), lit(0L)).as("d"), coalesce(col("c"), lit(0L)).as("c"))
+    kmOfCells(cells, nTotal)
+  }
+
+  /** The at-risk window + iterated-floor fold on explicit
+    * (target, day, d, c) cells — exposed for hand-computed specs. */
+  def kmOfCells(cells: DataFrame, nTotal: Long): DataFrame = {
+    import cells.sparkSession.implicits._
+    val wr = Window.partitionBy("target").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risky = cells.withColumn("n_risk",
+      lit(nTotal) - coalesce(sum(col("d") + col("c")).over(wr), lit(0L)))
+    risky.as[KmCell].groupByKey(_.target).flatMapGroups { (t, it) =>
+      var s = 1000000L
+      it.toArray.sortBy(_.day).iterator.map { cell =>
+        s = s * (cell.n_risk - cell.d) / cell.n_risk
+        (t, cell.day, cell.n_risk, cell.d, cell.c,
+          cell.d * 1000000L / cell.n_risk, s)
+      }
+    }.toDF("target", "day", "n_risk", "d", "c", "hazard_ppm", "surv_ppm")
+  }
+
+  /** Oracle: the same recurrence as a recursive CTE over row-numbered
+    * day cells. */
+  val kaplanMeierSql: String =
+    """WITH RECURSIVE ev AS (SELECT user_id, ts, event_type FROM events),
+      |fv AS (SELECT user_id, min(ts) AS vts FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM ev),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fv),
+      |conv AS (
+      |  SELECT e.user_id, e.event_type AS target,
+      |         CAST(min(date_diff('day', CAST(f.vts AS DATE), CAST(e.ts AS DATE)))
+      |              AS BIGINT) AS dur
+      |  FROM ev e JOIN fv f ON e.user_id = f.user_id
+      |  WHERE e.event_type != 'view' AND e.ts > f.vts
+      |  GROUP BY 1, 2),
+      |targets AS (SELECT DISTINCT target FROM conv),
+      |dcells AS (SELECT target, dur AS day, CAST(count(*) AS BIGINT) AS d
+      |           FROM conv GROUP BY 1, 2),
+      |ccells AS (
+      |  SELECT t.target,
+      |         CAST(date_diff('day', CAST(f.vts AS DATE), m.mxd) AS BIGINT) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM fv f CROSS JOIN targets t CROSS JOIN mx m
+      |  WHERE NOT EXISTS (SELECT 1 FROM conv cv
+      |                    WHERE cv.user_id = f.user_id AND cv.target = t.target)
+      |  GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT coalesce(dc.target, cc.target) AS target,
+      |         coalesce(dc.day, cc.day) AS day,
+      |         coalesce(dc.d, 0) AS d, coalesce(cc.c, 0) AS c
+      |  FROM dcells dc FULL OUTER JOIN ccells cc
+      |    ON dc.target = cc.target AND dc.day = cc.day),
+      |risky AS (
+      |  SELECT target, day, d, c,
+      |         (SELECT n_total FROM nt)
+      |           - coalesce(sum(d + c) OVER (PARTITION BY target ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+      |         row_number() OVER (PARTITION BY target ORDER BY day) AS i
+      |  FROM cells),
+      |km AS (
+      |  SELECT target, day, n_risk, d, c, i,
+      |         CAST(1000000 * (n_risk - d) // n_risk AS BIGINT) AS surv_ppm
+      |  FROM risky WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.target, r.day, r.n_risk, r.d, r.c, r.i,
+      |         CAST(k.surv_ppm * (r.n_risk - r.d) // r.n_risk AS BIGINT)
+      |  FROM risky r JOIN km k ON r.target = k.target AND r.i = k.i + 1)
+      |SELECT target, day, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+      |       CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm, surv_ppm
+      |FROM km""".stripMargin
+
   // ----------------------------------- q236 absorbing-chain conversion
 
   /** Unrolled absorption rounds. */

@@ -1138,6 +1138,79 @@ object Relational {
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
 
+  // -------------------------------------------- q238 association rules
+
+  /** Directed association rules (Agrawal & Srikant's support/confidence
+    * frame, 1994) over the q120 co-purchase pairs: each supported pair
+    * emits A→B and B→A with EXACT integer confidence and lift —
+    * conf(A→B) = n_ab·10⁶ div n_a, lift = n_ab·N·10⁶ div (n_a·n_b),
+    * lift's triple product widened through DECIMAL(38,0)/HUGEINT. Lift
+    * is the independence-corrected signal (conf alone just rediscovers
+    * popular consequents — the classic critique); `lift_ppm > 10⁶`
+    * marks genuinely associated pairs.
+    *
+    * Scale shape: pair supports come from q120's basket-bounded
+    * self-join; item supports are one distinct-pair aggregate on the
+    * same scan shape; the rule join keys on the part id against the
+    * catalog-sized support table (AQE broadcast territory). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOfBaskets(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** The rule derivation on explicit (l_orderkey, l_partkey) basket
+    * rows — exposed for hand-computed fixture specs. */
+  def assocRulesOfBaskets(baskets: DataFrame): DataFrame = {
+    val li = baskets.distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CopurchaseMinSupport)
+    val directed = pairs.select(
+        col("part_a").as("antecedent"), col("part_b").as("consequent"), col("n_ab"))
+      .unionAll(pairs.select(
+        col("part_b").as("antecedent"), col("part_a").as("consequent"), col("n_ab")))
+    directed
+      .join(item.select(col("l_partkey").as("antecedent"), col("n_item").as("n_a")),
+        "antecedent")
+      .join(item.select(col("l_partkey").as("consequent"), col("n_item").as("n_c")),
+        "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_c"),
+        expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+        expr(s"""cast(cast(n_ab as decimal(38,0)) * ${nOrders}L * 1000000
+                |  div (cast(n_a as decimal(38,0)) * n_c) as bigint)""".stripMargin)
+          .as("lift_ppm"))
+  }
+
+  val assocRulesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+       |item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+       |         FROM li GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |         CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport),
+       |directed AS (
+       |  SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, n_ab FROM pairs)
+       |SELECT d.antecedent, d.consequent, d.n_ab,
+       |       ia.n_item AS n_a, ic.n_item AS n_c,
+       |       CAST(d.n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ppm,
+       |       CAST(CAST(d.n_ab AS HUGEINT) * (SELECT n FROM nn) * 1000000
+       |            // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT) AS lift_ppm
+       |FROM directed d
+       |JOIN item ia ON ia.l_partkey = d.antecedent
+       |JOIN item ic ON ic.l_partkey = d.consequent""".stripMargin
+
   /** Per-part recommendation size. */
   val CopurchaseTopK = 5
 
