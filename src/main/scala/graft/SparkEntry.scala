@@ -546,6 +546,12 @@ object SparkEntry {
     // Kaplan-Meier time-to-conversion with right censoring: iterated
     // integer floor survival, flatMapGroups fold vs recursive-CTE oracle.
     "q239_kaplan_meier"     -> (E.kaplanMeier _),
+    // RFM quintile segmentation against exact value-quantile cutoffs:
+    // one customer rollup, 12 broadcast cutoffs, 125-cell grid.
+    "q240_rfm"              -> (R.rfmSegments _),
+    // Per-label embedding quality profile: exact quantized norms,
+    // percentile_disc, duplicate-vector ledger.
+    "q241_vector_profile"   -> (V.vectorProfile _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -971,6 +977,8 @@ object SparkEntry {
     "q237_lexical_drift"    -> graft.analytics.DriftOps.lexicalDriftSql,
     "q238_assoc_rules"      -> R.assocRulesSql,
     "q239_kaplan_meier"     -> E.kaplanMeierSql,
+    "q240_rfm"              -> R.rfmSegmentsSql,
+    "q241_vector_profile"   -> V.vectorProfileSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -1211,6 +1211,94 @@ object Relational {
        |JOIN item ia ON ia.l_partkey = d.antecedent
        |JOIN item ic ON ic.l_partkey = d.consequent""".stripMargin
 
+  // -------------------------------------------- q240 RFM segmentation
+
+  /** RFM customer segmentation (the classic direct-marketing
+    * recency/frequency/monetary quintile grid): each customer scores
+    * 1–5 on all three axes against EXACT value-quantile cutoffs, and
+    * the ledger rolls up the 125-cell segment grid — the "champions /
+    * at-risk / hibernating" table a retention pipeline reads.
+    *
+    * Cutoffs are `percentile_disc(0.2/0.4/0.6/0.8)` over the customer
+    * rollup (the q33 contract — the oracle re-derives each as
+    * min(v | cume_dist ≥ f)), so scoring is pure integer comparison:
+    * frequency/monetary score 1 + Σ(v > cut); recency (lower = better)
+    * scores 5 − Σ(v > cut). Value quantiles (not equal-count ntile)
+    * make ties deterministic without any ordering luck.
+    *
+    * Scale shape: the corpus collapses to one row per customer in ONE
+    * map-side-combinable aggregate; the 12 cutoffs are a 1-row
+    * broadcast; scoring is a narrow map and the output is a ≤125-row
+    * rollup. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmOfOrders(Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice")))
+
+  /** The segmentation on explicit (o_custkey, o_orderdate,
+    * o_totalprice) rows — exposed for planted-cohort specs. */
+  def rfmOfOrders(orders: DataFrame): DataFrame = {
+    val mx = orders.agg(max(col("o_orderdate")).as("mxd"))
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).as("freq"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("mon_c"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"), datediff(col("mxd"), col("lastd")).cast("long").as("rec"),
+        col("freq"), col("mon_c"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (f, i) =>
+      expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY $c)").as(s"${c}_$i")
+    }
+    val cut = cust.agg(cuts("rec").head, (cuts("rec").tail ++ cuts("freq") ++ cuts("mon_c")): _*)
+    def score(c: String) =
+      (0 to 3).map(i => when(col(c) > col(s"${c}_$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+    cust.crossJoin(broadcast(cut))
+      .select(col("o_custkey"), col("mon_c"),
+        (lit(5L) - score("rec")).as("r_score"),
+        (lit(1L) + score("freq")).as("f_score"),
+        (lit(1L) + score("mon_c")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon_c")).as("monetary_c"))
+  }
+
+  val rfmSegmentsSql: String = {
+    def cutSql(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (f, i) =>
+      s"min(CASE WHEN cd_$c >= $f THEN $c END) AS ${c}_$i"
+    }.mkString(",\n         ")
+    def scoreSql(c: String) =
+      (0 to 3).map(i => s"(CASE WHEN $c > ${c}_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |         CAST(date_diff('day', max(o_orderdate),
+       |              (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec,
+       |         CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+       |  FROM orders GROUP BY 1),
+       |cd AS (
+       |  SELECT *, cume_dist() OVER (ORDER BY rec) AS cd_rec,
+       |         cume_dist() OVER (ORDER BY freq) AS cd_freq,
+       |         cume_dist() OVER (ORDER BY mon_c) AS cd_mon_c
+       |  FROM cust),
+       |cut AS (
+       |  SELECT ${cutSql("rec")},
+       |         ${cutSql("freq")},
+       |         ${cutSql("mon_c")}
+       |  FROM cd),
+       |scored AS (
+       |  SELECT c.o_custkey, c.mon_c,
+       |         5 - (${scoreSql("rec")}) AS r_score,
+       |         1 + (${scoreSql("freq")}) AS f_score,
+       |         1 + (${scoreSql("mon_c")}) AS m_score
+       |  FROM cust c CROSS JOIN cut)
+       |SELECT CAST(r_score AS BIGINT) AS r_score,
+       |       CAST(f_score AS BIGINT) AS f_score,
+       |       CAST(m_score AS BIGINT) AS m_score,
+       |       CAST(count(*) AS BIGINT) AS n_customers,
+       |       CAST(sum(mon_c) AS BIGINT) AS monetary_c
+       |FROM scored GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** Per-part recommendation size. */
   val CopurchaseTopK = 5
 

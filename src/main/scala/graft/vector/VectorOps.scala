@@ -1480,4 +1480,100 @@ object VectorOps {
        |       ((concordant - (n_pairs - concordant) + n_pairs) * 1000000) // n_pairs
        |         - 1000000 AS tau_ppm
        |FROM agg""".stripMargin
+
+  // ---------------------------------------------- q241 vector profiler
+
+  /** Embedding-column quality profile per label — q172's single-pass
+    * profiler specialized to the vector modality (the pre-training
+    * checks an embedding pipeline runs before ANN indexing or centroid
+    * fits trust the column): per label, the vector count, dimension
+    * width, zero-vector count, exact squared-norm percentiles, and a
+    * duplicate ledger (identical vectors inflate ANN recall and poison
+    * contrastive batches — the q19 exact-dedup argument in vector
+    * space).
+    *
+    * Exactness: components quantize once through the q83 contract
+    * (floor(x·10⁴+0.5) — codegen'd, order-independent), so the squared
+    * norm is an exact integer and the duplicate fingerprint is the
+    * canonical comma-joined integer string — bit-identical across
+    * engines, no float formatting anywhere. Percentiles are
+    * percentile_disc (the q33 cume_dist pairing).
+    *
+    * Scale shape: ONE narrow pass computes (label, fp, norm2_u) per
+    * vector; the dup ledger is a (label, fp)-keyed count — the exact
+    * q19 shuffle shape — and the rollup is label-sized. */
+  def vectorProfile(spark: SparkSession, dir: String): DataFrame =
+    vectorProfileOf(Tables.spread(Tables.embeddings(spark, dir)))
+
+  /** The profile on explicit (label, embedding) rows — exposed for
+    * hand-computed fixture specs. */
+  def vectorProfileOf(emb: DataFrame): DataFrame = {
+    val base = emb
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("a", quantCol(col("v")))
+      .select(col("label"),
+        dot(col("a"), col("a")).cast("long").as("norm2_u"),
+        size(col("a")).cast("long").as("dims"),
+        concat_ws(",", col("a").cast("array<long>").cast("array<string>")).as("fp"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dup = base.groupBy(col("label"), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_vecs"),
+        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)).as("n_dup_excess"))
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("dims")).as("dims"),
+        sum(when(col("norm2_u") === 0, 1L).otherwise(0L)).as("n_zero"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY norm2_u)")
+          .cast("long").as("p50_norm2_u"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY norm2_u)")
+          .cast("long").as("p95_norm2_u"))
+      .join(dup, Seq("label"), "left_outer")
+      .select(col("label"), col("n_vecs"), col("dims"), col("n_zero"),
+        col("p50_norm2_u"), col("p95_norm2_u"),
+        coalesce(col("n_dup_vecs"), lit(0L)).as("n_dup_vecs"),
+        coalesce(col("n_dup_excess"), lit(0L)).as("n_dup_excess"))
+  }
+
+  val vectorProfileSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding::DOUBLE[], x -> floor(x * $RpQ + 0.5)) AS a
+       |  FROM embeddings),
+       |per AS (
+       |  SELECT label,
+       |         CAST(list_dot_product(a, a) AS BIGINT) AS norm2_u,
+       |         CAST(len(a) AS BIGINT) AS dims,
+       |         array_to_string(list_transform(a, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS fp
+       |  FROM base),
+       |dup AS (
+       |  SELECT label,
+       |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_vecs,
+       |         CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_dup_excess
+       |  FROM (SELECT label, fp, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM per GROUP BY 1, 2) g
+       |  GROUP BY 1),
+       |cd AS (
+       |  SELECT label, norm2_u,
+       |         cume_dist() OVER (PARTITION BY label ORDER BY norm2_u) AS cdv
+       |  FROM per),
+       |pct AS (
+       |  SELECT label,
+       |         CAST(min(CASE WHEN cdv >= 0.5 THEN norm2_u END) AS BIGINT) AS p50_norm2_u,
+       |         CAST(min(CASE WHEN cdv >= 0.95 THEN norm2_u END) AS BIGINT) AS p95_norm2_u
+       |  FROM cd GROUP BY 1),
+       |roll AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |         CAST(max(dims) AS BIGINT) AS dims,
+       |         CAST(sum(CASE WHEN norm2_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |  FROM per GROUP BY 1)
+       |SELECT r.label, r.n_vecs, r.dims, r.n_zero,
+       |       p.p50_norm2_u, p.p95_norm2_u,
+       |       coalesce(d.n_dup_vecs, 0) AS n_dup_vecs,
+       |       coalesce(d.n_dup_excess, 0) AS n_dup_excess
+       |FROM roll r
+       |JOIN pct p ON p.label = r.label
+       |LEFT JOIN dup d ON d.label = r.label""".stripMargin
 }
