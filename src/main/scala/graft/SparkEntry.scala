@@ -552,6 +552,12 @@ object SparkEntry {
     // Per-label embedding quality profile: exact quantized norms,
     // percentile_disc, duplicate-vector ledger.
     "q241_vector_profile"   -> (V.vectorProfile _),
+    // T5-style span-corruption plan: keyed-hash offsets, one span per
+    // full block — non-overlapping by construction, no RNG.
+    "q242_span_mask"        -> (T.spanMaskPlan _),
+    // Exact two-sample KS per source vs rest: sup CDF gap with
+    // denominators cleared, argmax value emitted.
+    "q243_ks_audit"         -> (T.ksAudit _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -979,6 +985,8 @@ object SparkEntry {
     "q239_kaplan_meier"     -> E.kaplanMeierSql,
     "q240_rfm"              -> R.rfmSegmentsSql,
     "q241_vector_profile"   -> V.vectorProfileSql,
+    "q242_span_mask"        -> T.spanMaskPlanSql,
+    "q243_ks_audit"         -> T.ksAuditSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -1829,6 +1829,168 @@ object TextOps {
        |FROM pages""".stripMargin
   }
 
+  // --------------------------------------------- q242 span-corruption plan
+
+  /** Masking block width: one span is planted per full block. */
+  val SpanBlockW = 20L
+  /** Masked-span width in tokens. */
+  val SpanW = 3L
+
+  /** T5-style span-corruption mask plan (Raffel et al. 2020): a
+    * deterministic schedule of masked spans per document for a
+    * denoising objective — ~15% of tokens masked in [[SpanW]]-token
+    * spans, NON-OVERLAPPING BY CONSTRUCTION: each full
+    * [[SpanBlockW]]-token block plants exactly one span at a
+    * keyed-hash offset (the q114/q202 no-RNG discipline — reproducible
+    * run-over-run and across engines, no `rand()` anywhere). Emits the
+    * per-doc plan ledger: span count, masked tokens, masked share,
+    * and the position-sum fingerprint a downstream consumer can
+    * re-derive to verify it applied the same plan.
+    *
+    * Scale shape: a narrow map + a per-doc explode bounded by
+    * n_tokens/[[SpanBlockW]] — no shuffle beyond the doc-keyed
+    * re-aggregate of span positions. */
+  def spanMaskPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExprs.{polyHashCol, tokensCol}
+    val off = SpanBlockW - SpanW + 1
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("blocks", expr(s"n_tokens div $SpanBlockW"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val spans = docs.filter(col("blocks") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("blocks") - 1)).as("b"))
+      .withColumn("start",
+        col("b") * SpanBlockW
+          + polyHashCol(concat_ws(":", col("doc_id"), col("b"))) % off)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("start")).as("pos_sum"))
+    docs.join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        col("blocks").as("n_spans"),
+        (col("blocks") * SpanW).as("n_masked"),
+        expr(s"(blocks * $SpanW * 10000) div greatest(n_tokens, 1)").as("masked_bp"),
+        coalesce(col("pos_sum"), lit(0L)).as("pos_sum"))
+  }
+
+  val spanMaskPlanSql: String = {
+    import graft.functions.TextExprs.{polyHashSql, tokensSql}
+    val off = SpanBlockW - SpanW + 1
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) // $SpanBlockW AS blocks
+       |  FROM documents),
+       |sp AS (
+       |  SELECT d.doc_id,
+       |         CAST(sum(b.b * $SpanBlockW
+       |           + ${polyHashSql(s"concat(CAST(d.doc_id AS VARCHAR), ':', CAST(b.b AS VARCHAR))")} % $off)
+       |           AS BIGINT) AS pos_sum
+       |  FROM d, unnest(range(0, d.blocks)) b(b)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.n_tokens, d.blocks AS n_spans,
+       |       d.blocks * $SpanW AS n_masked,
+       |       (d.blocks * $SpanW * 10000) // greatest(d.n_tokens, 1) AS masked_bp,
+       |       coalesce(sp.pos_sum, 0) AS pos_sum
+       |FROM d LEFT JOIN sp ON sp.doc_id = d.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- q243 two-sample KS audit
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic per source — the
+    * source's quality-score distribution against the REST of the
+    * corpus: D = sup_v |F_s(v) − F_rest(v)|, cleared of denominators as
+    * max |cum_s·n_rest − cum_rest·n_s| over the shared value grid, so
+    * the statistic is exact integer arithmetic end-to-end (the
+    * distribution-shape screen that needs no band width, complementing
+    * q197/q237's TV over fixed bands; same log-free rationale). Emits
+    * D in ppm plus the value where the gap peaks (tie → smallest) —
+    * where the distributions actually diverge.
+    *
+    * Scale shape: the corpus collapses to a (source, score) histogram
+    * in ONE aggregate; the evaluation grid is sources × distinct
+    * scores (score is bounded bp — ≤ 10001 values), windows run per
+    * source partition; cum·n products widen DECIMAL(38,0)/HUGEINT. */
+  def ksAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality_bp"))
+    val hist = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source")).join(q, "doc_id")
+      .groupBy(col("source"), col("quality_bp").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    ksOfHist(hist)
+  }
+
+  /** The KS evaluation on an explicit (source, v, cnt) histogram —
+    * exposed for hand-computed fixture specs. */
+  def ksOfHist(hist0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = hist0
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val vals = hist.select(col("v")).distinct()
+    val srcs = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val nTot = hist.agg(sum(col("cnt")).as("nn"))
+    val allv = hist.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cumAll = allv.withColumn("cum_all", sum(col("cnt_all")).over(wv))
+      .select(col("v"), col("cum_all"))
+    val ws = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = vals.crossJoin(broadcast(srcs))
+      .join(hist, Seq("source", "v"), "left_outer")
+      .withColumn("cum_s", coalesce(sum(col("cnt")).over(ws), lit(0L)))
+      .join(broadcast(cumAll), "v")
+      .crossJoin(broadcast(nTot))
+      .withColumn("diff", expr(
+        """abs(cast(cum_s as decimal(38,0)) * (nn - n_s)
+          |  - cast(cum_all - cum_s as decimal(38,0)) * n_s)""".stripMargin))
+    val mx = grid.groupBy(col("source"))
+      .agg(max(col("diff")).as("mxd"), max(col("n_s")).as("n_s"), max(col("nn")).as("nn"))
+    grid.select(col("source"), col("v"), col("diff"))
+      .join(mx, "source")
+      .filter(col("diff") === col("mxd"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"),
+        max(col("nn") - col("n_s")).as("n_rest"),
+        expr("cast(max(mxd) * 1000000 div (cast(max(n_s) as decimal(38,0)) * max(nn - n_s)) as bigint)")
+          .as("ks_ppm"),
+        min(col("v")).as("v_at_max"))
+  }
+
+  val ksAuditSql: String =
+    s"""WITH q AS ($qualityScoreSql),
+       |hist AS (
+       |  SELECT d.source, q.quality_bp AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |vals AS (SELECT DISTINCT v FROM hist),
+       |srcs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM hist GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM hist),
+       |cumall AS (
+       |  SELECT v, CAST(sum(sum(cnt)) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+       |  FROM hist GROUP BY v),
+       |grid AS (
+       |  SELECT s.source, va.v, s.n_s,
+       |         CAST(coalesce(sum(h.cnt) OVER (PARTITION BY s.source ORDER BY va.v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cum_s
+       |  FROM vals va CROSS JOIN srcs s
+       |  LEFT JOIN hist h ON h.source = s.source AND h.v = va.v),
+       |dd AS (
+       |  SELECT g.source, g.v, g.n_s, nt.nn,
+       |         abs(CAST(g.cum_s AS HUGEINT) * (nt.nn - g.n_s)
+       |           - CAST(ca.cum_all - g.cum_s AS HUGEINT) * g.n_s) AS diff
+       |  FROM grid g JOIN cumall ca ON ca.v = g.v CROSS JOIN nt),
+       |mx AS (SELECT source, max(diff) AS mxd FROM dd GROUP BY 1)
+       |SELECT dd.source, max(dd.n_s) AS n_s,
+       |       CAST(max(dd.nn - dd.n_s) AS BIGINT) AS n_rest,
+       |       CAST(max(mx.mxd) * 1000000
+       |            // (CAST(max(dd.n_s) AS HUGEINT) * max(dd.nn - dd.n_s)) AS BIGINT)
+       |         AS ks_ppm,
+       |       min(dd.v) AS v_at_max
+       |FROM dd JOIN mx ON mx.source = dd.source AND dd.diff = mx.mxd
+       |GROUP BY 1""".stripMargin
+
   // --------------------------------------------- q230 classifier evaluation
 
   /** Full multiclass evaluation of the q16 heuristic lang-id against
