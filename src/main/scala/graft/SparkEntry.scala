@@ -558,6 +558,10 @@ object SparkEntry {
     // Exact two-sample KS per source vs rest: sup CDF gap with
     // denominators cleared, argmax value emitted.
     "q243_ks_audit"         -> (T.ksAudit _),
+    // Near-dup clusters route atomically to HRW shards via their rep;
+    // ledger quantifies what naive doc-keyed routing would split.
+    "q244_cluster_shards"   -> ((s: SparkSession, dir: String) =>
+      graft.sources.ShardOps.clusterShards(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -987,6 +991,7 @@ object SparkEntry {
     "q241_vector_profile"   -> V.vectorProfileSql,
     "q242_span_mask"        -> T.spanMaskPlanSql,
     "q243_ks_audit"         -> T.ksAuditSql,
+    "q244_cluster_shards"   -> graft.sources.ShardOps.clusterShardsSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

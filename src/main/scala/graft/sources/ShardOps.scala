@@ -128,4 +128,102 @@ object ShardOps {
        |       (n_moved * 1000000) // n_docs AS moved_ppm
        |FROM u""".stripMargin
   }
+
+  // ------------------------------------------ q244 cluster-aware sharding
+
+  /** Self-contained HRW placement of `key` over `k` shards (argmax of
+    * the per-shard weights, ties to the smallest id) — exposed so
+    * routing composes with other operators. */
+  def hrwShard(key: Column, k: Int): Column = {
+    val hs = (0 until k).map(s => weight(key, s))
+    val hmax = greatest(hs: _*)
+    (0 until k).foldLeft(when(lit(false), lit(0L))) { (acc, s) =>
+      acc.when(hs(s) === hmax, lit(s.toLong))
+    }
+  }
+
+  def hrwShardSql(key: String, k: Int): String = {
+    val hmax = (0 until k).map(s => weightSql(key, s))
+      .mkString("greatest(", ", ", ")")
+    (0 until k).map(s => s"WHEN ${weightSql(key, s)} = $hmax THEN $s")
+      .mkString("CASE ", " ", " END")
+  }
+
+  /** Dedup-cluster-aware sharding (q244): near-dup clusters (q134's
+    * star-CC map, singletons labeling themselves) route ATOMICALLY —
+    * the shard key is the cluster REP's HRW placement, so every
+    * duplicate family lands on one shard and shard-local dedup is
+    * globally complete (the same atomicity argument as q168's
+    * leakage-safe split, applied to placement instead of train/eval).
+    * The ledger compares rep-keyed routing against naive doc-keyed
+    * routing: per (scheme, shard) — docs, clusters, largest cluster,
+    * and the count of clusters the scheme SPLIT across shards
+    * (structurally 0 for the rep scheme; the doc scheme's nonzero
+    * column is the quantified cost of ignoring cluster atomicity).
+    *
+    * Scale shape: the cluster map costs O(log n) star rounds over
+    * verified pairs only; routing is a narrow map; the ledger is a
+    * (scheme, rep, shard) rollup — cluster-count sized, then
+    * shard-count sized. */
+  def clusterShards(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.dedup.DedupOps.dedupClustersStar(spark, dir)
+    val full = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep"))
+    val routed = full.select(col("doc_id"), col("rep"),
+      hrwShard(col("rep"), ShardsBefore).as("shard_rep"),
+      hrwShard(col("doc_id"), ShardsBefore).as("shard_doc"))
+    val long = routed.select(lit("rep").as("scheme"), col("rep"),
+        col("shard_rep").as("shard"))
+      .unionAll(routed.select(lit("doc").as("scheme"), col("rep"),
+        col("shard_doc").as("shard")))
+    val clShard = long.groupBy(col("scheme"), col("rep"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val clSpan = clShard.groupBy(col("scheme"), col("rep"))
+      .agg(count(lit(1)).as("n_shards"))
+    clShard.join(clSpan, Seq("scheme", "rep"))
+      .groupBy(col("scheme"), col("shard"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        max(col("n")).as("max_cluster"),
+        sum(when(col("n_shards") > 1, 1L).otherwise(0L)).as("n_split"))
+  }
+
+  val clusterShardsSql: String = {
+    s"""WITH RECURSIVE lshpairs AS (${graft.dedup.DedupOps.minhashLshSql}),
+       |cedges AS (SELECT d1, d2 FROM lshpairs UNION ALL SELECT d2, d1 FROM lshpairs),
+       |cnodes AS (SELECT DISTINCT d1 AS node FROM cedges),
+       |reach(src, node) AS (
+       |  SELECT node, node FROM cnodes
+       |  UNION
+       |  SELECT r.src, e.d2 FROM reach r JOIN cedges e ON r.node = e.d1),
+       |cmap AS (SELECT src AS doc_id, min(node) AS rep_id FROM reach GROUP BY 1),
+       |full0 AS (
+       |  SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cmap c ON c.doc_id = d.doc_id),
+       |routed AS (
+       |  SELECT doc_id, rep,
+       |         ${hrwShardSql("rep", ShardsBefore)} AS shard_rep,
+       |         ${hrwShardSql("doc_id", ShardsBefore)} AS shard_doc
+       |  FROM full0),
+       |lng AS (
+       |  SELECT 'rep' AS scheme, rep, CAST(shard_rep AS BIGINT) AS shard FROM routed
+       |  UNION ALL
+       |  SELECT 'doc' AS scheme, rep, CAST(shard_doc AS BIGINT) AS shard FROM routed),
+       |clshard AS (
+       |  SELECT scheme, rep, shard, CAST(count(*) AS BIGINT) AS n
+       |  FROM lng GROUP BY 1, 2, 3),
+       |clspan AS (
+       |  SELECT scheme, rep, CAST(count(*) AS BIGINT) AS n_shards
+       |  FROM clshard GROUP BY 1, 2)
+       |SELECT cs.scheme, cs.shard,
+       |       CAST(sum(cs.n) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(max(cs.n) AS BIGINT) AS max_cluster,
+       |       CAST(sum(CASE WHEN sp.n_shards > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+       |FROM clshard cs JOIN clspan sp
+       |  ON sp.scheme = cs.scheme AND sp.rep = cs.rep
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -56,6 +56,24 @@ class Round9jOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(3) === 0L))
   }
 
+  test("q244: rep-keyed routing never splits a cluster; doc-keyed routing does") {
+    val rows = graft.sources.ShardOps.clusterShards(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val rep = rows.filter(_.getString(0) == "rep")
+    val doc = rows.filter(_.getString(0) == "doc")
+    assert(rep.map(_.getLong(5)).sum === 0L)
+    // both schemes place every document exactly once
+    assert(rep.map(_.getLong(2)).sum === doc.map(_.getLong(2)).sum)
+    val nDocs = graft.tables.Tables.documents(spark, dir).count()
+    assert(rep.map(_.getLong(2)).sum === nDocs)
+    // the corpus has multi-doc near-dup clusters, so naive routing splits some
+    assert(rep.map(_.getLong(4)).max > 1L)
+    assert(doc.map(_.getLong(5)).sum > 0L,
+      "doc-keyed routing split no cluster - fixture too weak")
+    // cluster counts: splitting can only increase per-shard cluster presence
+    assert(doc.map(_.getLong(3)).sum >= rep.map(_.getLong(3)).sum)
+  }
+
   test("q243: KS dominates TV/2 relationship sanity and bounds on the sf corpus") {
     val rows = graft.text.TextOps.ksAudit(spark, dir).collect()
     assert(rows.nonEmpty)
