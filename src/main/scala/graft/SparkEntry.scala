@@ -562,6 +562,13 @@ object SparkEntry {
     // ledger quantifies what naive doc-keyed routing would split.
     "q244_cluster_shards"   -> ((s: SparkSession, dir: String) =>
       graft.sources.ShardOps.clusterShards(s, dir)),
+    // Random-walk-with-restart proximity to one brand's catalog:
+    // q124's integer-mass rounds, teleport concentrated on the seeds.
+    "q245_ppr_brand"        -> (G.pprBrand _),
+    // Kish effective sample size of the waterfill mixture: exact
+    // floored importance weights, ppm-scale-cancelled ratio.
+    "q246_mixture_ess"      -> ((s: SparkSession, dir: String) =>
+      graft.text.MixturePlan.mixtureEss(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -992,6 +999,8 @@ object SparkEntry {
     "q242_span_mask"        -> T.spanMaskPlanSql,
     "q243_ks_audit"         -> T.ksAuditSql,
     "q244_cluster_shards"   -> graft.sources.ShardOps.clusterShardsSql,
+    "q245_ppr_brand"        -> G.pprBrandSql,
+    "q246_mixture_ess"      -> graft.text.MixturePlan.mixtureEssSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -509,12 +509,18 @@ object GraphOps {
   }
 
   /** The peel loop on a symmetric (u, v) edge list: run `rounds` peel
-    * rounds (early exit once the survivor count stops moving — node
-    * count unchanged ⟺ no node was removed ⟺ stable, and further
-    * rounds are no-ops); returns surviving nodes with their in-core
-    * degree. */
+    * rounds (early exit once the edge count stops moving — an
+    * unchanged edge set fixes the degree table, so further rounds are
+    * no-ops; same fixpoint as counting survivors); returns surviving
+    * nodes with their in-core degree. */
   def kCorePeel(edges0: DataFrame, k: Long, rounds: Int = KCorePeelRounds): DataFrame = {
     var e = materialize(edges0)
+    // fixpoint on the EDGE count: the degree filter is a function of
+    // the edge set alone, so an unchanged edge count is an unchanged
+    // degree table — same fixpoint as counting survivors, but the
+    // count doubles as the action that materializes the round's LAZY
+    // checkpoint: ONE Spark job per round instead of two (this loop is
+    // round-latency-bound, not data-bound — the q149-style cost).
     var survivors = Long.MaxValue
     var n = -1L
     var round = 0
@@ -526,11 +532,10 @@ object GraphOps {
       // trip self-join attribute ambiguity
       val keepU = keep.select(col("u").as("ku"))
       val keepV = keep.select(col("u").as("kv"))
-      e = materialize(
-        e.join(keepU, e("u") === col("ku"), "left_semi")
-          .join(keepV, e("v") === col("kv"), "left_semi"))
-      n = e.select(coalesce(countDistinct(col("u")), lit(0L)))
-        .collect()(0).getLong(0)
+      e = e.join(keepU, e("u") === col("ku"), "left_semi")
+        .join(keepV, e("v") === col("kv"), "left_semi")
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      n = e.count()
       round += 1
     }
     e.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
@@ -767,6 +772,71 @@ object GraphOps {
        |SELECT a.pn AS p_partkey, a.auth AS auth_u,
        |       CAST(coalesce(d.n_buyers, 0) AS BIGINT) AS n_buyers
        |FROM a$HitsRounds a LEFT JOIN deg d ON a.pn = d.p""".stripMargin
+  }
+
+  // --------------------------------------------- q245 personalized PageRank
+
+  /** Personalized PageRank (the random-walk-with-restart
+    * recommendation primitive, Haveliwala 2002): q124's integer-mass
+    * rounds with the teleport vector concentrated on ONE brand's
+    * catalog instead of uniform — the walk restarts at the seed set,
+    * so mass measures proximity TO THE BRAND through the co-purchase
+    * graph, which is the "customers of this brand may also like"
+    * ranking (the global-PR complement, and the graph-walk cousin of
+    * q125's one-hop top-k). Same discipline as q124: damping 85/100,
+    * floor-division shares, all dividends nonnegative — the K-round
+    * fixpoint is bit-identical across engines.
+    *
+    * Scale shape: identical to q124 — per round ONE edge equi-join +
+    * a map-side-combined sum over fixed-width (node, mass) rows; the
+    * seed flag is a catalog-sized broadcast. */
+  def pprBrand(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = materialize(edges(spark, dir, minSupport = 2))
+    val e = e0.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e0.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    def nodes: DataFrame = Tables.part(spark, dir)
+      .select(col("p_partkey").as("n"),
+        (col("p_brand") === BfsSeedBrand).cast("long").as("seed"))
+    val be = maybeBroadcast(e)
+    val mass0 = nodes.select(col("n"), col("seed"),
+      (col("seed") * lit(PageRankInitMass)).as("mass"))
+    (1 to PageRankIters).foldLeft(mass0) { (mass, _) =>
+      val incoming = mass.join(deg, "n")
+        .select(col("n"), expr("mass div deg").as("share"))
+        .join(be, col("n") === be("u"))
+        .groupBy(col("v")).agg(sum(col("share")).as("in_mass"))
+      val nr = nodes
+      nr.join(incoming, nr("n") === incoming("v"), "left")
+        .select(nr("n"), nr("seed"),
+          (col("seed") * lit(15L * PageRankInitMass / 100L)
+            + expr("85 * coalesce(in_mass, 0L) div 100")).as("mass"))
+    }.select(col("n").as("p_partkey"), col("seed"), col("mass"))
+  }
+
+  val pprBrandSql: String = {
+    val base = 15L * PageRankInitMass / 100L
+    val rounds = (1 to PageRankIters).map { r =>
+      s"""m$r AS (
+         |  SELECT nd.n, nd.seed,
+         |         nd.seed * $base + 85 * coalesce(i.in_mass, 0) // 100 AS mass
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.v, CAST(sum(m.mass // d.deg) AS BIGINT) AS in_mass
+         |    FROM m${r - 1} m JOIN deg d ON m.n = d.n JOIN e ON e.u = m.n
+         |    GROUP BY 1) i ON i.v = nd.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(2)},
+       |e AS (SELECT pa AS u, pb AS v FROM e0
+       |      UNION ALL SELECT pb AS u, pa AS v FROM e0),
+       |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT p_partkey AS n,
+       |                 CAST(CASE WHEN p_brand = '$BfsSeedBrand' THEN 1 ELSE 0 END
+       |                      AS BIGINT) AS seed
+       |          FROM part),
+       |m0 AS (SELECT n, seed, seed * $PageRankInitMass AS mass FROM nodes),
+       |$rounds
+       |SELECT n AS p_partkey, seed, CAST(mass AS BIGINT) AS mass
+       |FROM m$PageRankIters""".stripMargin
   }
 
   // ------------------------------------------------- q229 link prediction

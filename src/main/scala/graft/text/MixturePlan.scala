@@ -102,4 +102,68 @@ object MixturePlan {
        |       CAST(CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT) AS capped,
        |       budget
        |FROM lv""".stripMargin
+
+  // ------------------------------------------ q246 importance weights + ESS
+
+  /** Importance-weighting diagnostic of the q182 waterfill plan: each
+    * source's sampling weight w = alloc/avail in exact floored ppm,
+    * and the EFFECTIVE SAMPLE SIZE of the weighted mixture —
+    * ESS = (Σ tᵢwᵢ)² / (Σ tᵢwᵢ²) (Kish 1965), the number every
+    * importance-weighted training run reports because a budget met by
+    * down-weighting giant sources can carry far fewer *effective*
+    * tokens than Σ alloc suggests. The ppm scale cancels in the ratio,
+    * so ESS is computed directly on the floored integer weights — a
+    * defined, engine-identical statistic; products widen through
+    * DECIMAL(38,0)/HUGEINT (exact to 10¹² tokens per source).
+    *
+    * Scale shape: inherits q182's one corpus-sized aggregate;
+    * everything here is source-cardinality arithmetic plus a 1-row
+    * broadcast of the three global sums. */
+  def mixtureEss(spark: SparkSession, dir: String): DataFrame =
+    essOfAllocation(mixtureWaterfill(spark, dir))
+
+  /** The diagnostic on an explicit (source, avail, alloc, …) plan —
+    * exposed for hand-computed fixture specs. */
+  def essOfAllocation(plan: DataFrame): DataFrame = {
+    val w = plan.select(col("source"), col("avail"), col("alloc"),
+        expr("alloc * 1000000 div greatest(avail, 1)").as("w_ppm"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val g = w.agg(
+        sum(col("avail")).as("t_total"),
+        sum(expr("cast(avail as decimal(38,0)) * w_ppm")).as("sw"),
+        sum(expr("cast(avail as decimal(38,0)) * w_ppm * w_ppm")).as("sw2"),
+        count(lit(1)).as("n_sources"))
+      .select(col("n_sources"),
+        when(col("sw2") === 0, lit(0L))
+          .otherwise(expr("cast(sw * sw div sw2 as bigint)")).as("ess_tokens"),
+        when(col("sw2") === 0, lit(0L))
+          .otherwise(expr(
+            """cast(cast(sw * sw div sw2 as decimal(38,0)) * 1000000
+              |  div t_total as bigint)""".stripMargin)).as("ess_ratio_ppm"))
+    w.crossJoin(broadcast(g))
+  }
+
+  val mixtureEssSql: String =
+    s"""WITH plan0 AS ($mixtureWaterfillSql),
+       |w AS (
+       |  SELECT source, avail, alloc,
+       |         CAST(alloc * 1000000 // greatest(avail, 1) AS BIGINT) AS w_ppm
+       |  FROM plan0),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       |         CAST(sum(avail) AS BIGINT) AS t_total,
+       |         CAST(sum(CAST(avail AS HUGEINT) * w_ppm) AS HUGEINT) AS sw,
+       |         CAST(sum(CAST(avail AS HUGEINT) * w_ppm * w_ppm) AS HUGEINT) AS sw2
+       |  FROM w),
+       |gs AS (
+       |  SELECT n_sources,
+       |         CAST(CASE WHEN sw2 = 0 THEN 0
+       |                   ELSE sw * sw // sw2 END AS BIGINT) AS ess_tokens,
+       |         CAST(CASE WHEN sw2 = 0 THEN 0
+       |                   ELSE (sw * sw // sw2) * 1000000 // t_total
+       |              END AS BIGINT) AS ess_ratio_ppm
+       |  FROM g)
+       |SELECT w.source, w.avail, w.alloc, w.w_ppm,
+       |       gs.n_sources, gs.ess_tokens, gs.ess_ratio_ppm
+       |FROM w, gs""".stripMargin
 }
