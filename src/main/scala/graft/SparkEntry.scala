@@ -569,6 +569,12 @@ object SparkEntry {
     // floored importance weights, ppm-scale-cancelled ratio.
     "q246_mixture_ess"      -> ((s: SparkSession, dir: String) =>
       graft.text.MixturePlan.mixtureEss(s, dir)),
+    // q233 live: stratum-count cells as bounded streaming state, the
+    // drained table rolled up by the shared HHI arithmetic.
+    "q247_stream_diversity" -> (T.mixtureDiversityStream _),
+    // Good-Turing unseen-mass estimate per language: f1/N ppm plus the
+    // frequency-of-frequencies head — the vocabulary-coverage gauge.
+    "q248_good_turing"      -> (T.goodTuring _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -1001,6 +1007,9 @@ object SparkEntry {
     "q244_cluster_shards"   -> graft.sources.ShardOps.clusterShardsSql,
     "q245_ppr_brand"        -> G.pprBrandSql,
     "q246_mixture_ess"      -> graft.text.MixturePlan.mixtureEssSql,
+    // the streamed strata must land on the batch diversity ledger
+    "q247_stream_diversity" -> T.mixtureDiversitySql,
+    "q248_good_turing"      -> T.goodTuringSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

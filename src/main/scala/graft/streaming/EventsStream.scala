@@ -115,6 +115,20 @@ object EventsStream {
     graft.tables.Tables.normalizeTs(raw)
   }
 
+  /** Documents table as a file-source stream — the ingest side for the
+    * corpus-facing streaming gates (q247). Same single-file/glob
+    * handling as [[source]]. */
+  def docsSource(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(hPath).isDirectory
+    val s = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(s)
+    if (isDir) reader.parquet(path)
+    else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** Tumbling 1-hour window counts with a 1-hour watermark — the
     * streaming twin of EventOps.tumblingCounts. */
   def tumblingCounts(events: DataFrame): DataFrame =

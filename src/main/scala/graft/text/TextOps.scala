@@ -1592,12 +1592,33 @@ object TextOps {
     mixtureDiversityOf(Tables.spread(Tables.documents(spark, dir))
       .select(col("source"), col("lang")))
 
-  /** The axis rollups on explicit (source, lang) rows — exposed for
-    * hand-computed fixture specs. */
-  def mixtureDiversityOf(docs: DataFrame): DataFrame = {
-    val strata = docs
+  /** q247: the diversity audit as a LIVE ingest gate on the q203/q231
+    * principle — the streaming aggregate's state is the (source, lang)
+    * stratum count table (catalog-bounded forever), and the post-drain
+    * axis rollups must hash-equal the q233 batch oracle, pinning the
+    * streamed accumulation and the HHI arithmetic together. Reads the
+    * documents table through the file-source stream. */
+  def mixtureDiversityStream(spark: SparkSession, dir: String): DataFrame = {
+    val cur = graft.streaming.EventsStream
+      .docsSource(spark, dir)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("cnt"))
+    val drained = graft.streaming.EventsStream.runAvailableNow(
+      spark, cur, "q247_stream_diversity", outputMode = "complete")
+    mixtureDiversityOfCounts(drained)
+  }
+
+  /** The axis rollups on explicit (source, lang) rows — exposed for
+    * hand-computed fixture specs. */
+  def mixtureDiversityOf(docs: DataFrame): DataFrame =
+    mixtureDiversityOfCounts(docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The same rollups on pre-aggregated (source, lang, cnt) strata —
+    * the streaming twin drains exactly this shape. */
+  def mixtureDiversityOfCounts(strata0: DataFrame): DataFrame = {
+    val strata = strata0
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     def axis(name: String, keyed: DataFrame): DataFrame =
       keyed.agg(
@@ -1827,6 +1848,53 @@ object TextOps {
        |       ${polyHashSql(probe)} AS ent_fp,
        |       CAST(length(html) AS BIGINT) AS html_chars
        |FROM pages""".stripMargin
+  }
+
+  // ------------------------------------------------- q248 Good-Turing mass
+
+  /** Good-Turing unseen-mass estimation per language (Good 1953): the
+    * probability mass an LM should reserve for tokens it has never
+    * seen, P₀ = f₁/N (singleton count over token count), plus the
+    * frequency-of-frequencies head (f₁, f₂), vocabulary size, and the
+    * GT-discounted singleton mass f₂·2/N — the coverage statistic that
+    * says whether a corpus slice is large enough that its vocabulary
+    * has stopped growing (high unseen mass = the mixture needs more of
+    * that language before per-token statistics can be trusted).
+    * All-integer ppm, the usual discipline.
+    *
+    * Scale shape: ONE (lang, token) count aggregate (the Zipf shape —
+    * map-side combine collapses the corpus before the shuffle), then a
+    * count-of-counts rollup on vocabulary-sized rows. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExprs.tokensCol
+    val cnt = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), explode(tokensCol(lower(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        expr("f1 * 1000000 div n_tokens").as("unseen_ppm"),
+        expr("f2 * 2 * 1000000 div n_tokens").as("gt_singleton_ppm"))
+  }
+
+  val goodTuringSql: String = {
+    val toks = graft.functions.TextExprs.tokensSql("lower(text)")
+    s"""WITH cnt AS (
+       |  SELECT lang, unnest($toks) AS tok FROM documents),
+       |c0 AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+       |       FROM cnt GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS vocab,
+       |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+       |            // sum(c) AS BIGINT) AS unseen_ppm,
+       |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 2 * 1000000
+       |            // sum(c) AS BIGINT) AS gt_singleton_ppm
+       |FROM c0 GROUP BY 1""".stripMargin
   }
 
   // --------------------------------------------- q242 span-corruption plan

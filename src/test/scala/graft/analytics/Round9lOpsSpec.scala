@@ -61,4 +61,31 @@ class Round9lOpsSpec extends AnyFunSuite {
       assert(r.getLong(6) > 0L && r.getLong(6) <= 1000000L)
     }
   }
+
+  test("q247: the streamed diversity ledger equals the batch q233 ledger row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val batch = graft.text.TextOps.mixtureDiversity(spark, dir)
+      .collect().map(key).sortBy(_.toString)
+    val stream = graft.text.TextOps.mixtureDiversityStream(spark, dir)
+      .collect().map(key).sortBy(_.toString)
+    assert(stream.nonEmpty)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
+  test("q248: Good-Turing ledger — identities hold, singletons bounded by vocabulary") {
+    val rows = graft.text.TextOps.goodTuring(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, f1, f2) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(v <= n)                       // counts are >= 1
+      assert(f1 + f2 <= v)
+      assert(r.getLong(5) === f1 * 1000000L / n)
+      assert(r.getLong(6) === f2 * 2L * 1000000L / n)
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+    // the synthetic corpus draws from fixed generators, so every token
+    // may repeat — the ledger itself must still be populated
+    assert(rows.map(_.getLong(2)).sum > 0L)
+  }
 }
