@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
@@ -53,6 +53,11 @@ object NativeExprs {
 
   def countInSet(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(CountInSetExpr(ExpressionUtils.expression(tokens), words.toArray))
+
+  /** A long constant passed via the codegen `references` array (see
+    * [[ParamLongExpr]]) — use instead of `lit` when an iterative loop
+    * re-plans the same shape with fresh values every round. */
+  def paramLong(v: Long): Column = ExpressionUtils.column(ParamLongExpr(v))
 
   def countCpRange(s: Column, lo: Int, hi: Int): Column =
     ExpressionUtils.column(CountCpRangeExpr(ExpressionUtils.expression(s), lo, hi))
@@ -1688,4 +1693,29 @@ object CharBigramsExpr {
     }
     new GenericArrayData(out)
   }
+}
+
+/** A long "parameter" carried through the codegen `references` array
+  * instead of being baked into the generated source as a literal.
+  *
+  * Iterative learners (q149's fused GD loop) re-plan a structurally
+  * identical aggregate every round with only the model weights
+  * changing; with ordinary `lit`s each round's generated source embeds
+  * the new values, so janino recompiles ~30 aggregate methods per
+  * round and compilation dominates the loop. With the weight read as
+  * `references[i]` the source text is byte-identical across rounds and
+  * the whole-stage-codegen cache serves every round after the first.
+  * Non-foldable by design — ConstantFolding would otherwise collapse
+  * it right back into a baked literal. */
+case class ParamLongExpr(value: Long) extends LeafExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = value
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("paramLong",
+      java.lang.Long.valueOf(value), "java.lang.Long")
+    ExprCode.forNonNullValue(JavaCode.expression(s"$ref.longValue()", LongType))
+  }
+  override def prettyName: String = "graft_param_long"
 }

@@ -44,13 +44,28 @@ import graft.functions.NativeExprs
   * an unrolled CTE chain and must land on the identical 30 weights
   * (`w_fp` pins them on every row). Scale shape: feature extraction
   * is one narrow pass; each GD round is one aggregate collecting 30
-  * longs; scoring is a second narrow pass — at 100 TB the model is
-  * driver-resident by construction and only fixed-width rows move. */
+  * longs, and [[Fuse]] rounds chain inside one Spark action (the
+  * driver sees Rounds/Fuse round trips); scoring is a second narrow
+  * pass — at 100 TB the model is driver-resident by construction and
+  * only fixed-width rows move. */
 object LangIdTrained {
 
   /** GD rounds; with LR 8 this converges to ~87% held-out accuracy
     * while keeping the oracle's unrolled CTE chain compact. */
   val Rounds = 24
+
+  /** GD rounds advanced per Spark action ([[learn]]): round 1 of each
+    * batch evaluates the gradient at the LITERAL weights; each further
+    * round re-derives the next 30-weight row relationally (the exact
+    * CTE shape the oracle unrolls) and evaluates its gradient against
+    * a broadcast cross join of that 1-row table — so one collect
+    * advances [[Fuse]] rounds and the driver round-trip count is
+    * Rounds/Fuse. Weight arithmetic is bit-identical either way: the
+    * long→double cast + /10⁶ the column form evaluates at runtime is
+    * the same IEEE operation the literal form folds at plan time, and
+    * integral `div` truncates toward zero exactly like the driver's
+    * Long division did. Must divide [[Rounds]]. */
+  val Fuse = 2
 
   /** Integer learning-rate numerator: w ← w − (Lr·G) / n. */
   val Lr = 8L
@@ -106,19 +121,43 @@ object LangIdTrained {
   private def residCol(z: Column, k: Int): Column =
     (lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))) - col(s"y$k")
 
-  /** Learn K micro-unit weight vectors: [[Rounds]] × (one 30-column
-    * long-sum aggregate over the train split + a 30-long collect).
+  /** z_k = w·x with the weights read from the fused 1-row weight
+    * table instead of literals — the same left-associated IEEE tree as
+    * [[zCol]] (long→double cast + /10⁶ at runtime evaluates to the
+    * exact double the literal form computes at plan time). */
+  private def zColOfRow(k: Int): Column =
+    (1 to F).foldLeft(col(s"w${k}_0").cast("double") / lit(1000000.0)) {
+      (acc, j) =>
+        acc + (col(s"w${k}_$j").cast("double") / lit(1000000.0)) * col(s"x$j") }
+
+  /** z_k = w·x with the driver-held weights injected as codegen
+    * REFERENCES ([[NativeExprs.paramLong]]) rather than literals, so
+    * every training batch generates byte-identical source and janino's
+    * cache serves rounds 2..N — same IEEE tree as [[zCol]] (the
+    * long→double cast + /10⁶ runtime pair equals the plan-time fold). */
+  private def zColParam(wk: Array[Long]): Column =
+    (1 to F).foldLeft(
+      NativeExprs.paramLong(wk(0)).cast("double") / lit(1000000.0)) { (acc, j) =>
+      acc + (NativeExprs.paramLong(wk(j)).cast("double") / lit(1000000.0)) *
+        col(s"x$j") }
+
+  /** Learn K micro-unit weight vectors: [[Rounds]]/[[Fuse]] actions,
+    * each one linear CHAIN of [[Fuse]] 30-column long-sum aggregates
+    * over the train split (round 1 at literal weights; rounds 2..Fuse
+    * against the previous round's 1-row weight table, broadcast
+    * cross-joined onto the split, with the weights carried THROUGH the
+    * aggregate via max() so every weight table is referenced exactly
+    * once — the plan is a linear chain, never a 2^rounds DAG).
     *
     * The per-round job runs over a SIZE-CONSOLIDATED view of the
     * train split: coalesce to ~100k rows/partition (never below 1,
     * never above the checkpoint's own partition count — coalesce only
     * merges). At gate scale that collapses 32 near-empty tasks per
     * round into one; at 100 TB the divisor keeps thousands of
-    * partitions, so the consolidation is scale-neutral. (Weights stay
-    * literals: a broadcast-weights variant was measured SLOWER — the
-    * per-round broadcast build outweighs the janino recompile it
-    * avoids.) Returns (weights, materialized feature table). */
+    * partitions, so the consolidation is scale-neutral.
+    * Returns (weights, materialized feature table). */
   def learn(spark: SparkSession, dir: String): (Array[Array[Long]], DataFrame) = {
+    require(Rounds % Fuse == 0, s"Fuse=$Fuse must divide Rounds=$Rounds")
     val f = feats(spark, dir).localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = f.filter(col("split") === "train").count()
@@ -126,14 +165,47 @@ object LangIdTrained {
       .coalesce(math.max(1, (n / 100000L).toInt))
     var w = Array.fill(K)(Array.fill(F + 1)(0L))
     val xref: Seq[Column] = lit(1.0) +: (1 to F).map(j => col(s"x$j"))
-    for (_ <- 0 until Rounds) {
-      val cols = for (k <- 0 until K; j <- 0 to F) yield
-        sum(floor((residCol(zCol(w(k)), k) * xref(j)) * lit(1000000.0)
-          + lit(0.5))).as(s"g${k}_$j")
-      val g = tr.select(cols: _*).collect()(0)
+    val kj = for (k <- 0 until K; j <- 0 to F) yield (k, j)
+    val xs = (1 to F).map(j => col(s"x$j"))
+    // One gradient round, factored through PROJECTIONS so each z_k and
+    // resid_k expression is planned once instead of once per (k, j)
+    // sum — the loop is Catalyst-planning-bound (the aggregates run on
+    // a few thousand cached rows), so expression-tree size IS the
+    // round cost. CollapseProject leaves the factoring alone: z_k is
+    // referenced twice by resid_k (non-cheap, multi-use). `carry`
+    // columns (the fused weight row) pass through the stage via max().
+    def gradStage(input: DataFrame, z: Int => Column,
+        carry: Seq[String]): DataFrame = {
+      val p1 = input.select(xs ++ (0 until K).map(k => col(s"y$k"))
+        ++ carry.map(col) ++ (0 until K).map(k => z(k).as(s"z$k")): _*)
+      val p2 = p1.select(xs ++ carry.map(col)
+        ++ (0 until K).map(k => residCol(col(s"z$k"), k).as(s"r$k")): _*)
+      p2.select(kj.map { case (k, j) =>
+        sum(floor((col(s"r$k") * xref(j)) * lit(1000000.0) + lit(0.5)))
+          .as(s"g${k}_$j") }
+        ++ carry.map(c => max(col(c)).as(c)): _*)
+    }
+    // w ← w − (Lr·G) div n: Spark's integral `div` truncates toward
+    // zero exactly like the Long division the driver loop used
+    def updated(wc: (Int, Int) => Column): Seq[Column] =
+      kj.map { case (k, j) =>
+        (wc(k, j) - expr(s"($Lr * g${k}_$j) div ${n}L")).as(s"w${k}_$j") }
+    val wCols = kj.map { case (k, j) => s"w${k}_$j" }
+    for (_ <- 0 until Rounds / Fuse) {
+      // round 1 of the batch: gradient at the driver-held weights,
+      // injected as codegen references so the batch plan's generated
+      // source is byte-identical every iteration (janino cache hit)
+      var wDf = gradStage(tr, k => zColParam(w(k)), Nil)
+        .select(updated((k, j) => NativeExprs.paramLong(w(k)(j))): _*)
+      // rounds 2..Fuse: gradient against the previous 1-row weight
+      // table; max() passes each (constant) weight through the agg
+      for (_ <- 1 until Fuse) {
+        wDf = gradStage(tr.crossJoin(broadcast(wDf)), zColOfRow, wCols)
+          .select(updated((k, j) => col(s"w${k}_$j")): _*)
+      }
+      val row = wDf.collect()(0)
       w = Array.tabulate(K) { k =>
-        Array.tabulate(F + 1) { j =>
-          w(k)(j) - (Lr * g.getLong(k * (F + 1) + j)) / n } }
+        Array.tabulate(F + 1)(j => row.getLong(k * (F + 1) + j)) }
     }
     (w, f)
   }

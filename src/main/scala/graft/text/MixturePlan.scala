@@ -126,7 +126,11 @@ object MixturePlan {
     * exposed for hand-computed fixture specs. */
   def essOfAllocation(plan: DataFrame): DataFrame = {
     val w = plan.select(col("source"), col("avail"), col("alloc"),
-        expr("alloc * 1000000 div greatest(avail, 1)").as("w_ppm"))
+        // widen the ×10⁶ product through DECIMAL(38,0) like sw/sw2 —
+        // int64 wraps silently past ~9.2e12 alloc tokens (the oracle's
+        // BIGINT would error loudly; silent skew weights are worse)
+        expr("""cast(cast(alloc as decimal(38,0)) * 1000000
+               |  div greatest(avail, 1) as bigint)""".stripMargin).as("w_ppm"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val g = w.agg(
         sum(col("avail")).as("t_total"),
@@ -147,7 +151,8 @@ object MixturePlan {
     s"""WITH plan0 AS ($mixtureWaterfillSql),
        |w AS (
        |  SELECT source, avail, alloc,
-       |         CAST(alloc * 1000000 // greatest(avail, 1) AS BIGINT) AS w_ppm
+       |         CAST(CAST(alloc AS HUGEINT) * 1000000
+       |              // greatest(avail, 1) AS BIGINT) AS w_ppm
        |  FROM plan0),
        |g AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,

@@ -2020,7 +2020,14 @@ object TextOps {
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_s"),
         max(col("nn") - col("n_s")).as("n_rest"),
-        expr("cast(max(mxd) * 1000000 div (cast(max(n_s) as decimal(38,0)) * max(nn - n_s)) as bigint)")
+        // a source holding ALL rows has an empty "rest" sample — the KS
+        // statistic is undefined (denominator n_s·n_rest = 0) and the
+        // sup CDF gap is identically 0, so 0 ppm is the defined answer;
+        // without the guard Spark's div NULLs while DuckDB's // throws
+        expr("""cast(CASE WHEN max(nn - n_s) = 0 THEN 0
+               |     ELSE max(mxd) * 1000000
+               |          div (cast(max(n_s) as decimal(38,0)) * max(nn - n_s))
+               |END as bigint)""".stripMargin)
           .as("ks_ppm"),
         min(col("v")).as("v_at_max"))
   }
@@ -2052,8 +2059,9 @@ object TextOps {
        |mx AS (SELECT source, max(diff) AS mxd FROM dd GROUP BY 1)
        |SELECT dd.source, max(dd.n_s) AS n_s,
        |       CAST(max(dd.nn - dd.n_s) AS BIGINT) AS n_rest,
-       |       CAST(max(mx.mxd) * 1000000
-       |            // (CAST(max(dd.n_s) AS HUGEINT) * max(dd.nn - dd.n_s)) AS BIGINT)
+       |       CAST(CASE WHEN max(dd.nn - dd.n_s) = 0 THEN 0
+       |            ELSE max(mx.mxd) * 1000000
+       |            // (CAST(max(dd.n_s) AS HUGEINT) * max(dd.nn - dd.n_s)) END AS BIGINT)
        |         AS ks_ppm,
        |       min(dd.v) AS v_at_max
        |FROM dd JOIN mx ON mx.source = dd.source AND dd.diff = mx.mxd
@@ -2076,6 +2084,15 @@ object TextOps {
     * chance), so floor division is spelled with the explicit
     * nonneg-operand CASE that truncating `div` and flooring `//`
     * evaluate identically.
+    *
+    * Macro-F1 convention: the average runs over the UNION of gold and
+    * predicted classes (the margins full-outer join), so a label that
+    * only ever appears as a prediction contributes F1 = 0 and pulls
+    * macro-F1 down. That is deliberate — hallucinated labels are a
+    * labeler defect this audit should surface, where the
+    * gold-classes-only convention (scikit-learn's default) would hide
+    * them. On this corpus every class has gold support, so the two
+    * conventions coincide; both engines spell the union form.
     *
     * Scale shape: ONE corpus-wide (lang, predicted) count aggregate
     * (q16's plan); everything after operates on the class-squared cell

@@ -135,6 +135,18 @@ object Profile {
       graft.text.TextOps.langId(spark, dir).explain("formatted")
     }
     if (on("q16")) time("q16 full")(graft.text.TextOps.langId(spark, dir).count())
+    if (on("q149")) { // learn = feats+checkpoint + GD loop; full adds scoring
+      import org.apache.spark.metrics.source.CodegenMetrics._
+      def cg() = (METRIC_SOURCE_CODE_SIZE.getCount,
+        METRIC_COMPILATION_TIME.getSnapshot.size)
+      val a = cg()
+      time("q149 learn 1st")(graft.text.LangIdTrained.learn(spark, dir)._1.map(_.sum).sum)
+      val b = cg(); println(s"[codegen] learn1 compiles=${b._1 - a._1}")
+      time("q149 learn 2nd")(graft.text.LangIdTrained.learn(spark, dir)._1.map(_.sum).sum)
+      val c = cg(); println(s"[codegen] learn2 compiles=${c._1 - b._1}")
+      time("q149 full")(graft.text.LangIdTrained.langIdTrained(spark, dir).count())
+      val d = cg(); println(s"[codegen] full compiles=${d._1 - c._1}")
+    }
     if (on("q01")) time("q01 full")(graft.analytics.Relational.globalStats(spark, dir).count())
     spark.stop()
   }
