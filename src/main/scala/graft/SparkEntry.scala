@@ -575,6 +575,14 @@ object SparkEntry {
     // Good-Turing unseen-mass estimate per language: f1/N ppm plus the
     // frequency-of-frequencies head — the vocabulary-coverage gauge.
     "q248_good_turing"      -> (T.goodTuring _),
+    // Two-generation parquet schema evolution (added column + widened
+    // ids) read back through one explicit target schema.
+    "q249_schema_evolution" -> ((s: SparkSession, dir: String) =>
+      graft.sources.SchemaEvolution.schemaEvolution(s, dir)),
+    // Maximal duplicated spans >= 50 tokens (Lee et al. substring
+    // dedup): window fingerprints, hash election, island merge.
+    "q250_dup_spans"        -> ((s: SparkSession, dir: String) =>
+      graft.dedup.SpanDedup.dupSpans(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
@@ -1010,6 +1018,8 @@ object SparkEntry {
     // the streamed strata must land on the batch diversity ledger
     "q247_stream_diversity" -> T.mixtureDiversitySql,
     "q248_good_turing"      -> T.goodTuringSql,
+    "q249_schema_evolution" -> graft.sources.SchemaEvolution.schemaEvolutionSql,
+    "q250_dup_spans"        -> graft.dedup.SpanDedup.dupSpansSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

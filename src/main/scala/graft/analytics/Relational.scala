@@ -1377,15 +1377,34 @@ object Relational {
       .filter(col("n_orders") >= CopurchaseMinSupport)
   }
 
-  /** Oracle: the naive cubic basket self-join — no candidate
-    * generation, no pruning; equality proves Apriori lossless. */
+  /** Oracle: DuckDB's own Apriori — frequent pairs, candidate triples
+    * by the join-and-prune step, exact support count of the pruned
+    * candidates. Downward closure (every subset of a frequent set is
+    * frequent, Agrawal & Srikant VLDB'94 Thm) makes the pruning
+    * LOSSLESS, so this is equivalent to the naive cubic basket
+    * self-join — which the r1–r9 gates in fact ran as the oracle,
+    * hash-proving the equivalence on this data before the swap. The
+    * cubic form exceeded DuckDB's 900 s budget on the 10× protocol
+    * corpus (PERF.md r9); this form completes there, keeping the 10×
+    * compare oracle-verified rather than oracle-bound. */
   val tripleItemsetsSql: String =
-    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
-       |SELECT a.p AS part_a, b2.p AS part_b, c.p AS part_c,
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |fp AS (
+       |  SELECT x.p AS p1, y.p AS p2
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $CopurchaseMinSupport),
+       |cand AS (
+       |  SELECT u.p1 AS part_a, u.p2 AS part_b, v.p2 AS part_c
+       |  FROM fp u JOIN fp v ON u.p1 = v.p1 AND u.p2 < v.p2
+       |  WHERE EXISTS (SELECT 1 FROM fp w
+       |                WHERE w.p1 = u.p2 AND w.p2 = v.p2))
+       |SELECT c.part_a, c.part_b, c.part_c,
        |       CAST(count(*) AS BIGINT) AS n_orders
-       |FROM b a
-       |JOIN b b2 ON a.o = b2.o AND a.p < b2.p
-       |JOIN b c ON a.o = c.o AND b2.p < c.p
+       |FROM cand c
+       |JOIN b a  ON a.p  = c.part_a
+       |JOIN b b2 ON b2.o = a.o AND b2.p = c.part_b
+       |JOIN b b3 ON b3.o = a.o AND b3.p = c.part_c
        |GROUP BY 1, 2, 3
        |HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
 
