@@ -182,18 +182,39 @@ object SalesEtl {
     (clean, errors)
   }
 
-  /** E1 pipeline: read text CSV → validate → write clean parquet
-    * (SaveMode.Overwrite ≡ WRITE_TRUNCATE, dataflow_transform.py:157)
-    * + dead-letter parquet (upgrade over the reference's log-only
-    * errors, dataflow_transform.py:163-168). */
+  /** Sink seam for cloud deployment: the pipeline writes through a
+    * (format, options) pair and a caller-supplied base URI rather than
+    * a hard-coded local parquet call, so swapping the reference's
+    * actual sinks in (BigQuery WRITE_TRUNCATE + `gs://` staging,
+    * dataflow_transform.py:147,152-160) is a CONFIG change, not an
+    * operator change: `Sink("bigquery", Map("table" -> ...))` with a
+    * `gs://bucket/...` outDir once the connector jars are on the
+    * cluster classpath (this sandbox has no network, so the bundled
+    * formats — parquet/orc/json/csv — are what the spec exercises).
+    * Overwrite mode is the WRITE_TRUNCATE contract either way. */
+  final case class Sink(format: String = "parquet",
+                        options: Map[String, String] = Map.empty)
+
+  /** E1 pipeline: read text CSV → validate → write clean + dead-letter
+    * datasets through the [[Sink]] seam (SaveMode.Overwrite ≡
+    * WRITE_TRUNCATE, dataflow_transform.py:157; the dead-letter
+    * dataset upgrades the reference's log-only errors,
+    * dataflow_transform.py:163-168). `outDir` is any Hadoop-FS URI —
+    * local path here, `gs://`/`s3a://` on a real cluster. */
   def runPipeline(spark: SparkSession, input: String, outDir: String,
-                  quoteAware: Boolean = false): (Long, Long) = {
+                  quoteAware: Boolean = false,
+                  sink: Sink = Sink()): (Long, Long) = {
     val lines = spark.read.text(input)
     val (clean, errors) = parseAndValidate(lines, quoteAware)
-    clean.write.mode("overwrite").parquet(s"$outDir/clean")
-    errors.write.mode("overwrite").parquet(s"$outDir/errors")
-    val cleanOut = spark.read.parquet(s"$outDir/clean")
-    val errorsOut = spark.read.parquet(s"$outDir/errors")
-    (cleanOut.count(), errorsOut.count())
+    def write(df: org.apache.spark.sql.DataFrame, part: String): Unit =
+      df.write.mode("overwrite").format(sink.format)
+        .options(sink.options).save(s"$outDir/$part")
+    write(clean, "clean")
+    write(errors, "errors")
+    def read(part: String) =
+      spark.read.format(sink.format).options(sink.options)
+        .schema(if (part == "clean") clean.schema else errors.schema)
+        .load(s"$outDir/$part")
+    (read("clean").count(), read("errors").count())
   }
 }

@@ -100,3 +100,36 @@ class SalesEtlQuoteAwareSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rescued.getAs[Double]("total_sale") === 399.9)
   }
 }
+
+/** The sink/URI seam (SURVEY residual: the reference writes BigQuery +
+  * gs://; the engine must make that a config swap, not an operator
+  * change). Proven by running the WHOLE pipeline end-to-end through a
+  * non-default bundled format and landing on the same golden split and
+  * values as the parquet path. */
+class SalesEtlSinkSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("full pipeline through an ORC sink: golden 12/14 split and identical clean values") {
+    val spark = SparkTestSession.get
+    val path = getClass.getResource("/messy_sales_data.csv").getPath
+    val out = java.nio.file.Files.createTempDirectory("etl_orc_sink")
+    graft.sources.TempDirs.deleteOnExit(out)
+    val (nClean, nErr) = SalesEtl.runPipeline(spark, path, out.toString,
+      sink = SalesEtl.Sink("orc"))
+    assert((nClean, nErr) === ((12L, 14L)))
+    // the landed ORC data is the SAME table the parquet sink writes
+    val orc = spark.read.orc(s"$out/clean")
+    val sums = orc.selectExpr("count(*)", "round(sum(total_sale), 2)").head
+    assert(sums.getLong(0) === 12L)
+    assert(sums.getDouble(1) === 5415.25)
+    assert(spark.read.orc(s"$out/errors").count() === 14L)
+  }
+
+  test("csv sink round-trips through the same seam (schema supplied on read)") {
+    val spark = SparkTestSession.get
+    val path = getClass.getResource("/messy_sales_data.csv").getPath
+    val out = java.nio.file.Files.createTempDirectory("etl_csv_sink")
+    graft.sources.TempDirs.deleteOnExit(out)
+    val (nClean, nErr) = SalesEtl.runPipeline(spark, path, out.toString,
+      sink = SalesEtl.Sink("csv", Map("header" -> "true")))
+    assert((nClean, nErr) === ((12L, 14L)))
+  }
+}
