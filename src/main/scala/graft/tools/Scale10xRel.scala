@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.Scale10xRel [srcDir] [outDir] [reps]
   */
 object Scale10xRel {
+
+  /** Key-shifted ×`reps` replication — public so the plan specs can
+    * derive the same densified corpora the PERF.md protocol uses. */
+  def replicate(df: DataFrame, shiftCols: Seq[String], reps: Int): DataFrame = {
+    val spans = shiftCols.map { c =>
+      c -> (df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L)
+    }
+    (0 until reps).map { i =>
+      spans.foldLeft(df) { case (d, (c, span)) =>
+        d.withColumn(c,
+          (col(c).cast("long") + lit(i.toLong * span)).cast(df.schema(c).dataType))
+      }
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out  = args.lift(1).getOrElse("/tmp/sf1ish_rel")
@@ -38,17 +53,8 @@ object Scale10xRel {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, shiftCols: Seq[String]): DataFrame = {
-      val spans = shiftCols.map { c =>
-        c -> (df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L)
-      }
-      (0 until reps).map { i =>
-        spans.foldLeft(df) { case (d, (c, span)) =>
-          d.withColumn(c,
-            (col(c).cast("long") + lit(i.toLong * span)).cast(df.schema(c).dataType))
-        }
-      }.reduce(_ unionAll _)
-    }
+    def replicate(df: DataFrame, shiftCols: Seq[String]): DataFrame =
+      Scale10xRel.replicate(df, shiftCols, reps)
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "documents", "embeddings"))

@@ -289,6 +289,64 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the co-purchase wedge join's hub partition on the 10x corpus (skew=true)") {
+    // The synthetic hot-key test above proves the MECHANISM; this pins
+    // it on the real q123 path: the wedge-close join keys one side by
+    // the wedge middle's IN-degree, which the degree orientation does
+    // NOT bound (only out-degree is O(sqrt m)), so hub structure skews
+    // that shuffle. The gate corpus's baskets are uniform-random over a
+    // tiny catalog (degree max 138 vs median 89 at sf0.001 — near-
+    // regular, nothing for AQE to split, and correctly so), so the hub
+    // is PLANTED through the real operator, planted-recall-spec style:
+    // a promo item added to 90% of the x10 key-shifted corpus's
+    // baskets — at 100 TB catalog sparsity makes such hubs the norm.
+    // Edge broadcast is disabled (the shuffle fallback a
+    // too-big-to-broadcast catalog forces) and AQE must split the hub
+    // partition at runtime.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions",
+      "graft.graph.broadcastEdges")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // gate-scale data is KBs where production partitions are GBs; the
+    // FACTOR (x2 median) is the real-cluster knob, the byte floors are
+    // scaled down to the corpus exactly as the synthetic test scales them
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    spark.conf.set("graft.graph.broadcastEdges", "false")
+    try {
+      val tenx = Files.createTempDirectory("rel10x").toString
+      val li10 = graft.tools.Scale10xRel.replicate(
+        spark.read.parquet(s"$dir/lineitem.parquet"), Seq("l_orderkey"), 10)
+      val hubId = li10.agg(max(col("l_partkey").cast("long"))).head.getLong(0) + 1L
+      val hub = li10.dropDuplicates("l_orderkey")
+        .filter(col("l_orderkey").cast("long") % 10 =!= 0)
+        .withColumn("l_partkey", lit(hubId).cast(li10.schema("l_partkey").dataType))
+      li10.unionAll(hub)
+        .write.mode("overwrite").parquet(s"$tenx/lineitem.parquet")
+      val census = graft.graph.GraphOps.triangleStats(spark, tenx)
+      val row = census.collect()(0)
+      assert(row.getLong(2) > 0, s"census found no triangles: $row")
+      val finalPlan = census.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the wedge-join hub partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // at 100 TB the big win on fact ⋈ filtered-dim is semi-join
     // reduction: a bloom filter built from the filtered dim keys is
