@@ -178,7 +178,15 @@ object Bench {
     val es2 = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
+    // Canonicality marker (r9 verdict ask): the SHARED host inflates
+    // unattended runs by 20%+, so each artifact now says in-band
+    // whether it is the canonical quiet record (builder-attended run
+    // with SPARK_GRAFT_BENCH_CANONICAL=true after checking uptime) or
+    // a run whose total should be read against the canonical file.
+    val canonical = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANONICAL", "false") == "true"
+    val canonicalRef =
+      if (canonical) "" else s""","canonical_record":"bench/r10_local_quiet.json""""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; the per-query dicts
     // over 148+ queries overflow it, truncating the JSON mid-object.
     // So: full record first (own line + a file under bench/), then a
@@ -191,7 +199,7 @@ object Bench {
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val nq = results.values.count(_._1 >= 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries_ok":$nq,"queries_err":${errors.size},"sf":"$sfDir","detail":"full per-query record on preceding line and in bench/last_bench_full.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,"queries_ok":$nq,"queries_err":${errors.size},"sf":"$sfDir","detail":"full per-query record on preceding line and in bench/last_bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -80,7 +80,9 @@ def strict_hash_eq(spark_glob, want_df):
     return hg == hw
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout_s=0, only=None, json_out=None):
+    import threading
+    import time
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -91,24 +93,50 @@ def main(sf_dir, out_dir):
             p += "/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        pfx = only.split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in pfx)}
+    ledger = {}
     n_pass = n_fail = 0
+
+    def note(name, status, rows, secs, detail=""):
+        ledger[name] = {"status": status, "rows": rows,
+                        "oracle_secs": round(secs, 2), "detail": detail}
+
     for name in sorted(oracle):
         sql = oracle[name]
+        t0 = time.monotonic()
+        # watchdog: a runaway oracle (the q186 cubic-join class) is
+        # interrupted rather than hanging the whole protocol run
+        timer = None
+        if timeout_s:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols, got_rows = canon(got_rel.fetchall(), got_rel.columns)
             want_rel = con.sql(sql)
             want_cols, want_rows = canon(want_rel.fetchall(), want_rel.columns)
         except Exception as e:
-            print(f"FAIL {name}: exception {e}")
+            secs = time.monotonic() - t0
+            kind = "TIMEOUT" if timeout_s and secs >= timeout_s - 1 else "FAIL"
+            print(f"{kind} {name}: exception {e} ({secs:.1f}s)")
+            note(name, "oracle_timeout" if kind == "TIMEOUT" else "error",
+                 None, secs, str(e)[:200])
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}")
+            note(name, "schema_mismatch", len(got_rows), time.monotonic() - t0)
             n_fail += 1
             continue
         if len(got_rows) != len(want_rows):
             print(f"FAIL {name}: rows {len(got_rows)} != {len(want_rows)}")
+            note(name, "rows_mismatch", len(got_rows), time.monotonic() - t0)
             n_fail += 1
             continue
         bad = None
@@ -118,25 +146,46 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]}\n  got  {bad[1]}\n  want {bad[2]}")
+            note(name, "value_mismatch", len(got_rows), time.monotonic() - t0,
+                 f"row {bad[0]}")
             n_fail += 1
             continue
+        timer = threading.Timer(timeout_s, con.interrupt) if timeout_s else None
+        if timer:
+            timer.start()
         try:
             strict = strict_hash_eq(f"{out_dir}/{name}/*.parquet",
                                     con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: strict-hash exception {e}")
+            note(name, "error", len(got_rows), time.monotonic() - t0,
+                 f"strict-hash: {str(e)[:200]}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
+        secs = time.monotonic() - t0
         if not strict:
             print(f"FAIL {name}: values equal but pandas hash differs "
                   "(dtype mismatch — check HUGEINT casts / serialization)")
+            note(name, "hash_mismatch", len(got_rows), secs)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)")
+            print(f"PASS {name} ({len(got_rows)} rows, oracle {secs:.1f}s)")
+            note(name, "pass", len(got_rows), secs)
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    sys.exit(main(args[0], args[1],
+                  timeout_s=int(opts.get("timeout", "0")),
+                  only=opts.get("only"),
+                  json_out=opts.get("json")))
