@@ -54,6 +54,14 @@ class Round9jOpsSpec extends AnyFunSuite {
       .toDF("source", "v", "cnt")
     graft.text.TextOps.ksOfHist(same).collect()
       .foreach(r => assert(r.getLong(3) === 0L))
+    // a lone source owns every row: the rest-sample is empty, the KS
+    // denominator is 0, and the defined answer is 0 ppm — NOT a null
+    // (Spark div) or an error (DuckDB //); the r9 advice guard
+    val lone = Seq(("X", 1L, 3L), ("X", 2L, 1L)).toDF("source", "v", "cnt")
+    val lr = graft.text.TextOps.ksOfHist(lone).collect()
+    assert(lr.length === 1)
+    assert(!lr(0).isNullAt(3) && lr(0).getLong(3) === 0L)
+    assert(lr(0).getLong(2) === 0L) // n_rest
   }
 
   test("q244: rep-keyed routing never splits a cluster; doc-keyed routing does") {
