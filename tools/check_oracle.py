@@ -104,6 +104,21 @@ def main(sf_dir, out_dir, timeout_s=0, only=None, json_out=None):
         ledger[name] = {"status": status, "rows": rows,
                         "oracle_secs": round(secs, 2), "detail": detail}
 
+    # outputs beyond this row count never enter python: the compare
+    # runs as an order-free in-DuckDB digest (count + sum of row
+    # hashes over name-sorted columns on BOTH sides) — same-engine,
+    # dtype-sensitive, bounded memory. 157M-row q73@sf1 precedent:
+    # fetchall+python-sort of such outputs is an un-interruptible OOM.
+    big_rows = 2_000_000
+
+    def digest(rel_sql):
+        cols = con.sql(f"SELECT * FROM ({rel_sql}) LIMIT 0").columns
+        collist = ", ".join(f'"{c}"' for c in sorted(cols))
+        q = (f"SELECT count(*) AS c, sum(CAST(hash({collist}) AS HUGEINT)) AS h "
+             f"FROM ({rel_sql})")
+        c, h = con.sql(q).fetchall()[0]
+        return sorted(cols), c, h
+
     for name in sorted(oracle):
         sql = oracle[name]
         t0 = time.monotonic()
@@ -114,7 +129,30 @@ def main(sf_dir, out_dir, timeout_s=0, only=None, json_out=None):
             timer = threading.Timer(timeout_s, con.interrupt)
             timer.start()
         try:
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_src = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            n_out = con.sql(f"SELECT count(*) FROM ({got_src})").fetchall()[0][0]
+            if n_out > big_rows:
+                gc, gn, gh = digest(got_src)
+                wc, wn, wh = digest(sql)
+                secs = time.monotonic() - t0
+                if gc != wc:
+                    print(f"FAIL {name}: columns {gc} != {wc}")
+                    note(name, "schema_mismatch", n_out, secs)
+                    n_fail += 1
+                elif gn != wn:
+                    print(f"FAIL {name}: rows {gn} != {wn}")
+                    note(name, "rows_mismatch", n_out, secs)
+                    n_fail += 1
+                elif gh != wh:
+                    print(f"FAIL {name}: in-db row-hash digest differs")
+                    note(name, "hash_mismatch", n_out, secs)
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({gn} rows, in-db digest, oracle {secs:.1f}s)")
+                    note(name, "pass", gn, secs, "in-db digest (rows>2M)")
+                    n_pass += 1
+                continue
+            got_rel = con.sql(got_src)
             got_cols, got_rows = canon(got_rel.fetchall(), got_rel.columns)
             want_rel = con.sql(sql)
             want_cols, want_rows = canon(want_rel.fetchall(), want_rel.columns)
