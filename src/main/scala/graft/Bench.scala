@@ -167,7 +167,13 @@ object Bench {
           s"\"wall_secs\":${fmt(st.wallSecs)},\"batches\":${st.batches}," +
           s"\"avg_batch_ms\":${fmt(st.avgBatchMs)}," +
           s"\"max_batch_ms\":${fmt(st.maxBatchMs)}," +
-          s"\"rows_per_sec\":${fmt(st.rowsPerSec)}}")
+          s"\"rows_per_sec\":${fmt(st.rowsPerSec)}," +
+          // compute = inside trigger executions (engine-owned);
+          // setup = wall minus that (start/stop, checkpoint WAL,
+          // file listing — host-latency-owned). Regressions that
+          // live only in setup_secs are environment, not code.
+          s"\"compute_secs\":${fmt(st.computeSecs)}," +
+          s"\"setup_secs\":${fmt(st.setupSecs)}}")
       } match {
         case Left(msg) => errors(s"streaming:$name") = msg
         case Right(_)  => ()
@@ -184,8 +190,14 @@ object Bench {
     // with SPARK_GRAFT_BENCH_CANONICAL=true after checking uptime) or
     // a run whose total should be read against the canonical file.
     val canonical = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANONICAL", "false") == "true"
+    // Non-canonical artifacts point at the record they should be read
+    // against; the path comes from the environment (set alongside each
+    // round's canonical run) so stale round-specific names don't
+    // outlive the file they reference.
     val canonicalRef =
-      if (canonical) "" else s""","canonical_record":"bench/r10_local_quiet.json""""
+      if (canonical) ""
+      else s""","canonical_record":"${esc(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_CANONICAL_REF", "bench/r11_sf1_organic_quiet.json"))}""""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; the per-query dicts
     // over 148+ queries overflow it, truncating the JSON mid-object.

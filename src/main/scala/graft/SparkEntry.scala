@@ -583,14 +583,19 @@ object SparkEntry {
     // dedup): window fingerprints, hash election, island merge.
     "q250_dup_spans"        -> ((s: SparkSession, dir: String) =>
       graft.dedup.SpanDedup.dupSpans(s, dir)),
+    // Apriori triples at a RELATIVE (basket-fraction) min-support —
+    // the scale-invariant production form; threshold = one in 75k.
+    "q251_itemsets_relsup"  -> (R.tripleItemsetsRelSup _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
+    // The drain lands via a foreachBatch parquet sink — q218 emits up
+    // to gap² rows per event (~9M at sf1) and the memory sink funnels
+    // all of them through one driver-side append.
     "q218_stream_seqpat"    -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventsStream.seqSupportRollup(
-        graft.streaming.EventsStream.runAvailableNow(
+        graft.streaming.EventsStream.runAvailableNowViaParquet(
           s, graft.streaming.EventsStream.seqOccurrences(
-            graft.streaming.EventsStream.source(s, dir)), "q218_stream_seqpat",
-          outputMode = "append"))),
+            graft.streaming.EventsStream.source(s, dir)), "q218_stream_seqpat"))),
     // Per-source Merkle root over doc fingerprints: O(log n) pairing
     // rounds, content-addressed corpus provenance in one root compare.
     "q216_merkle_manifest"  -> ((s: SparkSession, dir: String) =>
@@ -955,7 +960,12 @@ object SparkEntry {
     "q183_label_outliers"   -> V.labelOutliersSql,
     "q184_weighted_minhash" -> graft.dedup.WeightedMinHash.weightedNearDupSql,
     "q185_mixed_lang"       -> graft.text.MixedLang.mixedLangAuditSql,
-    "q186_triple_itemsets"  -> R.tripleItemsetsSql,
+    // default: Apriori-pruned oracle (the cubic join exceeds DuckDB's
+    // budget on dense corpora); SPARK_GRAFT_CUBIC_ORACLE=true swaps in
+    // the naive cubic form for an algorithm-independent spot check on
+    // each new scale corpus (equivalent by downward closure).
+    "q186_triple_itemsets"  -> (if (sys.env.get("SPARK_GRAFT_CUBIC_ORACLE")
+        .contains("true")) R.tripleItemsetsCubicSql else R.tripleItemsetsSql),
     "q187_dwell_histogram"  -> E.dwellHistogramSql,
     "q188_forward_fill"     -> E.forwardFillSql,
     "q189_bot_runs"         -> E.botRunsSql,
@@ -1020,6 +1030,7 @@ object SparkEntry {
     "q248_good_turing"      -> T.goodTuringSql,
     "q249_schema_evolution" -> graft.sources.SchemaEvolution.schemaEvolutionSql,
     "q250_dup_spans"        -> graft.dedup.SpanDedup.dupSpansSql,
+    "q251_itemsets_relsup"  -> R.tripleItemsetsRelSupSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

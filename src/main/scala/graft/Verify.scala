@@ -54,13 +54,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // {SF_DIR} lets path-reading oracles (q69 read_blob) track the same
-    // scale-factor dir the Spark queries received.
+    // {SF_DIR} lets path-reading oracles track the same scale-factor
+    // dir the Spark queries received. {BINARY_FILES} (q69 read_blob)
+    // becomes the exact file list the engine's binaryFile source
+    // resolves — enumerated BY that source, so the oracle is
+    // layout-indifferent (single-file and part-directory corpora see
+    // the same set; a glob on the DuckDB side matched files only).
+    // Bounded collect: one short string per FILE, not per row.
+    val binaryFiles: String =
+      try spark.read.format("binaryFile").load(s"$sfDir/*.parquet")
+        .select("path").collect().map(_.getString(0).stripPrefix("file:"))
+        .sorted.map(p => "'" + p.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
+      catch { case _: Throwable => s"['$sfDir/*.parquet']" }
     // filtered runs dump a matching filtered oracle map — otherwise a
     // compare over outDir would pair fresh oracle SQL with stale parquet
     // from an earlier full run and report green for un-rerun queries
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir)
+        .replace("{BINARY_FILES}", binaryFiles))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1353,14 +1353,22 @@ object Relational {
     * candidate list (broadcast at real support thresholds) to the
     * basket table three times on (order, part) — never the cubic
     * basket×basket×basket the oracle formulation implies. */
-  def tripleItemsets(spark: SparkSession, dir: String): DataFrame = {
-    val b = Tables.lineitem(spark, dir)
+  def tripleItemsets(spark: SparkSession, dir: String): DataFrame =
+    aprioriTriples(basketItems(spark, dir), CopurchaseMinSupport)
+
+  /** (order, part) basket items — the Apriori input relation. */
+  private def basketItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
+  /** The Apriori level-3 chain at an arbitrary min-support (see
+    * [[tripleItemsets]] for the algorithm and scale notes). */
+  private def aprioriTriples(b: DataFrame, minSupport: Long): DataFrame = {
     val fp = b.as("x").join(b.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= CopurchaseMinSupport)
+      .filter(col("n") >= minSupport)
       .select("p1", "p2")
     val cand = fp.as("u").join(fp.as("v"),
         col("u.p1") === col("v.p1") && col("u.p2") < col("v.p2"))
@@ -1374,8 +1382,61 @@ object Relational {
       .join(b.select(col("o"), col("p").as("part_c")), Seq("part_c", "o"))
       .groupBy("part_a", "part_b", "part_c")
       .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= CopurchaseMinSupport)
+      .filter(col("n_orders") >= minSupport)
   }
+
+  /** Denominator of the RELATIVE min-support: one basket in 75,000
+    * (≈1.33 basis points — twice the q186 absolute floor at the
+    * sf0.1 basket count). Chosen so the computed threshold is exact
+    * in double arithmetic at every gate scale (15k/75k = 0.2,
+    * 150k/75k = 2, 1.5M/75k = 20 — no ceil-of-epsilon hazard between
+    * the JVM and DuckDB, both IEEE-754). */
+  val RelSupportBaskets = 75000.0
+
+  /** Frequent triples at a RELATIVE min-support (q251) — the
+    * production Apriori form: the threshold is a basket FRACTION
+    * (Agrawal & Srikant's s%), so it is scale-invariant — ×10 data
+    * raises the absolute floor ×10 and the pruning bites at every
+    * scale. The absolute-threshold q186 is the reference semantics;
+    * this is the variant a 100 TB corpus would actually run (the
+    * round-10 sf1 gate showed a FIXED floor degenerating to 1.6M
+    * rules on a densified corpus — support was ×10 but the floor
+    * stayed 2). One bounded scalar action computes the basket count;
+    * the Apriori chain itself is unchanged. */
+  def tripleItemsetsRelSup(spark: SparkSession, dir: String): DataFrame = {
+    val b = basketItems(spark, dir)
+    val nBaskets = b.select("o").distinct().count() // bounded scalar
+    val thr = math.max(CopurchaseMinSupport,
+      math.ceil(nBaskets / RelSupportBaskets).toLong)
+    aprioriTriples(b, thr)
+  }
+
+  /** Oracle: same Apriori with the threshold from a scalar subquery —
+    * `ceil(count/75000.0)` is the identical IEEE-754 expression the
+    * engine evaluates. */
+  val tripleItemsetsRelSupSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |thr AS (SELECT greatest($CopurchaseMinSupport,
+       |                        CAST(ceil(count(DISTINCT o) / 75000.0) AS BIGINT)) AS t
+       |        FROM b),
+       |fp AS (
+       |  SELECT x.p AS p1, y.p AS p2
+       |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= (SELECT t FROM thr)),
+       |cand AS (
+       |  SELECT u.p1 AS part_a, u.p2 AS part_b, v.p2 AS part_c
+       |  FROM fp u JOIN fp v ON u.p1 = v.p1 AND u.p2 < v.p2
+       |  WHERE EXISTS (SELECT 1 FROM fp w
+       |                WHERE w.p1 = u.p2 AND w.p2 = v.p2))
+       |SELECT c.part_a, c.part_b, c.part_c,
+       |       CAST(count(*) AS BIGINT) AS n_orders
+       |FROM cand c
+       |JOIN b a  ON a.p  = c.part_a
+       |JOIN b b2 ON b2.o = a.o AND b2.p = c.part_b
+       |JOIN b b3 ON b3.o = a.o AND b3.p = c.part_c
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) >= (SELECT t FROM thr)""".stripMargin
 
   /** Oracle: DuckDB's own Apriori — frequent pairs, candidate triples
     * by the join-and-prune step, exact support count of the pruned
@@ -1405,6 +1466,25 @@ object Relational {
        |JOIN b a  ON a.p  = c.part_a
        |JOIN b b2 ON b2.o = a.o AND b2.p = c.part_b
        |JOIN b b3 ON b3.o = a.o AND b3.p = c.part_c
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
+
+  /** The NAIVE cubic basket self-join — the algorithm-independent
+    * oracle form the r1–r9 gates ran before the Apriori reformulation.
+    * Equivalent by downward closure (a triple with support ≥ s has all
+    * sub-pairs with support ≥ s, so Apriori's join-and-prune loses
+    * nothing). Kept runnable behind SPARK_GRAFT_CUBIC_ORACLE=true so
+    * each NEW scale corpus retains a pruning-independent spot check
+    * (Verify swaps this in at dump time); the default stays the pruned
+    * form because the cubic join exceeded DuckDB's budget on the dense
+    * replication corpus. */
+  val tripleItemsetsCubicSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+       |SELECT x.p AS part_a, y.p AS part_b, z.p AS part_c,
+       |       CAST(count(*) AS BIGINT) AS n_orders
+       |FROM b x
+       |JOIN b y ON y.o = x.o AND x.p < y.p
+       |JOIN b z ON z.o = x.o AND y.p < z.p
        |GROUP BY 1, 2, 3
        |HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
 

@@ -211,8 +211,16 @@ object SalesEtl {
         .options(sink.options).save(s"$outDir/$part")
     write(clean, "clean")
     write(errors, "errors")
+    // csv round-trip fidelity: a dead-letter `raw_line` can carry an
+    // embedded newline, which the csv writer quotes correctly but the
+    // default (line-splitting) csv reader would split into two rows,
+    // skewing the returned counts — multiLine makes the reader honor
+    // the quoting. Other formats are record-framed and need nothing.
+    val readOpts =
+      if (sink.format == "csv") sink.options + ("multiLine" -> "true")
+      else sink.options
     def read(part: String) =
-      spark.read.format(sink.format).options(sink.options)
+      spark.read.format(sink.format).options(readOpts)
         .schema(if (part == "clean") clean.schema else errors.schema)
         .load(s"$outDir/$part")
     (read("clean").count(), read("errors").count())

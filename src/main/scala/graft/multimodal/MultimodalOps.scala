@@ -545,11 +545,19 @@ object MultimodalOps {
         col("length").as("n_bytes"),
         md5(hex(col("content"))).as("digest"))
 
+  /** Oracle: read_blob over the ENGINE'S ENUMERATED file list (the
+    * `{BINARY_FILES}` token — graft.Verify substitutes the exact
+    * paths the binaryFile source resolved, via the source itself).
+    * A glob here was layout-sensitive: on a part-directory corpus
+    * Spark's glob descends into `t.parquet/` directories while
+    * DuckDB's matches plain files only, so the two engines saw
+    * different file sets (round-10 PERF note). The explicit list
+    * makes the oracle layout-indifferent. */
   val binaryFilesSql: String =
     s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
        |       CAST(size AS BIGINT) AS n_bytes,
        |       md5(hex(content)) AS digest
-       |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin
+       |FROM read_blob({BINARY_FILES})""".stripMargin
 
   val binaryMetaSql: String =
     """SELECT doc_id,

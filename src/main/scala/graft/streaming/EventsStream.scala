@@ -724,6 +724,8 @@ object EventsStream {
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         df.write.mode("overwrite").parquet(s"$out/batch=$id")
       }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(ckptBase, "fbsink").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -756,10 +758,77 @@ object EventsStream {
 
   /** Per-drain telemetry, rolled up from the query's progress events:
     * total input rows, wall seconds, micro-batch count, per-batch
-    * trigger latency (avg/max), and drain throughput. */
+    * trigger latency (avg/max), drain throughput, and the SPLIT the
+    * bench needs to tell code regressions from environment noise —
+    * `computeSecs` (time inside trigger executions, the part the
+    * engine's operators own) vs `setupSecs` (wall minus that: query
+    * start/stop, checkpoint WAL fsyncs between batches, source file
+    * listing — the part that tracks host/filesystem latency). */
   final case class DrainStats(inputRows: Long, wallSecs: Double,
       batches: Int, avgBatchMs: Double, maxBatchMs: Double,
-      rowsPerSec: Double)
+      rowsPerSec: Double, computeSecs: Double, setupSecs: Double)
+
+  /** Checkpoint base for the drain-then-stop shape: tmpfs when the
+    * host has it (/dev/shm — checkpoints are discarded on exit, and
+    * putting the per-batch WAL fsyncs on shared-disk /tmp previously
+    * let filesystem latency pollute quiet-run streaming numbers by
+    * >2x on untouched code), else java.io.tmpdir. Overridable for
+    * durability experiments via SPARK_GRAFT_STREAM_CKPT_BASE. */
+  private[graft] lazy val ckptBase: java.nio.file.Path = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_CKPT_BASE")
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+      }
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val p = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft_stream_ckpt")
+    graft.sources.TempDirs.deleteOnExit(p)
+    p
+  }
+
+  /** AvailableNow drain through a `foreachBatch` PARQUET sink instead
+    * of the in-memory sink: each micro-batch's emissions land as a
+    * distributed batch write under `batch=<id>` (idempotent overwrite,
+    * the q100 pattern) and the result is read back from the files.
+    * For APPEND-mode operators with high emission volume (q218 emits
+    * up to gap² occurrence rows per input event — ~9M rows at sf1)
+    * the memory sink is the scale ceiling: every row funnels through
+    * a single driver-side table append. Here emissions never visit
+    * the driver, so the drain stays executor-parallel end to end. */
+  def runAvailableNowViaParquet(spark: SparkSession, agg: DataFrame,
+                                name: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft_drain_$name")
+    graft.sources.TempDirs.deleteOnExit(out)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      val q = agg.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(ckptBase, name).toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+    val wrote = { // a zero-batch drain writes nothing — return empty
+      val ls = java.nio.file.Files.list(out)
+      try ls.findFirst().isPresent finally ls.close()
+    }
+    if (wrote) spark.read.parquet(out.toString).drop("batch")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
+  }
 
   def runAvailableNowStats(spark: SparkSession, agg: DataFrame, name: String,
                            outputMode: String = "complete"): (DataFrame, DrainStats) = {
@@ -774,6 +843,8 @@ object EventsStream {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(ckptBase, name).toString)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -783,10 +854,12 @@ object EventsStream {
       val rows = ps.map(_.numInputRows).sum
       val batchMs = ps.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      val computeSecs = batchMs.sum / 1000.0
       DrainStats(rows, wall, ps.size,
         if (batchMs.nonEmpty) batchMs.sum / batchMs.size else 0.0,
         if (batchMs.nonEmpty) batchMs.max else 0.0,
-        if (wall > 0) rows / wall else 0.0)
+        if (wall > 0) rows / wall else 0.0,
+        computeSecs, math.max(0.0, wall - computeSecs))
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)

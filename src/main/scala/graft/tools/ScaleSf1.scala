@@ -27,18 +27,24 @@ object ScaleSf1 {
     * part-directory) tables because the binary-ingestion query (q69)
     * and its read_blob oracle glob plain files; every other query is
     * layout-indifferent. */
-  private def writeSingle(df: org.apache.spark.sql.DataFrame,
-                          out: String, table: String): Unit = {
+  private[tools] def writeSingle(df: org.apache.spark.sql.DataFrame,
+                                 out: String, table: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = s"$out/_tmp_$table"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    // Files.list/walk return open directory streams — close them
+    // (try/finally) or each table leaks a directory handle.
+    val ls = Files.list(Paths.get(tmp))
+    val part =
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
     Files.createDirectories(Paths.get(out))
     Files.move(part, Paths.get(s"$out/$table.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+    val wk = Files.walk(Paths.get(tmp))
+    try wk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => { Files.deleteIfExists(p); () })
+    finally wk.close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -111,13 +111,38 @@ def main(sf_dir, out_dir, timeout_s=0, only=None, json_out=None):
     # fetchall+python-sort of such outputs is an un-interruptible OOM.
     big_rows = 2_000_000
 
+    # DuckDB's hash() is width-insensitive (hash(1::INT)=hash(1::BIGINT))
+    # and int-vs-float-insensitive for whole numbers, so the digest
+    # compares the TYPED schema too — collapsed to the same dtype
+    # classes the strict pandas compare distinguishes (pandas hashes
+    # int32/int64 identically but int-vs-float differently; datetimes
+    # are unit-normalized there, so all temporal types share a class).
+    def dtype_class(t):
+        u = t.upper()
+        if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if u == "HUGEINT":
+            # pandas renders HUGEINT lossily (object/float), so a
+            # missing CAST on a sum must FAIL against a BIGINT column
+            return "hugeint"
+        if u in ("FLOAT", "DOUBLE") or u.startswith("DECIMAL"):
+            return "float"
+        if u == "DATE" or u.startswith("TIMESTAMP") or u.startswith("TIME"):
+            return "ts"
+        return u
+
     def digest(rel_sql):
-        cols = con.sql(f"SELECT * FROM ({rel_sql}) LIMIT 0").columns
-        collist = ", ".join(f'"{c}"' for c in sorted(cols))
-        q = (f"SELECT count(*) AS c, sum(CAST(hash({collist}) AS HUGEINT)) AS h "
+        desc = con.sql(f"DESCRIBE SELECT * FROM ({rel_sql})").fetchall()
+        schema = sorted((r[0], dtype_class(r[1])) for r in desc)
+        collist = ", ".join(f'"{c}"' for c, _ in schema)
+        # two independent commutative channels (sum + bit_xor of row
+        # hashes): a multiset difference must cancel in BOTH to pass
+        q = (f"SELECT count(*) AS c, sum(CAST(hash({collist}) AS HUGEINT)) AS h, "
+             f"bit_xor(hash({collist})) AS x "
              f"FROM ({rel_sql})")
-        c, h = con.sql(q).fetchall()[0]
-        return sorted(cols), c, h
+        c, h, x = con.sql(q).fetchall()[0]
+        return schema, c, (h, x)
 
     for name in sorted(oracle):
         sql = oracle[name]
