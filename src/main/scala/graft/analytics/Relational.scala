@@ -13,7 +13,14 @@ import graft.tables.Tables
   * dimension side explicitly; window queries shuffle once on the
   * partition key. All doubles emitted to the oracle are ROUND()ed to a
   * fixed scale so Spark/DuckDB float summation-order differences cannot
-  * flip a hash compare.
+  * flip a hash compare. Money sums whose GROUP SIZE grows with the data
+  * (global/flag/nation/priority revenue) are additionally quantized
+  * ONCE per row to integer cents and summed exactly: at sf1-organic a
+  * 6M-row double sum of prices accumulated 0.06 of order-dependent
+  * error in 3.2e11 — past round(,2)'s granularity — so the
+  * sum-then-round form is not scale-stable. Integer-valued columns
+  * (l_quantity) sum exactly in double and need no quantization; cents
+  * totals stay exact in double to 2^53 ≈ 9e15 (sf100 ≈ 3e15 — safe).
   */
 object Relational {
 
@@ -23,14 +30,15 @@ object Relational {
     Tables.lineitem(spark, dir).agg(
       count(lit(1)).as("total_rows"),
       countDistinct(col("l_orderkey")).as("n_orders"),
-      round(sum(col("l_extendedprice")), 2).as("sum_extprice"),
+      (sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .cast("double") / 100.0).as("sum_extprice"),
       round(avg(col("l_quantity")), 2).as("avg_qty"),
       max(col("l_shipdate")).as("max_shipdate"))
 
   val globalStatsSql: String =
     """SELECT count(*) AS total_rows,
       |       count(DISTINCT l_orderkey) AS n_orders,
-      |       round(sum(l_extendedprice), 2) AS sum_extprice,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_extprice,
       |       round(avg(l_quantity), 2) AS avg_qty,
       |       max(l_shipdate) AS max_shipdate
       |FROM lineitem""".stripMargin
@@ -41,14 +49,15 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        (sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("double") / 100.0).as("revenue"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(desc("revenue"), col("l_returnflag"), col("l_linestatus"))
 
   val revenueByFlagSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |       round(sum(l_quantity), 2) AS sum_qty,
       |       count(*) AS n_rows
       |FROM lineitem GROUP BY 1, 2 ORDER BY revenue DESC, 1, 2""".stripMargin
@@ -161,7 +170,8 @@ object Relational {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg((sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("double") / 100.0).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), col("r_name"), col("n_name"))
   }
@@ -392,7 +402,7 @@ object Relational {
 
   val revenueByNationSql: String =
     """SELECT r_name, n_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -517,13 +527,13 @@ object Relational {
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
       keys = Seq("l_orderkey"), salt = 8)
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"),
+      .agg((sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("double") / 100.0).as("revenue"),
         count(lit(1)).as("n_items"))
 
   val saltedJoinAggSql: String =
     """SELECT o_orderpriority,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |       count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
@@ -600,11 +610,12 @@ object Relational {
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .cast("double") / 100.0).as("sum_price"))
 
   val cubeByStatusPrioritySql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-      |       round(sum(o_totalprice), 2) AS sum_price
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
   /** Configured HLL++ relative standard deviation and the hard error
@@ -754,7 +765,7 @@ object Relational {
            |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
            |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
            |       count(*) AS n_orders,
-           |       round(sum(o_totalprice), 2) AS sum_price
+           |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
            |FROM ${v(0)}
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }
@@ -764,7 +775,7 @@ object Relational {
       |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
       |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
       |       count(*) AS n_orders,
-      |       round(sum(o_totalprice), 2) AS sum_price
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 

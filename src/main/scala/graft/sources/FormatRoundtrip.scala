@@ -99,8 +99,11 @@ object FormatRoundtrip {
        |FROM documents GROUP BY lang""".stripMargin
 
   /** lineitem → ORC → read back → the q02-shaped revenue rollup; the
-    * doubles round-trip bit-exactly (ORC stores IEEE doubles), so the
-    * same rounding convention as the rest of the suite holds. */
+    * doubles round-trip bit-exactly (ORC stores IEEE doubles), and
+    * revenue is quantized once per row to integer cents before the sum
+    * (ORC write/read reorders rows, so a double sum's error becomes
+    * order-dependent — at sf1-organic it crossed round(,2)'s
+    * granularity; cents sums are order-free). */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val out = tmpDir("graft_orc")
@@ -110,14 +113,14 @@ object FormatRoundtrip {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        (sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("double") / 100.0).as("revenue"))
   }
 
   val orcRoundtripSql: String =
     """SELECT l_returnflag, l_linestatus,
       |       count(*) AS n_rows,
       |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 }

@@ -60,8 +60,8 @@ class FormatRoundtripSpec extends AnyFunSuite {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity")).cast("long").as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        (sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("double") / 100.0).as("revenue"))
     assert(asSet(FormatRoundtrip.orcRoundtrip(spark, dir)) === asSet(direct))
   }
 }
