@@ -118,6 +118,25 @@ class ScaleOrganicSpec extends AnyFunSuite {
     assert(dupDocs > 0, "planting produced no duplicates at all")
   }
 
+  test("co-purchase supports stay pruned: pair census grows sub-×reps") {
+    // the regression this generator exists to kill: replication (and a
+    // first draft that COPIED donor baskets) multiplies pair supports,
+    // exploding the support-2 census ~1000× at ×10; itemwise-resampled
+    // baskets keep it at a few × (sf1 measured: 3,573 → 14,747 at ×10)
+    def census(df: org.apache.spark.sql.DataFrame): Long = {
+      val b = df.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      b.as("x").join(b.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p"), col("y.p")).count()
+        .filter(col("count") >= 2).count()
+    }
+    val srcC = census(s("lineitem"))
+    val gotC = census(t("lineitem"))
+    assert(gotC <= math.max(20L, 3 * srcC),
+      s"pair census $srcC -> $gotC at ×3: supports are being manufactured")
+  }
+
   test("deterministic: a second build is byte-identical on derived rows") {
     val d2 = java.nio.file.Files.createTempDirectory("graft_organic_spec2")
     TempDirs.deleteOnExit(d2)
