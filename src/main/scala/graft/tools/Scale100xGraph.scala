@@ -49,9 +49,16 @@ object Scale100xGraph {
     spark.sparkContext.setCheckpointDir(s"$work/_ckpt")
 
     // protocol dir = symlinks to the 100x tables + the hub-planted
-    // lineitem written fresh
+    // lineitem written fresh; cleared first so re-runs don't trip on
+    // the previous run's staged parquet directories
     import java.nio.file.{Files, Paths}
     val pdir = Paths.get(work, "corpus")
+    if (Files.exists(pdir)) {
+      val s = Files.walk(pdir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
     Files.createDirectories(pdir)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "events", "documents", "embeddings")) {
@@ -87,14 +94,18 @@ object Scale100xGraph {
     val skew = census.queryExecution.executedPlan.toString.contains("skew=true")
     val (nPr, tPr) = timed(
       graft.graph.GraphOps.pageRank(spark, dir).count())
+    // k-core runs on the UNPLANTED corpus: its threshold is derived
+    // from the degree distribution (min + (max-min)/6), and the skew
+    // hub drags max-degree to catalog size, peeling everything — the
+    // hub tests the census's shuffle, not the peel's semantics
     val (nKc, tKc) = timed(
-      graft.graph.GraphOps.kCore(spark, dir).count())
+      graft.graph.GraphOps.kCore(spark, src).count())
     println(s"""{"protocol":"graph100x","src":"$src","q123_secs":${f(tCensus)},""" +
       s""""census_row":"${row.toString.replace("\"", "'")}","skew_split":$skew,""" +
       s""""q124_secs":${f(tPr)},"q124_rows":$nPr,""" +
       s""""q196_secs":${f(tKc)},"q196_rows":$nKc}""")
     spark.stop()
-    if (!skew || row.getLong(2) == 0) sys.exit(3)
+    if (!skew || row.getLong(2) == 0 || nKc == 0) sys.exit(3)
   }
 
   private def f(v: Double): BigDecimal =

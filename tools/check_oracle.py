@@ -80,11 +80,17 @@ def strict_hash_eq(spark_glob, want_df):
     return hg == hw
 
 
-def main(sf_dir, out_dir, timeout_s=0, only=None, json_out=None):
+def main(sf_dir, out_dir, timeout_s=0, only=None, json_out=None,
+         threads=0):
     import threading
     import time
     con = duckdb.connect()
     import os
+    if threads:
+        # sharded sweeps: cap per-process threads so N concurrent
+        # checkers divide the cores instead of each grabbing all of
+        # them (6x32 threads on 32 cores ran the heavy oracles 6x slow)
+        con.sql(f"SET threads = {int(threads)}")
     for t in TABLES:
         # driver testdata ships single files; Spark-derived scale
         # corpora (tools/Scale10xRel) write directories of part files
@@ -251,4 +257,5 @@ if __name__ == "__main__":
     sys.exit(main(args[0], args[1],
                   timeout_s=int(opts.get("timeout", "0")),
                   only=opts.get("only"),
-                  json_out=opts.get("json")))
+                  json_out=opts.get("json"),
+                  threads=int(opts.get("threads", "0"))))
