@@ -1488,14 +1488,25 @@ object Relational {
     * each NEW scale corpus retains a pruning-independent spot check
     * (Verify swaps this in at dump time); the default stays the pruned
     * form because the cubic join exceeded DuckDB's budget on the dense
-    * replication corpus. */
+    * replication corpus.
+    *
+    * The part-ordering inequalities are CASE-masked on purpose: written
+    * as bare join predicates (`JOIN b y ON y.o = x.o AND x.p < y.p`),
+    * DuckDB's planner promotes the inequality into the join condition
+    * and picks PIECEWISE_MERGE_JOIN over the p ordering — quadratic in
+    * the item table, >1800 s at a 1.5M-basket corpus — instead of
+    * hash-joining on the basket key. The CASE form is opaque to
+    * join-condition extraction, so both joins stay o-keyed HASH_JOINs
+    * and the same check runs in ~2 s (measured, round 11). */
   val tripleItemsetsCubicSql: String =
     s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
        |SELECT x.p AS part_a, y.p AS part_b, z.p AS part_c,
        |       CAST(count(*) AS BIGINT) AS n_orders
        |FROM b x
-       |JOIN b y ON y.o = x.o AND x.p < y.p
-       |JOIN b z ON z.o = x.o AND y.p < z.p
+       |JOIN b y ON y.o = x.o
+       |JOIN b z ON z.o = x.o
+       |WHERE (CASE WHEN x.p < y.p THEN 1 ELSE 0 END) = 1
+       |  AND (CASE WHEN y.p < z.p THEN 1 ELSE 0 END) = 1
        |GROUP BY 1, 2, 3
        |HAVING count(*) >= $CopurchaseMinSupport""".stripMargin
 
