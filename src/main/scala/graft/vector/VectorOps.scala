@@ -638,10 +638,31 @@ object VectorOps {
     * data's density, which is what lifts recall at equal probe cost
     * (measured against [[knnBrute]]; see PERF.md). The oracle re-derives
     * the training AND the search from the same parquet doubles. */
-  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    annIvfTrainedAt(spark, dir, IvfTK, NProbe)
+
+  /** [[annIvfTrained]] at an arbitrary (nlist, nProbe) — the
+    * production scaling knobs. The gate queries pin (IvfTK, NProbe)
+    * for the oracle; the 100× protocol
+    * ([[graft.tools.Scale100xFamilies]]) measures both that fixed
+    * shape and a scaled one, and the measurement overturned the
+    * folk scaling rule on this corpus: growing nlist ~√N at a fixed
+    * scan fraction made recall WORSE (0.54 → 0.52 at nlist 16 → 64;
+    * numpy replication 0.68 → 0.58 → 0.40 at 16/64/256), because the
+    * organic corpus is 10 WIDE unit-sphere Gaussian labels (top-5
+    * neighbor cosine ≈ 0.5 vs background ≈ 0.0) and finer cells
+    * fragment each label — the query's nearest centroids stop being
+    * its neighbors' centroids. The recall knob on this geometry is
+    * PROBE DEPTH at coarse nlist (nlist=16: recall 0.68/0.82/0.88/
+    * 0.92 at nProbe 4/6/8/10), the multi-probe regime; cluster-
+    * fragmenting data like this is where graph indexes (HNSW) win
+    * over any IVF. Centroids stay a bounded driver artifact
+    * (nlist × dim doubles). */
+  def annIvfTrainedAt(spark: SparkSession, dir: String,
+                      nlist: Int, nProbe: Int): DataFrame = {
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val (cents, _) = lloyd(base, IvfTK, KmIters, KmSeedMin)
+    val (cents, _) = lloyd(base, nlist, KmIters, KmSeedMin)
     val dists = array(cents.map { cv =>
       val cc = cv.map(x => x * x).sum
       lit(cc) - lit(2.0) * dot(col("v"), typedLit(cv))
@@ -651,12 +672,12 @@ object VectorOps {
       .withColumn("cell", array_position(col("d"), array_min(col("d"))))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // top-NProbe nearest cells per query (L2 → ascending; narrow
+    // top-nProbe nearest cells per query (L2 → ascending; narrow
     // array_sort, zero shuffles — see topCells)
     val q = broadcast(e.filter(col("vec_id") < QueryMax)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(topCells(col("d"), NProbe, IvfTK, ascending = true)).as("cell")))
+        explode(topCells(col("d"), nProbe, nlist, ascending = true)).as("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
