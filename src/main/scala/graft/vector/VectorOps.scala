@@ -645,16 +645,20 @@ object VectorOps {
     * production scaling knobs. The gate queries pin (IvfTK, NProbe)
     * for the oracle; the 100× protocol
     * ([[graft.tools.Scale100xFamilies]]) measures both that fixed
-    * shape and a scaled one, and the measurement overturned the
-    * folk scaling rule on this corpus: growing nlist ~√N at a fixed
-    * scan fraction made recall WORSE (0.54 → 0.52 at nlist 16 → 64;
-    * numpy replication 0.68 → 0.58 → 0.40 at 16/64/256), because the
-    * organic corpus is 10 WIDE unit-sphere Gaussian labels (top-5
-    * neighbor cosine ≈ 0.5 vs background ≈ 0.0) and finer cells
-    * fragment each label — the query's nearest centroids stop being
-    * its neighbors' centroids. The recall knob on this geometry is
-    * PROBE DEPTH at coarse nlist (nlist=16: recall 0.68/0.82/0.88/
-    * 0.92 at nProbe 4/6/8/10), the multi-probe regime; cluster-
+    * shape and a probe-deepened one, and the measurement overturned
+    * the folk scaling rule on this corpus: growing nlist ~√N at a
+    * fixed scan fraction makes recall WORSE (probed-cell membership
+    * of the true top-5 in a numpy replication of this exact loop:
+    * 0.68 → 0.58 → 0.40 at nlist 16/64/256), because the organic
+    * corpus is 10 WIDE unit-sphere Gaussian labels (top-5 neighbor
+    * cosine ≈ 0.5 vs background ≈ 0.0) and finer cells fragment each
+    * label — the query's nearest centroids stop being its neighbors'
+    * centroids. The recall knob on this geometry is PROBE DEPTH at
+    * coarse nlist: the engine measures recall@3 0.633 → 0.867 at
+    * nProbe 4 → 8 (nlist=16, 200k vectors, vs the brute ground truth
+    * truncated to the same k — compare at EQUAL k; an early protocol
+    * draft compared top-3 against top-5 and misread the 0.60 ceiling
+    * as a recall deficit). The multi-probe regime; cluster-
     * fragmenting data like this is where graph indexes (HNSW) win
     * over any IVF. Centroids stay a bounded driver artifact
     * (nlist × dim doubles). */
