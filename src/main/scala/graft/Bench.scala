@@ -197,7 +197,11 @@ object Bench {
     val canonicalRef =
       if (canonical) ""
       else s""","canonical_record":"${esc(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_CANONICAL_REF", "bench/r11_sf1_organic_quiet.json"))}""""
+        // default = the same-SF (sf0.1) quiet record the driver bench
+        // should be read against; the sf1-organic canonical scale gate
+        // is bench/r11_sf1_organic_quiet.json (SURVEY "standing scale
+        // gates")
+        "SPARK_GRAFT_BENCH_CANONICAL_REF", "bench/r11_sf01_quietA.json"))}""""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; the per-query dicts
     // over 148+ queries overflow it, truncating the JSON mid-object.
