@@ -586,6 +586,10 @@ object SparkEntry {
     // Apriori triples at a RELATIVE (basket-fraction) min-support —
     // the scale-invariant production form; threshold = one in 75k.
     "q251_itemsets_relsup"  -> (R.tripleItemsetsRelSup _),
+    // Graph ANN: deterministic NN-Descent kNN-graph build + NSW beam
+    // search over kNN ∪ random expander edges — the retrieval path
+    // where IVF's recall/probe trade is poor (r11 verdict ask #1).
+    "q252_ann_graph"        -> (V.annGraph _),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     // The drain lands via a foreachBatch parquet sink — q218 emits up
@@ -1031,6 +1035,7 @@ object SparkEntry {
     "q249_schema_evolution" -> graft.sources.SchemaEvolution.schemaEvolutionSql,
     "q250_dup_spans"        -> graft.dedup.SpanDedup.dupSpansSql,
     "q251_itemsets_relsup"  -> R.tripleItemsetsRelSupSql,
+    "q252_ann_graph"        -> V.annGraphSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -976,6 +976,28 @@ object DedupOps {
           graft.functions.NativeExprs.simHash(hs, SimhashBits).as("sig")))
   }
 
+  /** [[simhashNearDup]] at a TIGHTER verify radius — the production
+    * knob for quadratic-output geometry (r11 verdict blemish #1): on a
+    * same-vocabulary corpus the hamming-≤-[[HammingMax]] pair census
+    * grows quadratically with corpus size (16k → 1.6M → 159.3M at
+    * sf0.01/0.1/1 — a pair set nobody can store at 100 TB), while
+    * radius ≤ 1 keeps only exact-class and single-bit-flip neighbors,
+    * whose census tracks the PLANTED duplicate rate (linear). The
+    * banding is unchanged (exhaustive for any radius ≤ bands−1); the
+    * filter lands on rep pairs BEFORE member expansion, so the
+    * quadratic mass is dropped while still collapsed. Radius must be
+    * ≤ [[HammingMax]]. */
+  def simhashNearDupRadius(spark: SparkSession, dir: String,
+                           radius: Int): DataFrame = {
+    require(radius <= HammingMax, s"radius $radius > banded bound $HammingMax")
+    val hs = graft.functions.NativeExprs.tokenHashes(tokensCol(col("text")))
+    simhashNearDupFrom(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.simHash(hs, SimhashBits).as("sig")),
+      maxHd = radius)
+  }
+
   /** Scale hardening mirror of [[minhashLshFrom]] (all exact): collapse
     * identical signatures → banded candidates over distinct signatures
     * with sub-band refinement + bucket caps → one xor+popcount verify
@@ -983,7 +1005,8 @@ object DedupOps {
     * corpus that previously produced O(docs²) candidates now produces
     * O(distinct-sigs in a sub-bucket × cap) per task, and identical-sig
     * floods (exact/near-exact dups) never enter the join at all. */
-  private[graft] def simhashNearDupFrom(sigsRaw: DataFrame): DataFrame = {
+  private[graft] def simhashNearDupFrom(sigsRaw: DataFrame,
+                                        maxHd: Int = HammingMax): DataFrame = {
     val sigs   = materialize(sigsRaw)
     val groups = materialize(sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"),
@@ -991,7 +1014,7 @@ object DedupOps {
         count(lit(1)).cast("int").as("gsize")))
     val verified = simhashRepCandidates(groups.select(col("rep"), col("sig")))
       .withColumn("hd", expr("CAST(bit_count(sig1 ^ sig2) AS INT)"))
-      .filter(col("hd") <= HammingMax)
+      .filter(col("hd") <= maxHd)
       .select(col("r1"), col("r2"), col("hd"))
     expandPairs(verified, groups, Seq("hd"))
       .unionByName(withinGroupPairs(groups, Seq.empty)

@@ -766,7 +766,8 @@ object EventsStream {
     * listing — the part that tracks host/filesystem latency). */
   final case class DrainStats(inputRows: Long, wallSecs: Double,
       batches: Int, avgBatchMs: Double, maxBatchMs: Double,
-      rowsPerSec: Double, computeSecs: Double, setupSecs: Double)
+      rowsPerSec: Double, computeSecs: Double, setupSecs: Double,
+      stateRows: Long = 0L, stateBytes: Long = 0L)
 
   /** Checkpoint base for the drain-then-stop shape: tmpfs when the
     * host has it (/dev/shm — checkpoints are discarded on exit, and
@@ -855,11 +856,19 @@ object EventsStream {
       val batchMs = ps.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
       val computeSecs = batchMs.sum / 1000.0
+      // State-store footprint at drain end (r11 verdict ask #6): the
+      // LAST progress event with state operators carries the final
+      // per-operator row/byte totals — the number the bounded-state
+      // scale argument has to assert, not infer.
+      val lastState = ps.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
       DrainStats(rows, wall, ps.size,
         if (batchMs.nonEmpty) batchMs.sum / batchMs.size else 0.0,
         if (batchMs.nonEmpty) batchMs.max else 0.0,
         if (wall > 0) rows / wall else 0.0,
-        computeSecs, math.max(0.0, wall - computeSecs))
+        computeSecs, math.max(0.0, wall - computeSecs),
+        lastState.map(_.numRowsTotal).sum,
+        lastState.map(_.memoryUsedBytes).sum)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)

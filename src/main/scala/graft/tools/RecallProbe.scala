@@ -30,7 +30,8 @@ object RecallProbe {
     "q79_pq"         -> VectorOps.knnPq(spark, dir),
     "q81_ivf_trained" -> VectorOps.annIvfTrained(spark, dir),
     "q84_rp"         -> VectorOps.knnRp(spark, dir),
-    "q136_matryoshka" -> VectorOps.knnMatryoshka(spark, dir))
+    "q136_matryoshka" -> VectorOps.knnMatryoshka(spark, dir),
+    "q252_graph"     -> VectorOps.annGraph(spark, dir))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -628,21 +628,30 @@ object VectorOps {
   /** Cell count for the TRAINED IVF index (q81). */
   val IvfTK = 16
 
+  /** Probe depth for the TRAINED IVF (q81) — promoted 4 → 8 (r11
+    * verdict ask #1): on this corpus's wide-Gaussian label geometry
+    * probe depth at coarse nlist is the recall knob (measured recall@3
+    * at 100×: 0.633 at nProbe=4 → 0.867 at nProbe=8, both vs the q24
+    * brute ground truth at equal k), so the oracle-pinned production
+    * shape now runs the multi-probe regime. q35's fixed-centroid
+    * teaching baseline keeps [[NProbe]]=4. */
+  val NProbeTrained = 8
+
   /** IVF over a TRAINED coarse quantizer — the train → index → search
     * composition: centroids come from [[lloyd]] (same 2-iteration fit
     * as q80, k = [[IvfTK]]), every vector is assigned to its nearest
     * centroid by L2 (proper IVF assignment, vs. q35's fixed synthetic
-    * centroids), and each probe searches its [[NProbe]] best cells with
+    * centroids), and each probe searches its [[NProbeTrained]] best cells with
     * exact cosine ranking. Same candidate structure as q35 — the cell
     * equi-join is the scale path — but the learned cells follow the
     * data's density, which is what lifts recall at equal probe cost
     * (measured against [[knnBrute]]; see PERF.md). The oracle re-derives
     * the training AND the search from the same parquet doubles. */
   def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
-    annIvfTrainedAt(spark, dir, IvfTK, NProbe)
+    annIvfTrainedAt(spark, dir, IvfTK, NProbeTrained)
 
   /** [[annIvfTrained]] at an arbitrary (nlist, nProbe) — the
-    * production scaling knobs. The gate queries pin (IvfTK, NProbe)
+    * production scaling knobs. The gate queries pin (IvfTK, NProbeTrained)
     * for the oracle; the 100× protocol
     * ([[graft.tools.Scale100xFamilies]]) measures both that fixed
     * shape and a probe-deepened one, and the measurement overturned
@@ -711,7 +720,7 @@ object VectorOps {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY dv, cell) AS prank
        |  FROM qd),
-       |qcells AS (SELECT vec_id, v, nrm, cell FROM qr WHERE prank <= $NProbe),
+       |qcells AS (SELECT vec_id, v, nrm, cell FROM qr WHERE prank <= $NProbeTrained),
        |scored AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
@@ -798,6 +807,246 @@ object VectorOps {
        |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= $KLsh""".stripMargin
+
+  // ------------------------------------------------------- graph ANN (NSW)
+
+  /** Out-degree of the kNN neighbor graph (q252). */
+  val NswM = 8
+  /** Cap on reverse edges admitted per node when symmetrizing — the
+    * deterministic analogue of NN-Descent's reverse-neighbor sampling:
+    * popular nodes in a kNN graph accumulate unbounded in-degree, and
+    * the 2-hop candidate join is Σ deg(v)², so an uncapped hub turns
+    * the build quadratic. Capping bounds every round at
+    * N·(M+RevCap)² candidate rows. */
+  val NswRevCap = 16
+  /** Neighbor-graph refinement rounds (NN-Descent iterations).
+    * Convergence measured on the 200k low-intrinsic-dim corpus
+    * (build-contains-true-top3): 0.000 at 3 rounds, 0.567 at 5,
+    * 1.000 at 7 — information spreads ≤2 hops per round from the
+    * random init, so rounds must cover the init graph's diameter. */
+  val NswBuildRounds = 7
+  /** Beam width of the search walk. */
+  val NswBeam = 16
+  /** Beam-search expansion rounds — must cover the kNN graph's
+    * diameter from the fixed entry, which on a d-dim manifold scales
+    * ~n^(1/d), not log n (measured at 200k, intrinsic dim 6: recall@3
+    * 0.567 at 6 rounds → 1.000 at 12). */
+  val NswSearchRounds = 12
+  /** Fixed entry node for the beam search: the first non-query vector. */
+  val NswEntry: Int = QueryMax
+
+  /** Graph ANN — the retrieval path for cluster-fragmenting geometry
+    * where any IVF's recall/probe trade is poor (measured on the
+    * organic corpus: trained IVF recall@3 0.633 at nProbe=4; see
+    * PERF.md "100x family protocol"). Two phases, both expressed as
+    * joins over an edge table so a 1000-executor run shuffles only
+    * (src, dst) pairs, never the vector payloads:
+    *
+    *  1. BUILD — NN-Descent (Dong et al., WWW'11) made deterministic:
+    *     start from a pseudo-random M-regular graph (LCG on
+    *     (src, slot) mod N — the long-range expander edges), then
+    *     [[NswBuildRounds]] rounds of "my neighbors' neighbors are
+    *     candidate neighbors": symmetrize with a reverse-degree cap,
+    *     self-join for 2-hop candidates, exact-cosine re-rank, keep
+    *     top-M per node. Each round is one equi-join + one window —
+    *     the standard distributed kNN-graph construction.
+    *  2. SEARCH — beam walk from a FIXED entry node: expand the beam
+    *     over the union graph (refined kNN edges ∪ the initial random
+    *     edges — kNN edges alone fragment into per-cluster islands;
+    *     the random edges are what keep the graph navigable, the NSW
+    *     insight), exact-score candidates against the query, keep the
+    *     top-[[NswBeam]]; [[NswSearchRounds]] rounds, then emit the
+    *     beam's top-[[KLsh]]. Queries never use their own adjacency
+    *     (the honest out-of-corpus search model).
+    *
+    * Cross-engine determinism: cosines rounded to 4 dp before every
+    * rank, ties broken by neighbor id — the oracle replays the exact
+    * build and walk as unrolled CTE rounds. */
+  def annGraph(spark: SparkSession, dir: String): DataFrame =
+    annGraphAt(spark, dir, NswM, NswBuildRounds, NswBeam, NswSearchRounds)
+
+  /** [[annGraph]] at arbitrary (degree, build rounds, beam width,
+    * search rounds) — the production knobs (recall rises with any of
+    * them; cost is linear in each). */
+  /** The NN-Descent build phase shared by [[annGraphAt]] and the scale
+    * probes: (refined kNN edges, initial random edges) over an
+    * already-checkpointed `e(vec_id, v, nrm)`. */
+  private def nswBuild(e: DataFrame, m: Int, buildRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val n = e.count() // bounded driver scalar: corpus size for the init hash
+    val init = e.select(col("vec_id").as("src"))
+      .select(col("src"), explode(sequence(lit(0L), lit((m - 1).toLong))).as("j"))
+      .withColumn("dst", pmod(
+        lit(1103515245L) * (col("src") * m + col("j")) + lit(12345L), lit(n)))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true, ckpt)
+    // post-checkpoint stats are unknown, so the optimizer can't pick a
+    // broadcast join on its own; `n` is already on the driver, so gate
+    // the hint on actual size — below ~32 MB the scoring joins become
+    // broadcast-hash (no wide vector rows ever shuffle; this was 60% of
+    // the gate-SF wall), above it the narrow-pair sort-merge shuffle is
+    // the plan a 1000-executor run wants anyway
+    val hintB: DataFrame => DataFrame =
+      if (n * Dim * 8L < (32L << 20)) broadcast(_) else identity
+    val es = hintB(e.select(col("vec_id").as("src"), col("v").as("sv"), col("nrm").as("sn")))
+    val ed = hintB(e.select(col("vec_id").as("dst"), col("v").as("dv"), col("nrm").as("dn")))
+    val wSel = Window.partitionBy("src").orderBy(desc("cos"), col("dst"))
+    var edges = init
+    for (_ <- 1 to buildRounds) {
+      val sym = nswSymCapped(edges)
+      val twoHop = sym.as("a").join(sym.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val cand = sym.union(twoHop).filter(col("src") =!= col("dst")).distinct()
+      edges = cand.join(es, "src").join(ed, "dst")
+        .withColumn("cos", round(
+          dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 4))
+        .select("src", "dst", "cos")
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= m)
+        .select("src", "dst")
+        .localCheckpoint(true, ckpt) // truncate per-round lineage
+    }
+    (edges, init)
+  }
+
+  private def nswSymCapped(edges: DataFrame): DataFrame = {
+    val wRev = Window.partitionBy("src").orderBy("dst")
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("rn", row_number().over(wRev))
+      .filter(col("rn") <= NswRevCap).drop("rn")
+    edges.union(rev).distinct()
+  }
+
+  /** Dev probe hook: the refined kNN edge table alone. */
+  private[graft] def devBuildGraph(spark: SparkSession, dir: String,
+                                   m: Int, buildRounds: Int): DataFrame = {
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    nswBuild(vecs(spark, dir).localCheckpoint(true, ckpt), m, buildRounds)._1
+  }
+
+  def annGraphAt(spark: SparkSession, dir: String, m: Int,
+                 buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = vecs(spark, dir).localCheckpoint(true, ckpt)
+    val (edges, init) = nswBuild(e, m, buildRounds)
+    val g = nswSymCapped(edges).union(nswSymCapped(init)).distinct()
+      .localCheckpoint(true, ckpt)
+    val q = broadcast(e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val wBeam = Window.partitionBy("query_id").orderBy(desc("cos"), col("node"))
+    var beamDf: DataFrame = q.select(col("query_id"), lit(NswEntry.toLong).as("node"))
+    for (_ <- 1 to searchRounds) {
+      // the beam is bounded (|queries|×beam rows) at ANY corpus size,
+      // so broadcasting it is the scale-correct plan: each round scans
+      // g / e once with a broadcast probe instead of shuffling them
+      // (post-checkpoint stats are unknown, so the optimizer can't see
+      // this on its own — without the hints each round paid 3 shuffles
+      // and the 19-round walk was overhead-bound at gate SF)
+      val expand = broadcast(beamDf.select("query_id", "node"))
+        .join(g, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+      val cand = beamDf.select("query_id", "node").union(expand)
+        .filter(col("node") =!= col("query_id")).distinct()
+      beamDf = broadcast(cand.join(q, Seq("query_id")))
+        .join(e.select(col("vec_id").as("node"), col("v"), col("nrm")), Seq("node"))
+        .withColumn("cos", round(
+          dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select("query_id", "node", "cos")
+        .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= beam)
+        .select("query_id", "node", "cos")
+        .localCheckpoint(true, ckpt)
+    }
+    beamDf
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= KLsh)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cos").as("cos_sim"), col("rank"))
+  }
+
+  /** Unrolled CTE replay of [[annGraphAt]] for the DuckDB oracle.
+    * Every per-round result is `AS MATERIALIZED`: DuckDB inlines plain
+    * CTEs at each reference, and the round structure references its
+    * predecessor ~6× — un-materialized, round r would inline round 0's
+    * subtree 6^r times (the first draft exhausted the file-handle
+    * limit re-opening the parquet scan thousands of times). */
+  private def annGraphSqlAt(m: Int, buildRounds: Int, beam: Int,
+                            searchRounds: Int): String = {
+    // capped symmetrization: forward edges ∪ reverse edges ranked per
+    // target (window columns bind to the INPUT columns, so PARTITION BY
+    // dst / ORDER BY src rank the reversed edge by its new src/dst)
+    def symCapped(tag: String, src: String): String =
+      s"""$tag AS MATERIALIZED (
+         |  SELECT src, dst FROM $src
+         |  UNION
+         |  SELECT src, dst FROM (
+         |    SELECT dst AS src, src AS dst,
+         |           row_number() OVER (PARTITION BY dst ORDER BY src) AS rn
+         |    FROM $src) WHERE rn <= $NswRevCap)""".stripMargin
+    val build = (1 to buildRounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""${symCapped(s"sym$r", prev)},
+         |cand$r AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM sym$r
+         |    UNION ALL
+         |    SELECT a.src, b.dst FROM sym$r a JOIN sym$r b ON a.dst = b.src)
+         |  WHERE src != dst),
+         |sc$r AS (
+         |  SELECT c.src, c.dst,
+         |         round(list_dot_product(s.v, d.v) / (s.nrm * d.nrm), 4) AS cos
+         |  FROM cand$r c JOIN vecs s ON c.src = s.vec_id
+         |                JOIN vecs d ON c.dst = d.vec_id),
+         |e$r AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |                                 ORDER BY cos DESC, dst) AS rn
+         |    FROM sc$r) WHERE rn <= $m)""".stripMargin
+    }.mkString(",\n")
+    val search = (1 to searchRounds).map { s =>
+      val prev = if (s == 1) "b0" else s"b${s - 1}"
+      s"""cs$s AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT query_id, node FROM $prev
+         |    UNION ALL
+         |    SELECT b.query_id, g.dst AS node FROM $prev b JOIN g ON b.node = g.src)
+         |  WHERE node != query_id),
+         |bs$s AS (
+         |  SELECT c.query_id, c.node,
+         |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos
+         |  FROM cs$s c JOIN qv q ON c.query_id = q.query_id
+         |              JOIN vecs e ON c.node = e.vec_id),
+         |b$s AS MATERIALIZED (
+         |  SELECT query_id, node, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, node) AS rn
+         |    FROM bs$s) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $vecsSql,
+       |n AS (SELECT count(*) AS c FROM vecs),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT v.vec_id AS src,
+       |           (1103515245 * (v.vec_id * $m + j.j) + 12345) % (SELECT c FROM n) AS dst
+       |    FROM vecs v, (SELECT unnest(range($m)) AS j) j)
+       |  WHERE dst != src),
+       |$build,
+       |${symCapped("symf", s"e$buildRounds")},
+       |${symCapped("symi", "e0")},
+       |g AS MATERIALIZED (SELECT src, dst FROM symf UNION SELECT src, dst FROM symi),
+       |qv AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM vecs
+       |       WHERE vec_id < $QueryMax),
+       |b0 AS (SELECT query_id, CAST($NswEntry AS BIGINT) AS node FROM qv),
+       |$search
+       |SELECT query_id, node AS neighbor_id, cos AS cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, node) AS rank
+       |  FROM b$searchRounds)
+       |WHERE rank <= $KLsh""".stripMargin
+  }
+
+  val annGraphSql: String =
+    annGraphSqlAt(NswM, NswBuildRounds, NswBeam, NswSearchRounds)
 
   // -------------------------------------------------- JL random projection
 

@@ -33,7 +33,8 @@ class VectorRecallSpec extends AnyFunSuite {
     * regression trips but an innocuous tie-shuffle does not). */
   private val isotropicFloors = Seq(
     ("q25_lsh", 0.15), ("q35_ivf", 0.20), ("q79_pq", 0.55),
-    ("q81_ivf_trained", 0.50), ("q84_rp", 0.45), ("q136_matryoshka", 0.45))
+    ("q81_ivf_trained", 0.70), ("q84_rp", 0.45), ("q136_matryoshka", 0.45),
+    ("q252_graph", 0.80))
 
   test("isotropic corpus: every ANN family clears its measured recall floor") {
     val fams = RecallProbe.families(spark, dir).toMap
@@ -98,9 +99,14 @@ class VectorRecallSpec extends AnyFunSuite {
     // LSH floor is lower: at within-cluster cos ≈ 0.9 the expected
     // signature distance is ~8·(0.29/π) ≈ 1.2 bits, so Hamming≤2
     // multi-probe recovers most but not all same-cluster neighbors.
+    // the graph floor is 0.80: within a 50-member cluster all mates are
+    // near-ties (cos ≈ 0.9 ± noise), so the exact top-3 among them is
+    // noise-ranked and a beam of 16 < cluster size keeps most but not
+    // all of the tie set (measured 0.867)
     val floors = Seq(
       ("q25_lsh", 0.70), ("q35_ivf", 0.90), ("q79_pq", 0.90),
-      ("q81_ivf_trained", 0.90), ("q84_rp", 0.90), ("q136_matryoshka", 0.90))
+      ("q81_ivf_trained", 0.90), ("q84_rp", 0.90), ("q136_matryoshka", 0.90),
+      ("q252_graph", 0.80))
     val measured = floors.map { case (name, floor) =>
       val r = RecallProbe.recallAt(spark, plantedDir, fams(name))
       assert(r >= floor, f"$name planted recall = $r%.3f < floor $floor")
