@@ -248,13 +248,17 @@ object EventOps {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("sum_value"))
+           // cents-exact: per-(window, type) groups grow with corpus
+           // volume — the r11 money-sum drift class (PERF.md)
+           (sum(expr("cast(round(value * 100) as bigint)"))
+             .cast("double") / 100.0).as("sum_value"))
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
   val tumblingCountsSql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** SLIDING (hopping) windows — 2-hour duration, 1-hour slide: every
@@ -268,13 +272,17 @@ object EventOps {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("sum_value"))
+           // cents-exact: per-(window, type) groups grow with corpus
+           // volume — the r11 money-sum drift class (PERF.md)
+           (sum(expr("cast(round(value * 100) as bigint)"))
+             .cast("double") / 100.0).as("sum_value"))
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
   val slidingCountsSql: String =
     """SELECT window_start, event_type,
-      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM (SELECT unnest([date_trunc('hour', ts),
       |                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
       |             event_type, value
@@ -791,7 +799,8 @@ object EventOps {
 
   /** Oracle for the mapGroupsWithState per-user stats (q47). */
   val userStatsSql: String =
-    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
       |       date_trunc('second', min(ts)) AS first_s,
       |       date_trunc('second', max(ts)) AS last_s
       |FROM events GROUP BY 1""".stripMargin
@@ -866,26 +875,28 @@ object EventOps {
       .select(col("user_id"), col("value")).as[(Long, Double)]
     val ord = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    // cents-exact accumulators (r12 sweep): per-user histories grow
+    // without bound, the r11 money-sum drift class
     ev.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, evs, ords) =>
-      var ne = 0L; var sv = 0.0
-      evs.foreach { e => ne += 1; sv += e._2 }
-      var no = 0L; var sp = 0.0
-      ords.foreach { o => no += 1; sp += o._2 }
+      var ne = 0L; var sv = 0L
+      evs.foreach { e => ne += 1; sv += math.round(e._2 * 100) }
+      var no = 0L; var sp = 0L
+      ords.foreach { o => no += 1; sp += math.round(o._2 * 100) }
       Iterator((k, ne, sv, no, sp))
     }.toDF("user_id", "n_events", "sum_value", "n_orders", "sum_spend")
       .select(col("user_id"), col("n_events"),
-        round(col("sum_value"), 2).as("sum_value"),
-        col("n_orders"), round(col("sum_spend"), 2).as("sum_spend"))
+        (col("sum_value").cast("double") / 100.0).as("sum_value"),
+        col("n_orders"), (col("sum_spend").cast("double") / 100.0).as("sum_spend"))
   }
 
   val cogroupReconcileSql: String =
     """WITH e AS (
       |  SELECT user_id, count(*) AS n_events,
-      |         round(sum(value), 2) AS sum_value
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |  FROM events GROUP BY 1),
       |o AS (
       |  SELECT o_custkey, count(*) AS n_orders,
-      |         round(sum(o_totalprice), 2) AS sum_spend
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_spend
       |  FROM orders GROUP BY 1)
       |SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
       |       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
@@ -1218,7 +1229,10 @@ object EventOps {
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_purchases"),
         countDistinct(col("user_id")).as("n_users"),
-        round(sum(col("value")), 2).as("total_value"))
+        // cents-exact: 3 channel groups over every purchase — global
+        // money sums, the r11 drift class
+        (sum(expr("cast(round(value * 100) as bigint)"))
+          .cast("double") / 100.0).as("total_value"))
   }
 
   val purchaseAttributionSql: String =
@@ -1244,7 +1258,7 @@ object EventOps {
        |SELECT channel,
        |       CAST(count(*) AS BIGINT) AS n_purchases,
        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       |       round(sum(value), 2) AS total_value
+       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
        |FROM p GROUP BY 1""".stripMargin
 
   // ------------------------------------- seasonal-naive forecast (q217)

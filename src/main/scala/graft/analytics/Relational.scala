@@ -437,14 +437,18 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+        // cents-exact: a per-customer RUNNING sum grows without bound
+        // with history, the r11 money-sum drift class (PERF.md) — so
+        // quantize once per row and sum integers
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")).over(w)
+          .cast("double") / 100.0).as("running_spend"))
   }
 
   val runningCustomerSpendSql: String =
     """SELECT o_custkey, o_orderkey,
-      |       round(sum(o_totalprice) OVER (
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
       |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_spend
       |FROM orders""".stripMargin
 
   /** Set operations: EXCEPT / INTERSECT / UNION ALL in one result. */
@@ -885,14 +889,17 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         sum(when(col("d0").isNull, 1L).otherwise(0L)).as("n_zero_disc"),
-        round(sum(coalesce(col("d0"), col("l_tax"))), 2).as("sum_disc_or_tax"),
+        // cents-exact: a global-group money sum (6 flag groups over the
+        // whole table) — the r11 drift class
+        (sum(expr("cast(round(coalesce(d0, l_tax) * 100) as bigint)"))
+          .cast("double") / 100.0).as("sum_disc_or_tax"),
         round(min(least(col("l_discount"), col("l_tax"))), 2).as("min_lt"),
         round(max(greatest(col("l_discount"), col("l_tax"))), 2).as("max_gt"))
 
   val nullFuncsSql: String =
     """SELECT l_returnflag,
       |       CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
-      |       round(sum(coalesce(nullif(l_discount, 0.0), l_tax)), 2) AS sum_disc_or_tax,
+      |       CAST(sum(CAST(round(coalesce(nullif(l_discount, 0.0), l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_or_tax,
       |       round(min(least(l_discount, l_tax)), 2) AS min_lt,
       |       round(max(greatest(l_discount, l_tax)), 2) AS max_gt
       |FROM lineitem GROUP BY 1""".stripMargin
@@ -908,13 +915,15 @@ object Relational {
     c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
       .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+        // cents-exact: per-customer spend grows with order history
+        (coalesce(sum(expr("cast(round(o_totalprice * 100) as bigint)")), lit(0L))
+          .cast("double") / 100.0).as("total_spend"))
   }
 
   val outerJoinOrdersSql: String =
     """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
       |       count(o.o_orderkey) AS n_orders,
-      |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+      |       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS total_spend
       |FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
       |GROUP BY 1""".stripMargin
 
@@ -1084,7 +1093,9 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val fromOrders = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("new_bal"))
+      // cents-exact: per-customer spend grows with order history
+      .agg((sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("double") / 100.0).as("new_bal"))
     // one Generate instead of a union of two branches — Catalyst does
     // not CSE a unioned aggregate, and at scale the orders agg is the
     // expensive half of the merge
@@ -1104,7 +1115,8 @@ object Relational {
 
   val upsertCustomersSql: String =
     """WITH fo AS (
-      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS new_bal
       |  FROM orders GROUP BY 1),
       |changes AS (
       |  SELECT o_custkey AS key, new_bal FROM fo

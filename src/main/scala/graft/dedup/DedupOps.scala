@@ -304,11 +304,16 @@ object DedupOps {
       .filter(size(col("hs")) > 0)
       .withColumn("n", size(col("hs")))
 
+  // hsets MATERIALIZED: DuckDB inlines plain CTEs at every reference,
+  // and the oracles that embed this prefix reference it 2-4x (band
+  // self-joins, verify joins) — un-materialized, the whole
+  // tokenize+shingle+hash pipeline re-ran per reference and the big
+  // cluster-map oracles (q109/q168/q244) paid it 4x (r11 ask #5)
   private[dedup] val shingleHashesSql: String =
     s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(${shinglesSql("t")}, s -> ${polyHashSql("s")})) AS hs
        |       FROM toks),
-       |hsets AS (SELECT doc_id, hs, len(hs) AS n FROM sh WHERE len(hs) > 0)""".stripMargin
+       |hsets AS MATERIALIZED (SELECT doc_id, hs, len(hs) AS n FROM sh WHERE len(hs) > 0)""".stripMargin
 
   // ----------------------------------------------------------- exact dedup
 
@@ -376,22 +381,47 @@ object DedupOps {
   /** Jaccard threshold shared by the exact and LSH variants. */
   val JaccardThreshold = 0.5
 
-  /** Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
-    * join: explode shingle hashes, self-join on the hash, count shared
-    * shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|). */
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs (q20). EXACT — and
+    * since round 12, PREFIX-FILTERED (r11 verdict ask #8): the naive
+    * inverted-index self-join on every shingle hash goes quadratic on a
+    * same-vocabulary corpus because hot-shingle posting lists grow
+    * linearly and contribute |posting|² candidate rows (measured 11.8×
+    * wall at 10× data). The Jaccard prefix filter of the set-similarity
+    * -join literature (Bayardo et al. WWW'07; Xiao et al. PPJoin —
+    * q145's containment machinery, re-derived for the symmetric
+    * threshold) makes candidate generation sub-quadratic WITHOUT
+    * changing the result set: order each doc's shingles by global
+    * document frequency ascending (ties by hash — a total order), index
+    * only the first |x| − ⌈τ·|x|⌉ + 1 of them, and join prefix against
+    * prefix. Theorem: J(A,B) ≥ τ ⟹ the two prefixes intersect, so
+    * every qualifying pair survives; the exact |∩| verification then
+    * reproduces the brute output bit-for-bit. Hot shingles (the
+    * quadratic mass) appear in a doc's prefix only when they are among
+    * its RAREST half — i.e. almost never. The ORACLE stays the brute
+    * inverted-index form, an independent completeness proof that the
+    * filter dropped nothing (the q145 adjudication pattern). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Eager materialization: the exploded index feeds both sides of the
-    // self-join; localCheckpoint truncates the lineage so the
-    // tokenize→shingle→hash pipeline provably runs exactly once
-    // (cache substitution on self-joined subtrees proved unreliable).
-    val ex = materialize(shingleHashes(spark, dir)
-      .select(col("doc_id"), col("n"), explode(col("hs")).as("h")))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"),
-        any_value(col("a.n")).as("n1"), any_value(col("b.n")).as("n2"))
-    pairs
+    import org.apache.spark.sql.expressions.Window
+    val hs = materialize(shingleHashes(spark, dir))
+    val post = materialize(hs.select(
+      col("doc_id"), col("n"), explode(col("hs")).as("h")))
+    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val pref = post.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))))
+      .filter(expr(s"rn <= n - ceil(n * $JaccardThreshold) + 1"))
+      .select(col("h"), col("doc_id"), col("n"))
+    val cands = cappedPairJoin(pref, Seq("h"), "doc_id", Seq("n"))
+      // length filter (PPJoin): J ≥ τ forces o ≥ τ(n1+n2)/(1+τ) and
+      // o ≤ min(n1,n2), so at τ=0.5 the longer set is ≤ 2× the shorter
+      // — pruned BEFORE the dedup aggregate sees the pair
+      .filter(col("n1") <= col("n2") * 2 && col("n2") <= col("n1") * 2)
+      .select(col("r1").as("d1"), col("r2").as("d2"),
+        col("n1"), col("n2")).distinct()
+    cands
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .withColumn("jaccard", round(
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -504,8 +534,8 @@ object DedupOps {
 
   val minhashLshSql: String =
     s"""WITH $shingleHashesSql,
-       |sigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
-       |bands AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
        |cand AS (
@@ -574,8 +604,8 @@ object DedupOps {
 
   val minhashEstimateSql: String =
     s"""WITH $shingleHashesSql,
-       |sigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
-       |bands AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
        |cand AS (
@@ -715,8 +745,8 @@ object DedupOps {
   }
 
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
-       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($minhashLshSql),
+       |edges AS MATERIALIZED (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
        |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
        |reach(src, node) AS (
        |  SELECT node, node FROM nodes
@@ -1326,13 +1356,13 @@ object DedupOps {
     * funnel oracle summarizes exactly the stage queries the gate
     * verifies individually. */
   val dedupFunnelSql: String =
-    s"""WITH fdocs AS (
+    s"""WITH fdocs AS MATERIALIZED (
        |  SELECT doc_id, lang, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
        |         ${polyHashSql(s"array_to_string(${tokensSql("text")}, ' ')")} AS fp
        |  FROM documents),
        |fexact AS (SELECT fp, min(doc_id) AS keep_id FROM fdocs GROUP BY 1),
-       |fclusters AS ($dedupClustersSql),
-       |fsubstr AS ($substringDedupSql),
+       |fclusters AS MATERIALIZED ($dedupClustersSql),
+       |fsubstr AS MATERIALIZED ($substringDedupSql),
        |staged AS (
        |  SELECT d.lang, d.n_tokens,
        |         CASE WHEN d.doc_id != e.keep_id THEN 'exact'
@@ -1488,8 +1518,8 @@ object DedupOps {
 
   val ingestDedupSql: String =
     s"""WITH $shingleHashesSql,
-       |sigs AS (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
-       |bands AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, ${minhashSigSql("hs")} AS sig FROM hsets),
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b, ${bandKeySql("sig", "b")} AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bs),
        |cand AS (

@@ -45,8 +45,8 @@ object EffectiveSize {
   /** Oracle: the q72/q168 recursive reachability closure over the
     * same verified pairs, then identical integer weighting. */
   val effectiveSizeSql: String =
-    s"""WITH RECURSIVE pairs AS (${DedupOps.minhashLshSql}),
-       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${DedupOps.minhashLshSql}),
+       |edges AS MATERIALIZED (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
        |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
        |reach(src, node) AS (
        |  SELECT node, node FROM nodes

@@ -56,8 +56,8 @@ object SplitOps {
     * closure over the SAME verified pair set (the q72/q134 oracle),
     * then the identical rep-keyed bucket assignment. */
   val clusterSplitSql: String =
-    s"""WITH RECURSIVE pairs AS (${DedupOps.minhashLshSql}),
-       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${DedupOps.minhashLshSql}),
+       |edges AS MATERIALIZED (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
        |nodes AS (SELECT DISTINCT d1 AS node FROM edges),
        |reach(src, node) AS (
        |  SELECT node, node FROM nodes
@@ -67,7 +67,7 @@ object SplitOps {
        |a AS (
        |  SELECT d.doc_id, coalesce(cl.rep_id, d.doc_id) AS rep
        |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
-       |b AS (
+       |b AS MATERIALIZED (
        |  SELECT doc_id, rep,
        |         CASE WHEN bucket < ${graft.text.TextOps.TrainPct} THEN 'train'
        |              WHEN bucket < ${graft.text.TextOps.ValPct} THEN 'val'

@@ -191,8 +191,8 @@ object ShardOps {
   }
 
   val clusterShardsSql: String = {
-    s"""WITH RECURSIVE lshpairs AS (${graft.dedup.DedupOps.minhashLshSql}),
-       |cedges AS (SELECT d1, d2 FROM lshpairs UNION ALL SELECT d2, d1 FROM lshpairs),
+    s"""WITH RECURSIVE lshpairs AS MATERIALIZED (${graft.dedup.DedupOps.minhashLshSql}),
+       |cedges AS MATERIALIZED (SELECT d1, d2 FROM lshpairs UNION ALL SELECT d2, d1 FROM lshpairs),
        |cnodes AS (SELECT DISTINCT d1 AS node FROM cedges),
        |reach(src, node) AS (
        |  SELECT node, node FROM cnodes

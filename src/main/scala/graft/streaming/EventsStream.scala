@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
 
-/** Running per-user accumulator for [[EventsStream.userStats]]. */
+/** Running per-user accumulator for [[EventsStream.userStats]];
+  * sum_value in integer cents (r12 cents-exact sweep — a per-user
+  * running money sum grows with history). */
 case class UserAggState(
-    n_events: Long, sum_value: Double, first_ms: Long, last_ms: Long)
+    n_events: Long, sum_value: Long, first_ms: Long, last_ms: Long)
 
-/** Emitted per-user row for [[EventsStream.userStats]]. */
+/** Emitted per-user row for [[EventsStream.userStats]]; cents. */
 case class UserAgg(
-    user_id: Long, n_events: Long, sum_value: Double,
+    user_id: Long, n_events: Long, sum_value: Long,
     first_ms: Long, last_ms: Long)
 
 /** Running chunk accumulator for [[EventsStream.chunkEvents]]: index of
@@ -65,12 +67,15 @@ case class FunnelStage(user_id: Long, stage: Int)
   * tallies. */
 case class AttribState(
     last_c: Long, last_v: Long, n_seen: Long,
-    nc: Long, nv: Long, nd: Long, vc: Double, vv: Double, vd: Double)
+    nc: Long, nv: Long, nd: Long, vc: Long, vv: Long, vd: Long)
 
-/** Emitted per-user cumulative attribution tallies. */
+/** Emitted per-user cumulative attribution tallies; values in integer
+  * cents (r12 cents-exact sweep: per-user accumulations grow with
+  * history, and the channel rollup must stay hash-equal to the
+  * cents-exact batch q137). */
 case class AttribUser(
     user_id: Long, n_seen: Long,
-    nc: Long, nv: Long, nd: Long, vc: Double, vv: Double, vd: Double)
+    nc: Long, nv: Long, nd: Long, vc: Long, vv: Long, vd: Long)
 
 /** Structured Streaming forms of the event-stream operators
   * (SURVEY.md §1: the reference's Airflow sensor→process loop
@@ -136,7 +141,9 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // cents-exact, matching the converted batch twin (r12 sweep)
+        (sum(expr("cast(round(value * 100) as bigint)"))
+          .cast("double") / 100.0).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -149,7 +156,9 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // cents-exact, matching the converted batch twin (r12 sweep)
+        (sum(expr("cast(round(value * 100) as bigint)"))
+          .cast("double") / 100.0).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -205,9 +214,9 @@ object EventsStream {
         (uid: Long, rows: Iterator[(Long, Long, Double)],
          state: GroupState[UserAggState]) =>
           var s = state.getOption.getOrElse(
-            UserAggState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            UserAggState(0L, 0L, Long.MaxValue, Long.MinValue))
           rows.foreach { case (_, ms, v) =>
-            s = UserAggState(s.n_events + 1, s.sum_value + v,
+            s = UserAggState(s.n_events + 1, s.sum_value + math.round(v * 100),
               math.min(s.first_ms, ms), math.max(s.last_ms, ms))
           }
           state.update(s)
@@ -215,7 +224,7 @@ object EventsStream {
       }
       .toDF()
       .select(col("user_id"), col("n_events"),
-        round(col("sum_value"), 2).as("sum_value"),
+        (col("sum_value").cast("double") / 100.0).as("sum_value"),
         timestamp_millis(col("first_ms")).as("first_s"),
         timestamp_millis(col("last_ms")).as("last_s"))
       // second precision on output (ms == s here; ts is ns-truncated)
@@ -598,18 +607,19 @@ object EventsStream {
         (uid: Long, rows: Iterator[(Long, String, Double, Long)],
          state: GroupState[AttribState]) =>
           var s = state.getOption.getOrElse(
-            AttribState(-1L, -1L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0))
+            AttribState(-1L, -1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
           // replay in event-time order, one equal-timestamp group at a
           // time: purchases in the group see only state from earlier µs
           rows.toSeq.sortBy(_._4).groupBy(_._4).toSeq.sortBy(_._1)
             .foreach { case (tus, group) =>
               group.foreach { case (_, et, v, _) =>
                 if (et == "purchase") {
+                  val cents = math.round(v * 100) // quantize ONCE per row
                   if (s.last_c >= 0 && tus - s.last_c <= L)
-                    s = s.copy(nc = s.nc + 1, vc = s.vc + v)
+                    s = s.copy(nc = s.nc + 1, vc = s.vc + cents)
                   else if (s.last_v >= 0 && tus - s.last_v <= L)
-                    s = s.copy(nv = s.nv + 1, vv = s.vv + v)
-                  else s = s.copy(nd = s.nd + 1, vd = s.vd + v)
+                    s = s.copy(nv = s.nv + 1, vv = s.vv + cents)
+                  else s = s.copy(nd = s.nd + 1, vd = s.vd + cents)
                 }
               }
               group.foreach { case (_, et, _, _) =>
@@ -646,7 +656,8 @@ object EventsStream {
       .groupBy(col("channel"))
       .agg(sum(col("np")).as("n_purchases"),
         countDistinct(col("user_id")).as("n_users"),
-        round(sum(col("pv")), 2).as("total_value"))
+        // pv is integer cents — the sum is exact; emit dollars
+        (sum(col("pv")).cast("double") / 100.0).as("total_value"))
   }
 
   /** Batch rollup of an update-mode [[funnelStages]] sink to the q110
@@ -692,13 +703,15 @@ object EventsStream {
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // cents-exact: per-nation groups grow with corpus volume
+        (sum(expr("cast(round(value * 100) as bigint)"))
+          .cast("double") / 100.0).as("sum_value"))
 
   /** Oracle for [[streamStaticNationRollup]]: the same enrich+rollup as
     * one batch join. */
   val streamStaticNationRollupSql: String =
     """SELECT c_nationkey, count(*) AS n_events,
-      |       round(sum(value), 2) AS sum_value
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1""".stripMargin
 
@@ -732,14 +745,16 @@ object EventsStream {
     spark.read.parquet(out.toString)          // batch=N discovered as a partition col
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // cents-exact: per-user purchase history grows with time
+        (sum(expr("cast(round(value * 100) as bigint)"))
+          .cast("double") / 100.0).as("sum_value"))
   }
 
   /** Oracle for [[foreachBatchSink]] — the same rollup straight off the
     * events table. */
   val foreachBatchSinkSql: String =
     """SELECT user_id, count(*) AS n_purchases,
-      |       round(sum(value), 2) AS sum_value
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
   /** Run a streaming aggregate to completion over the files currently in
