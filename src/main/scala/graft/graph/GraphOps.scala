@@ -67,8 +67,8 @@ object GraphOps {
   }
 
   private def edgesSql(minSupport: Long): String =
-    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
        |       FROM li a JOIN li b
        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |       GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
@@ -183,7 +183,7 @@ object GraphOps {
 
   val graphBfsConvergedSql: String =
     s"""WITH RECURSIVE ${edgesSql(2)},
-       |e AS (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
+       |e AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e0 UNION ALL SELECT pb, pa FROM e0),
        |walk(n, hop) AS (
        |  SELECT p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_brand = '$BfsSeedBrand'
        |  UNION
@@ -354,9 +354,9 @@ object GraphOps {
 
   val triangleStatsSql: String =
     s"""WITH ${edgesSql(1)},
-       |d AS (SELECT n, count(*) AS deg FROM
+       |d AS MATERIALIZED (SELECT n, count(*) AS deg FROM
        |        (SELECT pa AS n FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
-       |o AS (SELECT CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pa ELSE e0.pb END AS u,
+       |o AS MATERIALIZED (SELECT CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pa ELSE e0.pb END AS u,
        |             CASE WHEN (da.deg, e0.pa) < (db.deg, e0.pb) THEN e0.pb ELSE e0.pa END AS v
        |      FROM e0 JOIN d da ON da.n = e0.pa JOIN d db ON db.n = e0.pb),
        |wd AS (SELECT coalesce(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges
@@ -425,9 +425,9 @@ object GraphOps {
 
   val triangleEstimateSql: String = {
     def census(eName: String, out: String): String =
-      s"""d_$out AS (SELECT n, count(*) AS deg FROM
+      s"""d_$out AS MATERIALIZED (SELECT n, count(*) AS deg FROM
          |  (SELECT pa AS n FROM $eName UNION ALL SELECT pb FROM $eName) GROUP BY 1),
-         |o_$out AS (SELECT CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pa ELSE e.pb END AS u,
+         |o_$out AS MATERIALIZED (SELECT CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pa ELSE e.pb END AS u,
          |                  CASE WHEN (da.deg, e.pa) < (db.deg, e.pb) THEN e.pb ELSE e.pa END AS v
          |           FROM $eName e JOIN d_$out da ON da.n = e.pa JOIN d_$out db ON db.n = e.pb),
          |w_$out AS (SELECT o1.u AS a, o2.v AS c FROM o_$out o1 JOIN o_$out o2 ON o1.v = o2.u),
@@ -437,7 +437,7 @@ object GraphOps {
       val pInv = TriSampleMod / TriSampleKeep; pInv * pInv * pInv
     }
     s"""WITH ${edgesSql(1)},
-       |es AS (SELECT pa, pb FROM e0
+       |es AS MATERIALIZED (SELECT pa, pb FROM e0
        |       WHERE ((((pa * $TriSampleP1 + pb) % $TriSampleM) * $TriSampleP2)
        |              % $TriSampleM) % $TriSampleMod < $TriSampleKeep),
        |${census("e0", "x")},

@@ -181,7 +181,7 @@ object AudioMatch {
        |         (doc_id * 97) % 256 AS c,
        |         100 + doc_id % 50 AS f
        |  FROM documents WHERE doc_id % 3 = 0),
-       |se AS (
+       |se AS MATERIALIZED (
        |  SELECT asset_id, k.k AS frame,
        |         CAST(list_sum(list_transform(
        |           range(k.k * ${MultimodalOps.FrameLen},
