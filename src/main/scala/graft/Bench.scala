@@ -216,9 +216,15 @@ object Bench {
         // even against the promoted pointer; the `host` block below
         // records the load evidence to check first.
         "SPARK_GRAFT_BENCH_CANONICAL_REF", "bench/canonical_quiet.json"))}""""
+    // `cpus` is the raw SPARK_GRAFT_CPUS env string; "*" is legal for
+    // local[*] but would be malformed bare in JSON — emit the resolved
+    // processor count instead when the string isn't a plain integer.
+    val cpusJson =
+      if (cpus.matches("\\d+")) cpus
+      else Runtime.getRuntime.availableProcessors.toString
     val host = s""""host":{"load1_start":${loadStart._1},"load5_start":${loadStart._2},""" +
       s""""load1_end":${procField("/proc/loadavg", 0)},"load5_end":${procField("/proc/loadavg", 1)},""" +
-      s""""uptime_secs":${procField("/proc/uptime", 0)},"cpus":$cpus}"""
+      s""""uptime_secs":${procField("/proc/uptime", 0)},"cpus":$cpusJson}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,$host,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; the per-query dicts
     // over 148+ queries overflow it, truncating the JSON mid-object.

@@ -424,7 +424,14 @@ object DedupOps {
       .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .withColumn("jaccard", round(
         col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
+      // EXACT RATIONAL threshold: J ≥ 1/2 ⟺ 3·shared ≥ n1+n2 — the
+      // same inequality the prefix/length bounds above are derived
+      // from. Filtering on the ROUNDED jaccard instead would admit
+      // pairs with true J ∈ [0.49995, 0.5) (possible once shingle-set
+      // unions reach ~10k) that candidate generation legitimately
+      // prunes, silently breaking the filter/output equivalence; the
+      // rounded column stays in the output for display only.
+      .filter(col("shared") * 3 >= col("n1") + col("n2"))
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
@@ -439,7 +446,7 @@ object DedupOps {
        |SELECT d1, d2, shared,
        |       round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard
        |FROM pairs
-       |WHERE round(shared::DOUBLE / (n1 + n2 - shared), 4) >= $JaccardThreshold""".stripMargin
+       |WHERE 3 * shared >= n1 + n2""".stripMargin
 
   // ----------------------------------------------------------- MinHash LSH
 

@@ -174,21 +174,37 @@ object AudioMatch {
   }
 
   /** Oracle: generator-arithmetic energies (the prefix the codec can
-    * never influence), then the identical relational pipeline. */
+    * never influence), then the identical relational pipeline. The
+    * energy sequence of a track depends ONLY on its (c, modulus) class
+    * — at most 256×25 = 6,400 classes regardless of corpus size — so
+    * the expensive per-sample lambda mass is computed once per CLASS
+    * (clsE, ≤ 6,400×149 frames) and joined back to assets, instead of
+    * once per asset (25M frames × 160 samples at sf1 was the 541 s
+    * oracle wall; the class rewrite is hash-identical by construction
+    * since every asset's (c, mi, frame < f) slice is unchanged). */
   val audioMatchSql: String =
-    s"""WITH a AS (
+    s"""WITH a AS MATERIALIZED (
        |  SELECT doc_id AS asset_id,
        |         (doc_id * 97) % 256 AS c,
+       |         doc_id % 25 AS mi,
        |         100 + doc_id % 50 AS f
        |  FROM documents WHERE doc_id % 3 = 0),
+       |cls AS (
+       |  SELECT c, mi, [101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179,181,191,193,197,199,211,223,227,229][mi + 1] AS prim
+       |  FROM (SELECT DISTINCT c, mi FROM a)),
+       |nums AS MATERIALIZED (
+       |  SELECT unnest(range(0, ${149 * MultimodalOps.FrameLen})) AS i),
+       |-- per-SAMPLE rows + GROUP BY, not a per-frame list lambda:
+       |-- DuckDB's interpreted list_transform costs ~3 us/element and
+       |-- was 463 of the 541 s sf1 wall; the vectorized row form is 9 s
+       |clsE AS MATERIALIZED (
+       |  SELECT c, mi, i // ${MultimodalOps.FrameLen} AS frame,
+       |         CAST(sum(abs(((c + i + (i * i) % prim) % 256) - 128)) AS BIGINT) AS e
+       |  FROM cls, nums GROUP BY 1, 2, 3),
        |se AS MATERIALIZED (
-       |  SELECT asset_id, k.k AS frame,
-       |         CAST(list_sum(list_transform(
-       |           range(k.k * ${MultimodalOps.FrameLen},
-       |                 (k.k + 1) * ${MultimodalOps.FrameLen}),
-       |           i -> abs(((c + i + (i * i) % ([101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179,181,191,193,197,199,211,223,227,229][(asset_id % 25) + 1])) % 256) - 128)))
-       |           AS BIGINT) AS e
-       |  FROM a, UNNEST(range(0, f)) AS k(k)),
+       |  SELECT a.asset_id, clsE.frame, clsE.e
+       |  FROM a JOIN clsE ON a.c = clsE.c AND a.mi = clsE.mi
+       |  WHERE clsE.frame < a.f),
        |ce AS (
        |  SELECT se.asset_id, se.frame - (se.asset_id % 7) * 3 AS frame, se.e
        |  FROM se
@@ -200,7 +216,7 @@ object AudioMatch {
        |           + lead(e, 2) OVER w AS hash
        |  FROM se WINDOW w AS (PARTITION BY asset_id ORDER BY frame)
        |  QUALIFY lead(e, 2) OVER w IS NOT NULL),
-       |ch AS (
+       |ch AS MATERIALIZED (
        |  SELECT asset_id AS clip_id, CAST(frame AS BIGINT) AS t_clip,
        |         (e * $PackBase + lead(e, 1) OVER w) * $PackBase
        |           + lead(e, 2) OVER w AS hash

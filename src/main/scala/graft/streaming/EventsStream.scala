@@ -216,7 +216,12 @@ object EventsStream {
           var s = state.getOption.getOrElse(
             UserAggState(0L, 0L, Long.MaxValue, Long.MinValue))
           rows.foreach { case (_, ms, v) =>
-            s = UserAggState(s.n_events + 1, s.sum_value + math.round(v * 100),
+            // HALF-AWAY-FROM-ZERO cents, matching SQL round(): plain
+            // math.round is half-up toward +inf and disagrees with the
+            // batch/oracle twins on negative exact-half-cent values
+            // (refunds/adjustments)
+            val cents = math.signum(v).toLong * math.round(math.abs(v) * 100)
+            s = UserAggState(s.n_events + 1, s.sum_value + cents,
               math.min(s.first_ms, ms), math.max(s.last_ms, ms))
           }
           state.update(s)

@@ -1232,7 +1232,9 @@ object TextOps {
        |  SELECT s, ${polyHashSql("s")} AS h FROM (
        |    SELECT unnest(${shinglesSql(tokensSql("text"))}) AS s FROM documents)),
        |consts(r, a, b) AS (VALUES $consts),
-       |exact AS (SELECT s, h, count(*) AS n FROM sh GROUP BY 1, 2),
+       |-- referenced twice (counters, top): MATERIALIZED or DuckDB
+       |-- inlines the whole shingle+polyhash pipeline at each site
+       |exact AS MATERIALIZED (SELECT s, h, count(*) AS n FROM sh GROUP BY 1, 2),
        |counters AS (
        |  SELECT c.r, ((c.a * e.h + c.b) % ${P}) % $CmWidth AS cell,
        |         CAST(sum(e.n) AS BIGINT) AS v

@@ -38,6 +38,11 @@ object GenPlanted extends Serializable {
   val LatentDim = 6
   val AmbientNoise = 0.05
 
+  /** Bump on ANY change to the lowdim generator (latent dim, mixing
+    * matrix, noise, hash) — consumers key their on-disk caches on this
+    * so a stale corpus can't silently change what a gate measures. */
+  val LowdimVersion = 1
+
   def main(args: Array[String]): Unit = {
     val out = args.lift(0).getOrElse("/tmp/planted200k")
     val n = args.lift(1).map(_.toInt).getOrElse(200000)

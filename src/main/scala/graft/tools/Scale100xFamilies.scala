@@ -208,9 +208,13 @@ object Scale100xFamilies {
       // low intrinsic dimension, the published convergence condition
       // for NN-Descent/graph search and the shape real text/image
       // encoder embeddings have. 200k vectors = the same 100× scale.
-      val lowDir = "/tmp/lowdim200k"
+      // cache path keyed on the generator version so a stale corpus
+      // from an older GenPlanted (or a partial write — hence the
+      // _SUCCESS check, which Spark emits only on commit) can never
+      // silently change what the recall gate measures
+      val lowDir = s"/tmp/lowdim200k_v${GenPlanted.LowdimVersion}"
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$lowDir/embeddings.parquet")))
+          java.nio.file.Paths.get(s"$lowDir/embeddings.parquet/_SUCCESS")))
         GenPlanted.build(spark, lowDir, 200000, "lowdim")
       val bruteLow = q("q24_knn_brute")(spark, lowDir)
         .filter(col("rank") <= graft.vector.VectorOps.KLsh)
@@ -288,13 +292,25 @@ object Scale100xFamilies {
         s.stateRows > 0 && s.stateRows <= b.stateRows * 2
       }.forall(identity)
       gates += "stream_sketch_state_bounded" -> sketchOk
-      val (s93, t93) = timed(drain("q93",
-        d => EventsStream.dedupKeysWithinWatermark(src(d)), "append", src100))
+      val ((out93, s93), t93) = timed(
+        EventsStream.runAvailableNowStats(spark,
+          EventsStream.dedupKeysWithinWatermark(src(src100)),
+          s"fam100x_q93_${src100.hashCode.abs}", "append"))
+      val emitted93 = out93.count()
       val distinctKeys = graft.tables.Tables.events(spark, src100)
         .select("user_id", "event_type").distinct().count()
       out += s""""q93_secs":${f(t93)},"q93_state_rows":${s93.stateRows},""" +
+        s""""q93_output_rows":$emitted93,""" +
         s""""q93_distinct_keys":$distinctKeys,"q93_state_bytes":${s93.stateBytes}"""
-      gates += "stream_dedup_state_exact" -> (s93.stateRows == distinctKeys)
+      // OUTPUT exactness is the semantic gate (the emitted key set is
+      // the batch-exact distinct universe); state rows are bounded by
+      // it rather than required equal — a multi-batch drain whose
+      // watermark advances past early events legitimately EVICTS their
+      // state, so state == keys would fail spuriously on exactly the
+      // eviction behavior the operator exists to have.
+      gates += "stream_dedup_state_exact" ->
+        (emitted93 == distinctKeys &&
+          s93.stateRows > 0 && s93.stateRows <= distinctKeys)
       gates += "stream_nonempty" -> (n218 > 0)
     }
 

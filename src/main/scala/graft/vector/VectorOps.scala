@@ -819,7 +819,9 @@ object VectorOps {
     * the build quadratic. Capping bounds every round at
     * N·(M+RevCap)² candidate rows. */
   val NswRevCap = 16
-  /** Neighbor-graph refinement rounds (NN-Descent iterations).
+  /** Neighbor-graph refinement rounds (NN-Descent iterations) — a CAP
+    * since round 13: the build exits early at the first no-op round
+    * (fixpoint ⟹ bit-identical to the full unroll; see [[nswBuild]]).
     * Convergence measured on the 200k low-intrinsic-dim corpus
     * (build-contains-true-top3): 0.000 at 3 rounds, 0.567 at 5,
     * 1.000 at 7 — information spreads ≤2 hops per round from the
@@ -827,13 +829,20 @@ object VectorOps {
   val NswBuildRounds = 7
   /** Beam width of the search walk. */
   val NswBeam = 16
-  /** Beam-search expansion rounds — must cover the kNN graph's
-    * diameter from the fixed entry, which on a d-dim manifold scales
-    * ~n^(1/d), not log n (measured at 200k, intrinsic dim 6: recall@3
-    * 0.567 at 6 rounds → 1.000 at 12). */
+  /** Beam-search expansion rounds — a CAP since round 13 (the walk
+    * exits at the first round that leaves every beam unchanged): must
+    * cover the kNN graph's diameter from the fixed entry, which on a
+    * d-dim manifold scales ~n^(1/d), not log n (measured at 200k,
+    * intrinsic dim 6: recall@3 0.567 at 6 rounds → 1.000 at 12). */
   val NswSearchRounds = 12
   /** Fixed entry node for the beam search: the first non-query vector. */
   val NswEntry: Int = QueryMax
+
+  /** Dev telemetry: rounds actually executed by the last [[nswBuild]]
+    * and the last beam walk on this JVM — the early-exit evidence the
+    * scale protocols record alongside recall. */
+  @volatile private[graft] var lastBuildRoundsRun: Int = 0
+  @volatile private[graft] var lastWalkRoundsRun: Int = 0
 
   /** Graph ANN — the retrieval path for cluster-fragmenting geometry
     * where any IVF's recall/probe trade is poor (measured on the
@@ -894,18 +903,47 @@ object VectorOps {
     val ed = hintB(e.select(col("vec_id").as("dst"), col("v").as("dv"), col("nrm").as("dn")))
     val wSel = Window.partitionBy("src").orderBy(desc("cos"), col("dst"))
     var edges = init
-    for (_ <- 1 to buildRounds) {
+    var prevEdges: DataFrame = null
+    var prevFp: (Long, Long) = null
+    var converged = false
+    lastBuildRoundsRun = 0
+    for (_ <- 1 to buildRounds if !converged) {
+      lastBuildRoundsRun += 1
       val sym = nswSymCapped(edges)
       val twoHop = sym.as("a").join(sym.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
       val cand = sym.union(twoHop).filter(col("src") =!= col("dst")).distinct()
+      prevEdges = edges
       edges = cand.join(es, "src").join(ed, "dst")
         .withColumn("cos", round(
           dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 4))
         .select("src", "dst", "cos")
         .withColumn("rn", row_number().over(wSel)).filter(col("rn") <= m)
         .select("src", "dst")
-        .localCheckpoint(true, ckpt) // truncate per-round lineage
+        // LAZY checkpoint: the fingerprint agg below is the round's
+        // one materializing action (an eager checkpoint + separate agg
+        // was two jobs per round — pure scheduling overhead at gate SF)
+        .localCheckpoint(false, ckpt) // truncate per-round lineage
+      // FIXPOINT EARLY EXIT (the q127 bfsFixpoint pattern, r12 verdict
+      // ask #4): each round is a pure deterministic function of the
+      // edge SET, so once a round is a no-op every later round is too
+      // — stopping here is bit-identical to the full unroll, and the
+      // oracle's fixed-round CTE replay stays in lockstep because its
+      // post-convergence rounds are the same no-ops. Cheap (count,
+      // hash-sum) fingerprint per round; an EXACT set diff confirms
+      // before the exit is taken, so a 64-bit collision can never
+      // silently truncate the build.
+      // hash folded mod 1e9+7 before the sum: a raw xxhash64 sum
+      // overflows Long (ANSI mode throws) after a handful of rows
+      val fpRow = edges.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))))
+        .collect().head
+      val fp = (fpRow.getLong(0),
+        if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1))
+      if (prevFp != null && fp == prevFp &&
+          edges.exceptAll(prevEdges).isEmpty)
+        converged = true
+      prevFp = fp
     }
     (edges, init)
   }
@@ -925,10 +963,35 @@ object VectorOps {
     nswBuild(vecs(spark, dir).localCheckpoint(true, ckpt), m, buildRounds)._1
   }
 
+  /** Size gate below which the whole corpus is a DRIVER ARTIFACT and
+    * the build+walk run in the in-memory kernel — the same ~32 MB bar
+    * the scoring-join broadcast hint uses (a corpus that fits a
+    * broadcast was already being shipped to every executor whole).
+    * Production graph-ANN engines are single-node below shard size for
+    * exactly this reason: at diagnostic scale the 16-round distributed
+    * loop is pure scheduling tax (13.9 s for 2k vectors at sf0.1 —
+    * ~6% of the whole bench — with every stage microseconds of real
+    * work), while above the gate the per-round equi-join + window plan
+    * is what a 1000-executor run wants. Both paths are bit-identical
+    * ([[graft.vector]] AnnGraphKernelParitySpec asserts it on the gate
+    * corpora) so the oracle and the 100× protocol see ONE operator. */
+  val NswKernelMaxBytes: Long = 32L << 20
+
   def annGraphAt(spark: SparkSession, dir: String, m: Int,
                  buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
     val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val e = vecs(spark, dir).localCheckpoint(true, ckpt)
+    if (e.count() * Dim * 8L < NswKernelMaxBytes)
+      annGraphKernel(spark, e, m, buildRounds, beam, searchRounds)
+    else
+      annGraphDistributed(spark, e, m, buildRounds, beam, searchRounds)
+  }
+
+  /** The distributed round loop — the ≥ [[NswKernelMaxBytes]] path,
+    * also invoked directly by the parity spec at gate SF. */
+  private[graft] def annGraphDistributed(spark: SparkSession, e: DataFrame,
+      m: Int, buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val (edges, init) = nswBuild(e, m, buildRounds)
     val g = nswSymCapped(edges).union(nswSymCapped(init)).distinct()
       .localCheckpoint(true, ckpt)
@@ -936,7 +999,16 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
     val wBeam = Window.partitionBy("query_id").orderBy(desc("cos"), col("node"))
     var beamDf: DataFrame = q.select(col("query_id"), lit(NswEntry.toLong).as("node"))
-    for (_ <- 1 to searchRounds) {
+    // The beam is BOUNDED (|queries|×beam rows) at any corpus size, so
+    // a driver-side set compare per round is a bounded collect — the
+    // fixpoint early exit for the walk (same argument as the build:
+    // beam unchanged ⟹ next round's candidates identical ⟹ every
+    // later round is a no-op; exit ≡ full unroll, oracle in lockstep).
+    var prevBeam: Set[(Long, Long)] = null
+    var walkDone = false
+    lastWalkRoundsRun = 0
+    for (_ <- 1 to searchRounds if !walkDone) {
+      lastWalkRoundsRun += 1
       // the beam is bounded (|queries|×beam rows) at ANY corpus size,
       // so broadcasting it is the scale-correct plan: each round scans
       // g / e once with a broadcast probe instead of shuffling them
@@ -955,13 +1027,150 @@ object VectorOps {
         .select("query_id", "node", "cos")
         .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= beam)
         .select("query_id", "node", "cos")
-        .localCheckpoint(true, ckpt)
+        // lazy: the fixpoint collect below materializes the checkpoint
+        .localCheckpoint(false, ckpt)
+      val cur = beamDf.select("query_id", "node").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (prevBeam != null && cur == prevBeam) walkDone = true
+      prevBeam = cur
     }
     beamDf
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= KLsh)
       .select(col("query_id"), col("node").as("neighbor_id"),
         col("cos").as("cos_sim"), col("rank"))
+  }
+
+  /** Half-up round to 4 dp matching Spark's `round(_, 4)` on doubles
+    * (Catalyst RoundBase: NaN/±Inf pass through; otherwise HALF_UP on
+    * the shortest-decimal string value, the java BigDecimal.valueOf
+    * contract scala.math.BigDecimal(Double) delegates to). */
+  private def round4(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Sort-key view of a double: Spark normalizes -0.0 to 0.0 in sort/
+    * partition keys (NormalizeFloatingNumbers); raw value stays in the
+    * output. NaN orders LARGEST, as in Spark/DuckDB — callers compare
+    * keys with java.lang.Double.compare, which already does that. */
+  private def sortKey(x: Double): Double = if (x == 0.0) 0.0 else x
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** In-memory replica of the build+walk for sub-[[NswKernelMaxBytes]]
+    * corpora — bit-identical to [[annGraphDistributed]] by mirroring
+    * every contract point: the LCG init (dangling dst ids kept in the
+    * edge sets, dropped only at scoring, = the inner-join semantics),
+    * the rev-cap window (per target, admitted by ascending source id),
+    * 4-dp HALF_UP cosine rounding BEFORE every rank, (cos desc, id
+    * asc) tie-breaks under Spark's -0.0/NaN ordering, and the fixpoint
+    * early exits. AnnGraphKernelParitySpec pins kernel ≡ distributed
+    * on the gate corpora. */
+  private def annGraphKernel(spark: SparkSession, e: DataFrame, m: Int,
+      buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
+    import scala.collection.mutable
+    val collected = e.select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val n = collected.length
+    val ids = collected.map(_._1)
+    val idxOf: Map[Long, Int] = ids.zipWithIndex.toMap
+    def vOf(i: Int) = collected(i)._2
+    def nrmOf(i: Int) = collected(i)._3
+    // cosine ordering: (key desc, id asc); key = normalized cos
+    def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(sortKey(c1), sortKey(c2))
+      if (cmp != 0) cmp > 0 else i1 < i2
+    }
+    def topBy(cands: Iterable[(Long, Double)], k: Int): Seq[(Long, Double)] =
+      cands.toSeq.sortWith { case ((d1, c1), (d2, c2)) =>
+        better(c1, d1, c2, d2) }.take(k)
+    def cosIdx(i: Int, j: Int): Double =
+      round4(dotArr(vOf(i), vOf(j)) / (nrmOf(i) * nrmOf(j)))
+
+    // ---- init: pseudo-random m-regular expander edges (dangling kept)
+    val init = mutable.LinkedHashSet.empty[(Long, Long)]
+    for (si <- 0 until n; j <- 0 until m) {
+      val src = ids(si)
+      val dst = java.lang.Math.floorMod(
+        1103515245L * (src * m + j) + 12345L, n.toLong)
+      if (dst != src) init += ((src, dst))
+    }
+    def symCapped(edges: scala.collection.Set[(Long, Long)]): Set[(Long, Long)] = {
+      val byTarget = edges.groupBy(_._2)
+      val rev = byTarget.iterator.flatMap { case (tgt, es) =>
+        es.toSeq.map(_._1).sorted.take(NswRevCap).map(s => (tgt, s))
+      }
+      (edges.iterator ++ rev).toSet
+    }
+    // ---- NN-Descent rounds with fixpoint early exit
+    var edges: Set[(Long, Long)] = init.toSet
+    var converged = false
+    lastBuildRoundsRun = 0
+    for (_ <- 1 to buildRounds if !converged) {
+      lastBuildRoundsRun += 1
+      val sym = symCapped(edges)
+      val out = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val cand = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+      def add(s: Long, d: Long): Unit =
+        if (s != d) cand.getOrElseUpdate(s, mutable.HashSet.empty) += d
+      sym.foreach { case (s, d) => add(s, d) }
+      sym.foreach { case (a, x) =>
+        out.get(x).foreach(_.foreach(c => add(a, c))) }
+      val next = cand.iterator.flatMap { case (s, ds) =>
+        idxOf.get(s) match {
+          case None => Iterator.empty
+          case Some(si) =>
+            val scored = ds.iterator.flatMap(d =>
+              idxOf.get(d).map(di => (d, cosIdx(si, di)))).toSeq
+            topBy(scored, m).iterator.map { case (d, _) => (s, d) }
+        }
+      }.toSet
+      if (next == edges) converged = true
+      edges = next
+    }
+    // ---- beam walk over refined ∪ init edges, per-query fixpoint
+    val g = symCapped(edges) ++ symCapped(init.toSet)
+    val gOut = g.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val queries = ids.filter(_ < QueryMax)
+    val results = mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    var maxWalk = 0
+    queries.foreach { qid =>
+      val qi = idxOf(qid)
+      var beamSet: Seq[(Long, Double)] = Seq((NswEntry.toLong, Double.NaN))
+      var scoredOnce = false
+      var done = false
+      var rounds = 0
+      for (_ <- 1 to searchRounds if !done) {
+        rounds += 1
+        val candNodes = mutable.HashSet.empty[Long]
+        beamSet.foreach { case (node, _) =>
+          candNodes += node
+          gOut.get(node).foreach(candNodes ++= _)
+        }
+        candNodes -= qid
+        val scored = candNodes.iterator
+          .flatMap(d => idxOf.get(d).map(di => (d, cosIdx(qi, di)))).toSeq
+        val next = topBy(scored, beam)
+        if (scoredOnce && next.map(_._1).toSet == beamSet.map(_._1).toSet)
+          done = true
+        beamSet = next
+        scoredOnce = true
+      }
+      maxWalk = math.max(maxWalk, rounds)
+      topBy(beamSet, KLsh).zipWithIndex.foreach { case ((node, cos), r) =>
+        results += ((qid, node, cos, r + 1))
+      }
+    }
+    lastWalkRoundsRun = maxWalk
+    import spark.implicits._
+    results.toSeq.toDF("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
   /** Unrolled CTE replay of [[annGraphAt]] for the DuckDB oracle.
