@@ -590,6 +590,16 @@ object SparkEntry {
     // search over kNN ∪ random expander edges — the retrieval path
     // where IVF's recall/probe trade is poor (r11 verdict ask #1).
     "q252_ann_graph"        -> (V.annGraph _),
+    // Geometry-routed ANN front door: a 2NN intrinsic-dimension probe
+    // selects trained IVF (flat geometry) vs the graph index (manifold
+    // geometry) per corpus; runs both diagnostic corpora (r12 verdict
+    // ask #1). The oracle replays probe + route + BOTH pipelines.
+    "q253_ann_router"       -> (V.annRouter _),
+    // End-to-end curation pipeline: dedup funnel -> conformal gate ->
+    // waterfill prefix-take -> cluster-atomic split -> manifest, one
+    // DAG over documents; oracle nests the stage oracles (r12 ask #7).
+    "q254_curation_pipeline" -> ((s: SparkSession, dir: String) =>
+      graft.text.CurationPipeline.curationManifest(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     // The drain lands via a foreachBatch parquet sink — q218 emits up
@@ -1036,6 +1046,8 @@ object SparkEntry {
     "q250_dup_spans"        -> graft.dedup.SpanDedup.dupSpansSql,
     "q251_itemsets_relsup"  -> R.tripleItemsetsRelSupSql,
     "q252_ann_graph"        -> V.annGraphSql,
+    "q253_ann_router"       -> V.annRouterSql,
+    "q254_curation_pipeline" -> graft.text.CurationPipeline.curationManifestSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

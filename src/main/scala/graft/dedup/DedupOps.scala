@@ -1326,9 +1326,14 @@ object DedupOps {
     * funnel can never diverge from the stages it summarizes. Scale
     * shape: three fingerprint-keyed joins on doc_id/fp plus one
     * map-side-combined rollup on lang — no new pair work. */
-  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's DOC-LEVEL attribution view — each document with its
+    * (lang, source, token count, fingerprint, near-dup rep, stage) —
+    * the seam the end-to-end curation composition (q254) consumes;
+    * [[dedupFunnel]] is its per-language rollup (the extra columns
+    * don't change the rollup — it groups on lang only). */
+  private[graft] def funnelStaged(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
         size(tokensCol(col("text"))).cast("long").as("n_tokens"),
         polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
     val exactKeep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
@@ -1342,12 +1347,17 @@ object DedupOps {
       .drop("efp")
       .join(clusters, Seq("doc_id"), "left")
       .join(substr, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep_id"), col("doc_id")))
       .withColumn("stage",
         when(col("doc_id") =!= col("keep_id"), "exact")
           .when(col("rep_id").isNotNull && col("rep_id") =!= col("doc_id"), "near")
           .when(col("n_removable").isNotNull &&
             expr("(n_removable * 10000) div n_grams") >= SubstrDropBp, "substring")
           .otherwise("keep"))
+  }
+
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStaged(spark, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("stage") === "exact", 1)).as("drop_exact"),
@@ -1356,7 +1366,6 @@ object DedupOps {
         count(when(col("stage") === "keep", 1)).as("n_kept"),
         sum(when(col("stage") === "keep", col("n_tokens")).otherwise(lit(0L)))
           .as("tokens_kept"))
-  }
 
   /** Nests [[dedupClustersSql]] and [[substringDedupSql]] VERBATIM as
     * parenthesized subqueries (each carries its own WITH), so the

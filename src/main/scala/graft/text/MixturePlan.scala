@@ -34,10 +34,15 @@ object MixturePlan {
 
   val BudgetPct = 90L
 
-  def mixtureWaterfill(spark: SparkSession, dir: String): DataFrame = {
-    val avail = Tables.spread(Tables.documents(spark, dir))
+  def mixtureWaterfill(spark: SparkSession, dir: String): DataFrame =
+    waterfillOn(Tables.spread(Tables.documents(spark, dir))
       .groupBy("source")
-      .agg(sum(size(tokensCol(col("text")))).cast("long").as("avail"))
+      .agg(sum(size(tokensCol(col("text")))).cast("long").as("avail")))
+
+  /** The waterfill on an explicit `(source, avail)` availability table
+    * — the seam the curation composition (q254) allocates through
+    * (its availability is the post-dedup, post-gate token mass). */
+  def waterfillOn(avail: DataFrame): DataFrame = {
     val tot = avail.agg(sum(col("avail")).as("total"),
       count(lit(1)).as("s"))
       .withColumn("budget", expr(s"($BudgetPct * total) div 100"))
@@ -69,9 +74,15 @@ object MixturePlan {
   }
 
   val mixtureWaterfillSql: String =
+    waterfillSqlFrom(
+      s"""SELECT source, CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS avail
+         |  FROM documents GROUP BY 1""".stripMargin)
+
+  /** The full waterfill query over an arbitrary avail-CTE body —
+    * shared with the q254 oracle. */
+  def waterfillSqlFrom(availBody: String): String =
     s"""WITH avail AS (
-       |  SELECT source, CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS avail
-       |  FROM documents GROUP BY 1),
+       |  $availBody),
        |tot AS (
        |  SELECT CAST(sum(avail) AS BIGINT) AS total,
        |         CAST(count(*) AS BIGINT) AS s,

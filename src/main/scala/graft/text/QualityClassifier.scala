@@ -331,14 +331,23 @@ object QualityClassifier {
     * sample at fleet scale — q76/q193 caveat applies if val is huge);
     * thresholds are a 2-row broadcast against the test split, so the
     * corpus-sized side is touched by exactly one codegen'd pass. */
-  def conformalGate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The scored corpus with its leak-proof split — (doc_id, s_u,
+    * split), checkpointed (referenced by the cal rank, the test scan,
+    * and the coverage scan). */
+  private[graft] def conformalScoredSplit(spark: SparkSession, dir: String): DataFrame = {
     val scored = classify(spark, dir)
       .select(col("doc_id"), (-col("logit_u")).as("s_u"))
     val split = TextOps.hashSplit(spark, dir).select(col("doc_id"), col("split"))
-    // referenced by the cal rank, the test scan, and the coverage scan
-    val j = scored.join(split, "doc_id")
+    scored.join(split, "doc_id")
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  /** The calibrated thresholds — one row per α: (alpha_pct, n_cal,
+    * k_idx, thr_s_u). Split out of [[conformalGate]] so the curation
+    * composition (q254) can apply the SAME calibrated admission rule
+    * corpus-wide. */
+  private[graft] def conformalThr(j: DataFrame): DataFrame = {
+    import j.sparkSession.implicits._
     val cal = j.filter(col("split") === "val")
     val ranked = cal.withColumn("rn",
       row_number().over(Window.orderBy(col("s_u"), col("doc_id"))).cast("long"))
@@ -346,9 +355,15 @@ object QualityClassifier {
     val ks = ConformalAlphas.toDF("alpha_pct").crossJoin(broadcast(nCal))
       .withColumn("k_idx",
         expr("least(((n_cal + 1) * (100 - alpha_pct) + 99) div 100, n_cal)"))
-    val thr = broadcast(ks.join(ranked, ks("k_idx") === ranked("rn"))
+    ks.join(ranked, ks("k_idx") === ranked("rn"))
       .select(col("alpha_pct"), col("n_cal"), col("k_idx"),
-        col("s_u").as("thr_s_u")))
+        col("s_u").as("thr_s_u"))
+  }
+
+  def conformalGate(spark: SparkSession, dir: String): DataFrame = {
+    val j = conformalScoredSplit(spark, dir)
+    val cal = j.filter(col("split") === "val")
+    val thr = broadcast(conformalThr(j))
     val admitted = j.filter(col("split") === "test").crossJoin(thr)
       .groupBy(col("alpha_pct"), col("n_cal"), col("k_idx"), col("thr_s_u"))
       .agg(count(lit(1)).as("n_test"),

@@ -231,6 +231,57 @@ object Scale100xFamilies {
       out += s""""q252_lowdim_secs":${f(t252l)},"ann_recall_graph_lowdim":${f(recGraphLow)}"""
       gates += "ann_graph_lowdim" -> (recGraphLow >= 0.85)
       bruteLow.unpersist()
+
+      // GEOMETRY ROUTER at full 100× scale (r12 verdict ask #1): the
+      // q253 probe must select, on each 200k corpus, exactly the index
+      // that the recall gates above prove wins there — IVF on the
+      // near-isotropic organic geometry, graph on the low-intrinsic-
+      // dim manifold. The probe is a pushed-down 64-id scan + one
+      // 64×64 pair block, so its cost is corpus-size-invariant.
+      import graft.vector.VectorOps
+      def orgBase(d: String) = graft.tables.Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val ((mu2Org, routeOrg), tPo) = timed(VectorOps.geometryProbeOn(orgBase(src100)))
+      val ((mu2Low, routeLow), tPl) = timed(VectorOps.geometryProbeOn(orgBase(lowDir)))
+      out += s""""router_probe_secs":${f(tPo + tPl)},"router_mu2_organic":${f(mu2Org)},"router_route_organic":"$routeOrg""""
+      out += s""""router_mu2_lowdim":${f(mu2Low)},"router_route_lowdim":"$routeLow""""
+      gates += "ann_router_geometry" ->
+        (routeOrg == "ivf" && routeLow == "graph")
+
+      // GRAPH-ANN STRUCTURAL INVARIANTS at 200k (r12 verdict ask #8):
+      // recall is semantically 0 on the organic geometry, so a build
+      // regression there would be invisible to the recall rows — these
+      // catch it structurally on the lowdim 200k build. The NAVIGABLE
+      // graph (what the walk actually traverses: rev-capped
+      // symmetrization of refined kNN ∪ expander init) must (a) form
+      // ONE connected component over the corpus — no island a walk
+      // can't reach — and (b) keep max out-degree within the
+      // 2·(M + RevCap) fan-out bound that keeps every build round's
+      // candidate join sub-quadratic.
+      val (inv, tInv) = timed {
+        val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val edges = VectorOps.devBuildGraph(spark, lowDir,
+          VectorOps.NswM, VectorOps.NswBuildRounds)
+        val init = graft.tables.Tables.embeddings(spark, lowDir)
+          .select(col("vec_id").as("src"))
+          .select(col("src"), explode(sequence(lit(0L),
+            lit((VectorOps.NswM - 1).toLong))).as("j"))
+          .withColumn("dst", pmod(lit(1103515245L)
+            * (col("src") * VectorOps.NswM + col("j")) + lit(12345L), lit(200000L)))
+          .filter(col("dst") =!= col("src")).select("src", "dst").distinct()
+        val g = VectorOps.devSymCapped(edges)
+          .union(VectorOps.devSymCapped(init)).distinct()
+          .localCheckpoint(true, ckpt)
+        val maxDeg = g.groupBy("src").agg(count(lit(1)).as("d"))
+          .agg(max("d")).collect().head.getLong(0)
+        val comps = graft.dedup.DedupOps.starComponents(
+          g.select(col("src").as("d1"), col("dst").as("d2")))._1
+          .select("rep_id").distinct().count()
+        (maxDeg, comps)
+      }
+      out += s""""graph_inv_secs":${f(tInv)},"graph_inv_components":${inv._2},"graph_inv_max_out_degree":${inv._1}"""
+      gates += "ann_graph_structure" -> (inv._2 == 1L &&
+        inv._1 <= 2L * (VectorOps.NswM + VectorOps.NswRevCap))
     }
 
     // ----------------------------------------------------- multimodal

@@ -672,9 +672,15 @@ object VectorOps {
     * over any IVF. Centroids stay a bounded driver artifact
     * (nlist × dim doubles). */
   def annIvfTrainedAt(spark: SparkSession, dir: String,
-                      nlist: Int, nProbe: Int): DataFrame = {
-    val base = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+                      nlist: Int, nProbe: Int): DataFrame =
+    annIvfTrainedOn(
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      nlist, nProbe)
+
+  /** [[annIvfTrainedAt]] over an arbitrary `(vec_id, v)` corpus — the
+    * seam the geometry router (q253) searches through. */
+  def annIvfTrainedOn(base: DataFrame, nlist: Int, nProbe: Int): DataFrame = {
     val (cents, _) = lloyd(base, nlist, KmIters, KmSeedMin)
     val dists = array(cents.map { cv =>
       val cc = cv.map(x => x * x).sum
@@ -702,9 +708,15 @@ object VectorOps {
       .filter(col("rank") <= KLsh)
   }
 
-  val annIvfTrainedSql: String = {
+  val annIvfTrainedSql: String =
+    annIvfTrainedSqlOn("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+
+  /** The q81 oracle pipeline over an arbitrary base-CTE body — shared
+    * with the router oracle (q253), which swaps in capped/derived
+    * corpora. */
+  def annIvfTrainedSqlOn(baseBody: String): String = {
     val lastL = s"l$KmIters"
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH base AS ($baseBody),
        |${lloydSql(IvfTK, KmIters, KmSeedMin)},
        |dots AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
@@ -956,6 +968,11 @@ object VectorOps {
     edges.union(rev).distinct()
   }
 
+  /** Dev hook: the rev-capped symmetrization, for structural-invariant
+    * protocols over the navigable graph. */
+  private[graft] def devSymCapped(edges: DataFrame): DataFrame =
+    nswSymCapped(edges)
+
   /** Dev probe hook: the refined kNN edge table alone. */
   private[graft] def devBuildGraph(spark: SparkSession, dir: String,
                                    m: Int, buildRounds: Int): DataFrame = {
@@ -980,12 +997,20 @@ object VectorOps {
   def annGraphAt(spark: SparkSession, dir: String, m: Int,
                  buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
     val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val e = vecs(spark, dir).localCheckpoint(true, ckpt)
+    annGraphOn(spark, vecs(spark, dir).localCheckpoint(true, ckpt),
+      m, buildRounds, beam, searchRounds)
+  }
+
+  /** [[annGraphAt]] over an arbitrary prepared `(vec_id, v, nrm)`
+    * corpus (checkpointed by the caller) — the seam the geometry
+    * router (q253) searches through; dispatches kernel vs distributed
+    * on the same [[NswKernelMaxBytes]] gate. */
+  def annGraphOn(spark: SparkSession, e: DataFrame, m: Int,
+                 buildRounds: Int, beam: Int, searchRounds: Int): DataFrame =
     if (e.count() * Dim * 8L < NswKernelMaxBytes)
       annGraphKernel(spark, e, m, buildRounds, beam, searchRounds)
     else
       annGraphDistributed(spark, e, m, buildRounds, beam, searchRounds)
-  }
 
   /** The distributed round loop — the ≥ [[NswKernelMaxBytes]] path,
     * also invoked directly by the parity spec at gate SF. */
@@ -1180,7 +1205,8 @@ object VectorOps {
     * subtree 6^r times (the first draft exhausted the file-handle
     * limit re-opening the parquet scan thousands of times). */
   private def annGraphSqlAt(m: Int, buildRounds: Int, beam: Int,
-                            searchRounds: Int): String = {
+                            searchRounds: Int,
+                            vecsCte: String = vecsSql): String = {
     // capped symmetrization: forward edges ∪ reverse edges ranked per
     // target (window columns bind to the INPUT columns, so PARTITION BY
     // dst / ORDER BY src rank the reversed edge by its new src/dst)
@@ -1231,7 +1257,7 @@ object VectorOps {
          |                                 ORDER BY cos DESC, node) AS rn
          |    FROM bs$s) WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $vecsSql,
+    s"""WITH $vecsCte,
        |n AS (SELECT count(*) AS c FROM vecs),
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
@@ -1256,6 +1282,217 @@ object VectorOps {
 
   val annGraphSql: String =
     annGraphSqlAt(NswM, NswBuildRounds, NswBeam, NswSearchRounds)
+
+  // ------------------------------------------- geometry-routed ANN (q253)
+
+  /** Row cap of the router's two diagnostic corpora: the router GATE
+    * is a pinned, scale-invariant diagnostic (its oracle replays two
+    * full index pipelines — a cap keeps that constant at any SF); the
+    * full-scale routing evidence is the 100× families protocol, where
+    * the same probe runs over the 200k corpora and must select IVF on
+    * organic and graph on lowdim, each already recall-gated ≥ 0.85. */
+  val RouterCap = 2000
+  /** Latent dimension of the derived low-intrinsic-dim corpus. */
+  val RouterLat = 4
+  /** Sample size of the geometry probe. */
+  val RouterSampleN = 64
+  /** Route threshold on the 2NN squared-distance-ratio median
+    * (Facco et al., "Estimating the intrinsic dimension of datasets by
+    * a minimal neighborhood information", Sci. Rep. 2017: μ = r₂/r₁ is
+    * Pareto(d) under Poisson sampling AT ANY DENSITY, so median μ² =
+    * 2^(2/d) — a sample-size-invariant dimension probe, which is what
+    * makes 64 points enough). 2^(2/10) ≈ 1.1487 routes intrinsic
+    * dimension < 10 to the graph index (the published convergence
+    * condition for NN-Descent/graph search is low intrinsic dim) and
+    * everything flatter to trained IVF. Measured medians: organic
+    * corpus 1.046 at EVERY SF from 500 to 200k vectors; 6-latent
+    * Gaussian manifold 1.448; the derived 4-latent corpus 1.603 —
+    * wide margins both sides. */
+  val RouterMu2Threshold = 1.1487
+
+  /** Fixed 64×[[RouterLat]] integer mixing matrix (same LCG family as
+    * [[planeW]]/[[centW]], offset 200000) — the SQL literals embed the
+    * same values. */
+  private lazy val routerA: Seq[Seq[Long]] =
+    (0 until Dim).map(d => (0 until RouterLat).map(k =>
+      ((1103515245L * (200000 + d * RouterLat + k) + 12345L) % 2001L) - 1000L))
+
+  private lazy val routerASqlLit: String =
+    routerA.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Latent coordinate z_k(id): a QUADRATIC congruential generator —
+    * t = (4·id+77+k)·131071 mod 999983, z = (t² mod 999983 + t) mod
+    * 2001 − 1000. The quadratic term is what makes the latents spread:
+    * any affine LCG leaves the z vectors on a wrapped lattice LINE
+    * (consecutive points near-collinear, cosines rounding to 1.0 —
+    * observed), the same degeneracy class AudioMatch's QuadPrimes fix
+    * addresses. All intermediates ≤ 1e12 — exact integer math in
+    * ANSI-mode longs on both engines. */
+  private def routerZ(k: Int): Column = {
+    val t = ((col("vec_id") * RouterLat + lit((77 + k).toLong)) * lit(131071L)) % lit(999983L)
+    ((t * t) % lit(999983L) + t) % lit(2001L) - lit(1000L)
+  }
+
+  private def routerZSql(k: Int): String = {
+    val t = s"((vec_id*$RouterLat + ${77 + k}) * 131071) % 999983"
+    s"(($t) * ($t) % 999983 + ($t)) % 2001 - 1000"
+  }
+
+  /** The derived low-intrinsic-dim diagnostic corpus: v = A·z over the
+    * capped id range — 64-dim vectors on an exact 4-dim linear
+    * manifold, all integer-valued doubles (cross-engine exact). */
+  private def routerLowBase(spark: SparkSession, dir: String): DataFrame = {
+    val zb = Tables.spread(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < RouterCap)
+      .select(col("vec_id") +: (0 until RouterLat).map(k => routerZ(k).as(s"z$k")): _*)
+    zb.select(col("vec_id"), array((0 until Dim).map { d =>
+      (0 until RouterLat).map(k => lit(routerA(d)(k)) * col(s"z$k"))
+        .reduce(_ + _).cast("double")
+    }: _*).as("v"))
+  }
+
+  private def routerLowBaseSql: String = {
+    val zs = (0 until RouterLat).map(k => s"${routerZSql(k)} AS z$k").mkString(",\n         ")
+    val vd = (0 until RouterLat).map(k => s"r[${k + 1}]*z$k").mkString(" + ")
+    s"""SELECT vec_id, list_transform($routerASqlLit, r -> ($vd)::DOUBLE) AS v
+       |  FROM (SELECT vec_id,
+       |         $zs
+       |        FROM embeddings WHERE vec_id < $RouterCap)""".stripMargin
+  }
+
+  /** The geometry probe: 2NN intrinsic-dimension statistic over a
+    * fixed [[RouterSampleN]]-point sample (ids ≥ QueryMax so probes
+    * stay out of it). Every quantity is in the engine's exact-contract
+    * form: cosines become integers via round(cos·10⁴, 0) (rounding the
+    * SCALED value — `round(x,4)·10⁴` would re-float the boundary),
+    * μ² = (10⁴−c₂)/(10⁴−c₁) is a division of exact integer-valued
+    * doubles, and the median is the explicit lower median (1-based
+    * rank (n+1)/2). Exact-dup sample points (c₁ = 10⁴) drop out.
+    * Returns (μ²-median, route). Cost at ANY corpus size: one pushed-
+    * down id-range scan + a 64×64 pair block. */
+  def geometryProbeOn(base: DataFrame): (Double, String) = {
+    val s = base
+      .filter(col("vec_id") >= QueryMax && col("vec_id") < QueryMax + RouterSampleN)
+      .withColumn("vv", dot(col("v"), col("v"))).filter(col("vv") > 0)
+      .withColumn("nrm", sqrt(col("vv")))
+    val a = s.select(col("vec_id").as("i"), col("v").as("av"), col("nrm").as("an"))
+    val b = s.select(col("vec_id").as("j"), col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy("i").orderBy(desc("cu"), col("j"))
+    val ranked = a.join(broadcast(b), col("i") =!= col("j"))
+      .withColumn("cu", round(
+        dot(col("av"), col("bv")) / (col("an") * col("bn")) * 10000, 0).cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val mus = ranked.groupBy("i")
+      .agg(max(when(col("rn") === 1, col("cu"))).as("c1"),
+        max(when(col("rn") === 2, col("cu"))).as("c2"))
+      .filter(col("c1") < 10000 && col("c2").isNotNull)
+      .select(((lit(10000.0) - col("c2")) / (lit(10000.0) - col("c1"))).as("m2"))
+      .collect().map(_.getDouble(0)).sorted
+    val med = if (mus.isEmpty) 0.0 else mus((mus.length - 1) / 2)
+    (med, if (med >= RouterMu2Threshold) "graph" else "ivf")
+  }
+
+  /** Probe SQL over a `<base>` CTE: ends in one row
+    * (mu2_med, route). */
+  private def geometryProbeSql(baseCte: String): String =
+    s"""SELECT coalesce(mu2_med, 0.0) AS mu2_med,
+       |       CASE WHEN coalesce(mu2_med, 0.0) >= $RouterMu2Threshold
+       |            THEN 'graph' ELSE 'ivf' END AS route
+       |FROM (
+       |  SELECT max(m2) AS mu2_med FROM (
+       |    SELECT m2, row_number() OVER (ORDER BY m2) AS mrn,
+       |           count(*) OVER () AS mn
+       |    FROM (
+       |      SELECT (10000.0 - c2) / (10000.0 - c1) AS m2 FROM (
+       |        SELECT i, max(CASE WHEN rn = 1 THEN cu END) AS c1,
+       |               max(CASE WHEN rn = 2 THEN cu END) AS c2
+       |        FROM (
+       |          SELECT i, cu, row_number() OVER (PARTITION BY i
+       |                   ORDER BY cu DESC, j) AS rn
+       |          FROM (
+       |            SELECT a.vec_id AS i, b.vec_id AS j,
+       |                   CAST(round(list_dot_product(a.v, b.v)
+       |                        / (a.nrm * b.nrm) * 10000, 0) AS BIGINT) AS cu
+       |            FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |                  FROM $baseCte
+       |                  WHERE vec_id >= $QueryMax
+       |                    AND vec_id < ${QueryMax + RouterSampleN}
+       |                    AND list_dot_product(v, v) > 0) a
+       |            JOIN (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |                  FROM $baseCte
+       |                  WHERE vec_id >= $QueryMax
+       |                    AND vec_id < ${QueryMax + RouterSampleN}
+       |                    AND list_dot_product(v, v) > 0) b
+       |              ON a.vec_id != b.vec_id))
+       |        GROUP BY i)
+       |      WHERE c1 < 10000 AND c2 IS NOT NULL))
+       |  WHERE mrn = (mn + 1) // 2)""".stripMargin
+
+  /** q253: the geometry-routed ANN front door. Round 12 measured the
+    * decision no single index can make — trained IVF wins on the
+    * near-isotropic organic geometry (0.867 recall at 100×) and the
+    * graph index wins on low intrinsic dimension (1.000), each scoring
+    * ~0 on the other's corpus (PERF.md three-geometry table) — so the
+    * front door PROBES the corpus and routes: [[geometryProbeOn]]'s
+    * 2NN dimension statistic selects q81's trained IVF (flat geometry)
+    * or q252's graph index (manifold geometry). The query runs the
+    * router over BOTH diagnostic corpora — the capped organic
+    * embeddings and the derived 4-latent manifold on the same ids —
+    * and emits the probe value, the route taken, and the ROUTED
+    * search's full output; the oracle recomputes the probe, the route,
+    * and both index pipelines per corpus, gating each branch on the
+    * route — so a routing disagreement or a search divergence is a
+    * hash mismatch. Spark executes ONLY the selected pipeline (the
+    * router's point); the oracle pays both, which the [[RouterCap]]
+    * keeps constant at any SF. Full-scale evidence: the 100× families
+    * protocol runs the same probe over the 200k corpora and gates
+    * route(organic)=ivf ∧ route(lowdim)=graph. */
+  def annRouter(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val orgBase = Tables.spread(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < RouterCap)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true, ckpt)
+    val lowBase = routerLowBase(spark, dir).localCheckpoint(true, ckpt)
+    def routed(corpus: String, base: DataFrame): DataFrame = {
+      val (mu2, route) = geometryProbeOn(base)
+      val hits = route match {
+        case "ivf" => annIvfTrainedOn(base, IvfTK, NProbeTrained)
+        case _ =>
+          val e = base.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          annGraphOn(spark, e, NswM, NswBuildRounds, NswBeam, NswSearchRounds)
+      }
+      hits.select(lit(corpus).as("corpus"), lit(mu2).as("mu2_med"),
+        lit(route).as("route"), col("query_id"), col("neighbor_id"),
+        col("cos_sim"), col("rank"))
+    }
+    routed("organic", orgBase).unionAll(routed("lowdim", lowBase))
+  }
+
+  val annRouterSql: String = {
+    def branch(corpus: String, baseCte: String, probeCte: String): String = {
+      val ivf = annIvfTrainedSqlOn(s"SELECT vec_id, v FROM $baseCte")
+      val graph = annGraphSqlAt(NswM, NswBuildRounds, NswBeam, NswSearchRounds,
+        s"vecs AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM $baseCte)")
+      s"""SELECT '$corpus' AS corpus, p.mu2_med, p.route,
+         |       r.query_id, r.neighbor_id, r.cos_sim, r.rank
+         |FROM ($ivf) r, $probeCte p WHERE p.route = 'ivf'
+         |UNION ALL
+         |SELECT '$corpus', p.mu2_med, p.route,
+         |       r.query_id, r.neighbor_id, r.cos_sim, r.rank
+         |FROM ($graph) r, $probeCte p WHERE p.route = 'graph'""".stripMargin
+    }
+    s"""WITH orgbase AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id < $RouterCap),
+       |lowbase AS MATERIALIZED (
+       |$routerLowBaseSql),
+       |porg AS MATERIALIZED (${geometryProbeSql("orgbase")}),
+       |plow AS MATERIALIZED (${geometryProbeSql("lowbase")})
+       |${branch("organic", "orgbase", "porg")}
+       |UNION ALL
+       |${branch("lowdim", "lowbase", "plow")}""".stripMargin
+  }
 
   // -------------------------------------------------- JL random projection
 
