@@ -113,6 +113,16 @@ object Ppm {
   * compression-dependent and deliberately never oracled). */
 object Png {
 
+  // ImageIO's DEFAULT stream cache is DISK-backed: every
+  // ImageIO.read(InputStream) spills the stream to a temp FILE in
+  // java.io.tmpdir (FileCacheImageInputStream) — one create/write/
+  // delete cycle PER DECODE, 333k of them in the 100× run, and the
+  // source of the decode family's host-sensitive wall tail (r12
+  // blemish #2: 1.2–1.4× same-day drift under /tmp pressure on the
+  // shared host). Our payloads are in-memory byte arrays already, so
+  // the memory-backed cache is strictly better; set once, JVM-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val Signature =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
@@ -254,6 +264,11 @@ object Png {
   * bytes were produced, two independent parses agree on the frame
   * header, and the lossy round trip stayed within tolerance. */
 object Jpeg {
+
+  // memory-backed ImageIO stream cache — see the Png object's note
+  // (JVM-global, but set in both codec objects so whichever loads
+  // first covers every decode path)
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** JPEG quality for [[encode]] — the fidelity bound below is
     * calibrated to this setting. */

@@ -540,6 +540,25 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** [[dedupKeysWithinWatermark]] with FINGERPRINT state keys (r12
+    * verdict ask #2): the state store keys on a single 64-bit hash of
+    * the composite key instead of the raw (long, string) pair — the
+    * state-size trade an unbounded-key ingest makes (q93 holds 37
+    * bytes/key raw; the fingerprint drops the per-row payload to the
+    * hash alone), at a 64-bit collision risk of ~n²/2⁶⁵ (≈ 3·10⁻⁸ at
+    * 750k keys — two colliding keys would dedup as one; acceptable
+    * where the output feeds counting/budgeting, not exact billing).
+    * Meant to run under the RocksDB state-store provider, where state
+    * spills to local disk instead of the executor heap — the
+    * production backend for linear-state streams; the 100× protocol
+    * records both and asserts the emitted fingerprint set equals the
+    * batch-exact one. */
+  def dedupKeyFingerprintsWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "60 days")
+      .select(col("ts"), xxhash64(col("user_id"), col("event_type")).as("key_fp"))
+      .dropDuplicatesWithinWatermark("key_fp")
+      .select(col("key_fp"))
+
   /** The q110 conversion funnel ON A LIVE STREAM: one [[FunnelState]]
     * state machine per user via `mapGroupsWithState` (view → click-at-
     * or-after-first-view → purchase-at-or-after-that-click), emitting

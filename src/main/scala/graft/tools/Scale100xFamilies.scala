@@ -362,6 +362,38 @@ object Scale100xFamilies {
       gates += "stream_dedup_state_exact" ->
         (emitted93 == distinctKeys &&
           s93.stateRows > 0 && s93.stateRows <= distinctKeys)
+      // RocksDB + FINGERPRINT state keys (r12 verdict ask #2): the
+      // production backend for linear-state streams — state spills to
+      // local disk instead of the executor heap, and the store keys on
+      // a 64-bit hash instead of the raw composite. The gate asserts
+      // the emitted fingerprint SET equals the batch-exact one (not
+      // just the count) and that state bytes/row dropped vs the raw-
+      // key in-memory run.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val savedProv = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ((outFp, sFp), tFp) = timed(
+        EventsStream.runAvailableNowStats(spark,
+          EventsStream.dedupKeyFingerprintsWithinWatermark(src(src100)),
+          s"fam100x_q93fp_${src100.hashCode.abs}", "append"))
+      val batchFp = graft.tables.Tables.events(spark, src100)
+        .select(xxhash64(col("user_id"), col("event_type")).as("key_fp"))
+        .distinct()
+      val fpMismatch = outFp.unionAll(batchFp)
+        .groupBy("key_fp").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2L).count()
+      savedProv match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      val bpr93 = if (s93.stateRows > 0) s93.stateBytes / s93.stateRows else 0L
+      val bprFp = if (sFp.stateRows > 0) sFp.stateBytes / sFp.stateRows else 0L
+      out += s""""q93fp_rocksdb_secs":${f(tFp)},"q93fp_state_rows":${sFp.stateRows},""" +
+        s""""q93fp_state_bytes":${sFp.stateBytes},"q93fp_bytes_per_row":$bprFp,""" +
+        s""""q93_bytes_per_row":$bpr93,"q93fp_set_mismatch":$fpMismatch"""
+      gates += "stream_dedup_rocksdb_fp" ->
+        (fpMismatch == 0L && sFp.stateRows > 0 && bprFp < bpr93)
       gates += "stream_nonempty" -> (n218 > 0)
     }
 

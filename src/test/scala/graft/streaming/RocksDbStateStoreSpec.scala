@@ -80,4 +80,21 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
       .select("user_id", "event_type").distinct()
     assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
   }
+
+  test("fingerprint-keyed dedup under RocksDB equals batch distinct fingerprints") {
+    val streamed = withRocksDb {
+      EventsStream.runAvailableNow(
+        spark,
+        EventsStream.dedupKeyFingerprintsWithinWatermark(
+          EventsStream.source(spark, dir)),
+        "rocks_dedup_fp", outputMode = "append")
+    }
+    val batch = graft.tables.Tables.events(spark, dir)
+      .select(xxhash64(col("user_id"), col("event_type")).as("key_fp"))
+      .distinct()
+    // set equality, not just count: a collision or a dropped key both
+    // surface here (64-bit collisions are ~n²/2⁶⁵ — none at gate SF)
+    assert(streamed.count() > 0)
+    assert(asSet(streamed.collect().toSeq) === asSet(batch.collect().toSeq))
+  }
 }
