@@ -813,31 +813,54 @@ object MultimodalOps {
   }
 
   /** Oracle: generator arithmetic — in[i]+128 = (c+i) mod 256, so each
-    * output sample is a k-term modular sum; never sees a byte. */
+    * output sample is a k-term modular sum; never sees a byte. The sum
+    * is CLOSED-FORM and PERIODIC, which is what keeps this oracle off
+    * the sf1 wall list (a per-output-sample expansion was 250M rows ×
+    * an interpreted k-term lambda = 176 s): with b = (c + j·k) mod 256
+    * the window's k consecutive residues sum to k·b + k(k−1)/2 −
+    * 256·max(0, b+k−256) (the wrap correction), and b cycles in j with
+    * period p = 256/k — so each (c, k) class needs only its p-row
+    * cycle table (≤ 65k rows total), a cycle sum, and prefix sums;
+    * every asset's checksum is then full_cycles · cycle_sum +
+    * prefix(n_out mod p). Values identical by construction: the
+    * closed form IS the sum the per-sample loop computes. */
   val audioResampleSql: String =
-    s"""WITH au AS (
+    s"""WITH au AS MATERIALIZED (
        |  SELECT doc_id AS asset_id, (doc_id * 97) % 256 AS c,
        |         8000 AS sr, (100 + doc_id % 50) * $FrameLen AS n_in
        |  FROM documents WHERE doc_id % 3 = 0),
        |tg AS (SELECT unnest([${ResampleTargets.mkString(", ")}]) AS target),
+       |ks AS (SELECT DISTINCT 8000 // target AS k FROM tg),
+       |percl AS MATERIALIZED (
+       |  SELECT c, k, jj,
+       |         ((k*b + (k*(k-1)) // 2 - 256 * greatest(0, b + k - 256)) // k) - 128 AS s
+       |  FROM (
+       |    SELECT cs.c, ks.k, jj.jj, (cs.c + jj.jj * ks.k) % 256 AS b
+       |    FROM (SELECT DISTINCT c FROM au) cs
+       |    CROSS JOIN ks
+       |    CROSS JOIN (SELECT unnest(range(0, 256)) AS jj) jj
+       |    WHERE jj.jj < 256 // ks.k)),
+       |cyc AS (SELECT c, k, CAST(sum(s) AS BIGINT) AS cycle_sum
+       |        FROM percl GROUP BY 1, 2),
+       |pre AS (SELECT c, k, jj,
+       |               CAST(coalesce(sum(s) OVER (PARTITION BY c, k ORDER BY jj
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                 AS BIGINT) AS pfx
+       |        FROM percl),
        |ax AS (
        |  SELECT asset_id, c, sr, n_in, target, sr // target AS k,
        |         n_in // (sr // target) AS n_out
-       |  FROM au CROSS JOIN tg),
-       |smp AS (
-       |  SELECT asset_id, c, sr, target, n_in, n_out, k,
-       |         unnest(range(0, n_out)) AS j
-       |  FROM ax),
-       |o AS (
-       |  SELECT asset_id, sr, target, n_in, n_out,
-       |         (list_sum(list_transform(range(0, k), t -> (c + j*k + t) % 256)) // k) - 128 AS s
-       |  FROM smp)
-       |SELECT asset_id, CAST(sr AS BIGINT) AS sr_in,
-       |       CAST(target AS BIGINT) AS target,
-       |       CAST(n_in AS BIGINT) AS n_in,
-       |       CAST(n_out AS BIGINT) AS n_out,
-       |       CAST(sum(s) AS BIGINT) AS checksum_rs
-       |FROM o GROUP BY 1, 2, 3, 4, 5""".stripMargin
+       |  FROM au CROSS JOIN tg)
+       |SELECT ax.asset_id, CAST(ax.sr AS BIGINT) AS sr_in,
+       |       CAST(ax.target AS BIGINT) AS target,
+       |       CAST(ax.n_in AS BIGINT) AS n_in,
+       |       CAST(ax.n_out AS BIGINT) AS n_out,
+       |       CAST((ax.n_out // (256 // ax.k)) * cyc.cycle_sum + pre.pfx
+       |            AS BIGINT) AS checksum_rs
+       |FROM ax
+       |JOIN cyc ON cyc.c = ax.c AND cyc.k = ax.k
+       |JOIN pre ON pre.c = ax.c AND pre.k = ax.k
+       |        AND pre.jj = ax.n_out % (256 // ax.k)""".stripMargin
 
   /** Multimodal training-sample manifest (q140): the end-to-end
     * curation join a dataset build finishes with — every document

@@ -1228,13 +1228,23 @@ object TextOps {
     val consts = CmA.zip(CmB).zipWithIndex.map { case ((a, b), r) =>
       s"($r, CAST($a AS BIGINT), CAST($b AS BIGINT))"
     }.mkString(", ")
-    s"""WITH sh AS (
-       |  SELECT s, ${polyHashSql("s")} AS h FROM (
-       |    SELECT unnest(${shinglesSql(tokensSql("text"))}) AS s FROM documents)),
+    s"""WITH sh0 AS (
+       |  -- tokens behind a derived table: composing shinglesSql over
+       |  -- the raw tokensSql STRING repeats the tokenize regex inside
+       |  -- every element access (5x per shingle — 257 of the 484 s
+       |  -- sf1 wall); as a projected column it runs once per row
+       |  SELECT unnest(${shinglesSql("t")}) AS s
+       |  FROM (SELECT ${tokensSql("text")} AS t FROM documents)),
        |consts(r, a, b) AS (VALUES $consts),
-       |-- referenced twice (counters, top): MATERIALIZED or DuckDB
-       |-- inlines the whole shingle+polyhash pipeline at each site
-       |exact AS MATERIALIZED (SELECT s, h, count(*) AS n FROM sh GROUP BY 1, 2),
+       |-- MATERIALIZED (referenced twice: counters, top), and the
+       |-- polyhash runs once per DISTINCT shingle AFTER the group-by,
+       |-- not once per occurrence: the interpreted char-fold costs
+       |-- ~3 us/char and the shared-phrase corpus has ~88x more
+       |-- occurrences than distinct shingles (2.6M vs 30k at sf1 —
+       |-- per-occurrence hashing was the 484 s oracle wall)
+       |exact AS MATERIALIZED (
+       |  SELECT s, ${polyHashSql("s")} AS h, n
+       |  FROM (SELECT s, count(*) AS n FROM sh0 GROUP BY 1)),
        |counters AS (
        |  SELECT c.r, ((c.a * e.h + c.b) % ${P}) % $CmWidth AS cell,
        |         CAST(sum(e.n) AS BIGINT) AS v
