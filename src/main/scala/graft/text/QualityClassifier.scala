@@ -150,20 +150,28 @@ object QualityClassifier {
     * micro-unit logits, so the WHOLE chain — training, scoring,
     * ranking, metric — is pinned by one oracle hash.
     *
-    * Scale shape: one global rank over the scored table (the q76
-    * designed-sort caveat; the per-shard form is a merge of sorted
-    * runs) and two scalar aggregates. Bound: 10⁶·U2 < 2⁶³ up to
-    * ~3·10⁶ documents per evaluation slice; beyond that, divide
+    * Scale shape (round 14): NO global row sort — the logits are exact
+    * integers, so the rank statistic is read off the VALUE HISTOGRAM
+    * (the q155/q232 exact-order-statistic shape): group by `logit_u`
+    * (one map-side-combined shuffle bounded by DISTINCT logit values,
+    * which the bounded features + micro-unit quantization keep far
+    * below corpus size), one running sum over the distinct-value
+    * ladder, and the tie-averaged rank2 of every row at value v is
+    * 2·minrank + ties − 1 = 2·cum(v) − cnt(v) + 1 — so Σ_pos rank2
+    * collapses to one aggregate over the ladder. Bound: 10⁶·U2 < 2⁶³
+    * up to ~3·10⁶ documents per evaluation slice; beyond that, divide
     * before scaling (the q147 contract). */
   def aucExact(spark: SparkSession, dir: String): DataFrame = {
     val scored = classify(spark, dir).select(col("y"), col("logit_u"))
-    val rank2 = (rank().over(Window.orderBy(col("logit_u"))) * 2
-      + count(lit(1)).over(Window.partitionBy(col("logit_u"))) - 1).cast("long")
-    scored.withColumn("rank2", rank2)
-      .agg(
-        sum(col("y")).as("n_pos"),
-        sum(lit(1L) - col("y")).as("n_neg"),
-        sum(when(col("y") === 1L, col("rank2")).otherwise(0L)).as("pos_rank2"))
+    val hist = scored.groupBy(col("logit_u"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("logit_u"))))
+    cum.agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum") - col("cnt") + lit(1L)))
+          .as("pos_rank2"))
       .withColumn("u2", expr("pos_rank2 - n_pos * (n_pos + 1)"))
       .withColumn("auc_u", expr("(1000000 * u2) div (2 * n_pos * n_neg)"))
       .select(col("n_pos"), col("n_neg"), col("u2"), col("auc_u"))
@@ -185,20 +193,55 @@ object QualityClassifier {
     * (σ̃ is antisymmetric around ½), making the quotient
     * rounding-mode-proof across engines. All integers end-to-end.
     *
-    * Scale shape: scoring is the q146 narrow map; the decile split is
-    * one designed sort (q76/q193 caveat — per-shard at fleet scale);
-    * bins and the 1-row ECE are map-side-combinable rollups. */
+    * Scale shape (round 14): NO global row sort — the equal-count
+    * decile split is computed on the VALUE HISTOGRAM over the exact
+    * integer (logit_u, y) key (q155/q232 shape). Every row inside one
+    * histogram group is IDENTICAL in (y, p_u), so ntile's arbitrary
+    * within-tie ordering cannot change any bin aggregate: the group
+    * occupying global positions (start, cum] just contributes
+    * `overlap(bin)` identical rows to each decile it spans
+    * (prefix(i) = i·base + min(i, rem), the standard ntile fill).
+    * One running sum over the distinct-value ladder, a ≤ CalBins-wide
+    * sequence-explode per group, and map-side-combinable rollups —
+    * shuffle bounded by distinct logits, not corpus size. */
   def reliabilityDiagram(spark: SparkSession, dir: String): DataFrame = {
     val scored = classify(spark, dir).select(col("y"), col("logit_u"))
       .withColumn("dev_u", expr(
         "(abs(logit_u) * 1000000) div (2 * (1000000 + abs(logit_u)))"))
       .withColumn("p_u", expr(
         "500000 + CASE WHEN logit_u >= 0 THEN dev_u ELSE -dev_u END"))
-    val binned = scored.withColumn("bin",
-      ntile(CalBins).over(Window.orderBy(col("logit_u"), col("y"))))
-    val bins = binned.groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-        sum(col("p_u")).as("sum_p"))
+    val hist = scored.groupBy(col("logit_u"), col("y"), col("p_u"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n_tot"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("logit_u"), col("y"))))
+      .withColumn("start", col("cum") - col("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_tot div $CalBins"))
+      .withColumn("rem", expr(s"n_tot % $CalBins"))
+    // binOf(p): the decile holding global position p under ntile's
+    // first-`rem`-bins-get-(base+1)-rows fill; integer div throughout,
+    // guarded for the degenerate n_tot < CalBins corner (ANSI mode).
+    def binOf(p: String): String =
+      s"""(CASE WHEN $p <= rem * (base + 1)
+         |      THEN ($p - 1) div (base + 1)
+         |      ELSE rem + ($p - rem * (base + 1) - 1) div greatest(base, 1)
+         | END + 1)""".stripMargin
+    val spanned = cum
+      .withColumn("b_lo", expr(binOf("(start + 1)")))
+      .withColumn("b_hi", expr(binOf("cum")))
+      .withColumn("bin_l", explode(sequence(col("b_lo"), col("b_hi"))))
+      .withColumn("bin", col("bin_l").cast("int"))
+      // prefix(i) = i*base + min(i, rem): positions (p_lo, p_hi] = bin i
+      .withColumn("p_lo",
+        expr("(bin - 1) * base + least(cast(bin - 1 as bigint), rem)"))
+      .withColumn("p_hi", expr("bin * base + least(cast(bin as bigint), rem)"))
+      .withColumn("ov",
+        least(col("cum"), col("p_hi")) - greatest(col("start"), col("p_lo")))
+    val bins = spanned.groupBy(col("bin"))
+      .agg(sum(col("ov")).as("n"), sum(col("y") * col("ov")).as("n_pos"),
+        sum(col("p_u") * col("ov")).as("sum_p"))
       .withColumn("avg_p_u", expr("sum_p div n"))
       .withColumn("obs_u", expr("(n_pos * 1000000) div n"))
       .withColumn("gap_u", abs(col("avg_p_u") - col("obs_u")))
@@ -327,10 +370,11 @@ object QualityClassifier {
     * calibration-side coverage sanity rate (≥ 1−α by construction).
     *
     * Scale shape: scoring is the q146 narrow map; the order statistic
-    * is one designed sort over the CALIBRATION split only (a bounded
-    * sample at fleet scale — q76/q193 caveat applies if val is huge);
-    * thresholds are a 2-row broadcast against the test split, so the
-    * corpus-sized side is touched by exactly one codegen'd pass. */
+    * is the exact value-histogram form (round 14 — no designed sort
+    * even on a huge val split: one grouped shuffle bounded by distinct
+    * integer scores); thresholds are a 2-row broadcast against the
+    * test split, so the corpus-sized side is touched by exactly one
+    * codegen'd pass. */
   /** The scored corpus with its leak-proof split — (doc_id, s_u,
     * split), checkpointed (referenced by the cal rank, the test scan,
     * and the coverage scan). */
@@ -348,16 +392,25 @@ object QualityClassifier {
     * corpus-wide. */
   private[graft] def conformalThr(j: DataFrame): DataFrame = {
     import j.sparkSession.implicits._
+    // Round 14: NO global row sort — the k-th order statistic of the
+    // integer nonconformity score is read off the VALUE HISTOGRAM
+    // (q155/q232 shape): the k-th smallest (s_u, doc_id) pair has the
+    // s_u of the first ladder value whose cumulative count reaches k
+    // (doc_id only ordered WITHIN ties, where s_u is constant), so the
+    // corpus-sized val split shuffles once into a distinct-value
+    // ladder and the threshold is a broadcast-sized lookup.
     val cal = j.filter(col("split") === "val")
-    val ranked = cal.withColumn("rn",
-      row_number().over(Window.orderBy(col("s_u"), col("doc_id"))).cast("long"))
+    val hist = cal.groupBy(col("s_u")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("s_u"))))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
     val ks = ConformalAlphas.toDF("alpha_pct").crossJoin(broadcast(nCal))
       .withColumn("k_idx",
         expr("least(((n_cal + 1) * (100 - alpha_pct) + 99) div 100, n_cal)"))
-    ks.join(ranked, ks("k_idx") === ranked("rn"))
-      .select(col("alpha_pct"), col("n_cal"), col("k_idx"),
-        col("s_u").as("thr_s_u"))
+    cum.crossJoin(broadcast(ks))
+      .groupBy(col("alpha_pct"), col("n_cal"), col("k_idx"))
+      .agg(min(when(col("cum") >= col("k_idx"), col("s_u"))).as("thr_s_u"))
+      .select(col("alpha_pct"), col("n_cal"), col("k_idx"), col("thr_s_u"))
   }
 
   def conformalGate(spark: SparkSession, dir: String): DataFrame = {
