@@ -600,6 +600,24 @@ object SparkEntry {
     // DAG over documents; oracle nests the stage oracles (r12 ask #7).
     "q254_curation_pipeline" -> ((s: SparkSession, dir: String) =>
       graft.text.CurationPipeline.curationManifest(s, dir)),
+    // Incremental curation refresh: the arriving batch (top 10% of the
+    // id space) probes the standing corpus state (fingerprint index,
+    // LSH bands, gram postings, bucketed per-doc columns) instead of
+    // re-running the pipeline; per-refresh shuffle is O(batch), and
+    // the oracle is q254's FULL RECOMPUTE over corpus+batch (r13
+    // verdict ask #1: the scale-correct alternative to the reference's
+    // daily WRITE_TRUNCATE re-run).
+    "q255_curation_refresh" -> ((s: SparkSession, dir: String) =>
+      graft.text.CurationRefresh.curationRefresh(s, dir)),
+    // Persisted-index ANN serving (r13 ask #2): build once into
+    // centroid + cell-bucketed tables (q256) / edge-list + vector
+    // tables (q257); every later invocation pays only the search.
+    // Oracles are q81's / q252's full re-derivations, so stored-index
+    // drift is a hash mismatch.
+    "q256_ann_ivf_serve"    -> ((s: SparkSession, dir: String) =>
+      graft.vector.AnnIndexStore.annIvfServe(s, dir)),
+    "q257_ann_graph_serve"  -> ((s: SparkSession, dir: String) =>
+      graft.vector.AnnIndexStore.annGraphServe(s, dir)),
     // q213 live: per-user bounded buffer completes gapped triples at
     // ingest; drained emissions collapse to the batch support ledger.
     // The drain lands via a foreachBatch parquet sink — q218 emits up
@@ -1048,6 +1066,14 @@ object SparkEntry {
     "q252_ann_graph"        -> V.annGraphSql,
     "q253_ann_router"       -> V.annRouterSql,
     "q254_curation_pipeline" -> graft.text.CurationPipeline.curationManifestSql,
+    // q255's oracle IS the full recompute of the q254 composition over
+    // corpus+batch — incremental maintenance vs recomputation equality
+    // is exactly what the hash compare checks.
+    "q255_curation_refresh" -> graft.text.CurationPipeline.curationManifestSql,
+    // q256/q257 oracles re-derive train + index + search from the raw
+    // parquet — the serving path must match a fresh build exactly.
+    "q256_ann_ivf_serve"    -> V.annIvfTrainedSql,
+    "q257_ann_graph_serve"  -> V.annGraphSql,
     // the streaming twin must reproduce the batch q213 ledger exactly
     "q218_stream_seqpat"    -> E.seqPatternsSql,
     "q207_map_eval"         -> V.mapEvalSql,

@@ -70,7 +70,14 @@ object QualityClassifier {
     * x1 capped length, x2 scaled avg word length, x3 digit density,
     * x4 ASCII-uppercase density, x5 distinct-stopword hit rate. */
   private def feats(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(spark, dir))
+    featsFrom(Tables.spread(Tables.documents(spark, dir)))
+
+  /** [[feats]] over an explicit documents frame (needs doc_id,
+    * n_chars, text) — the q255 seam: the refresh computes batch
+    * features with the IDENTICAL expression tree, so state ∪ batch
+    * training is bit-identical to full-corpus training. */
+  private[graft] def featsFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("n_chars"),
         tokensCol(col("text")).as("tk"),
         length(col("text")).as("lc"),
@@ -100,8 +107,15 @@ object QualityClassifier {
   /** Learn micro-unit weights: [[Rounds]] × (one 6-column long-sum
     * aggregate + 6-long collect). Returns (weights, materialized
     * feature table) so scoring reuses the same barrier. */
-  def learn(spark: SparkSession, dir: String): (Array[Long], DataFrame) = {
-    val f = feats(spark, dir).localCheckpoint(true,
+  def learn(spark: SparkSession, dir: String): (Array[Long], DataFrame) =
+    learnFrom(feats(spark, dir))
+
+  /** [[learn]] from a prebuilt (doc_id, y, x1..x5) feature table — the
+    * q255 seam. The gradient is an integer-quantized order-free SUM,
+    * so ANY partitioning of the input (state parquet, state ∪ batch
+    * union, text-derived) yields bit-identical weights. */
+  private[graft] def learnFrom(feats0: DataFrame): (Array[Long], DataFrame) = {
+    val f = feats0.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = f.count()
     // size-consolidated gradient view (~100k rows/partition, floor 1):
@@ -127,6 +141,13 @@ object QualityClassifier {
     * decision, `correct` its agreement with the weak label, `w_fp` the
     * fingerprint of the learned weight vector (pins training equality
     * on every row). */
+  /** The micro-unit logit under a given weight vector — the scoring
+    * core of [[classify]], exposed so q255 can rescore persisted
+    * corpus features under refreshed weights (a narrow, shuffle-free
+    * projection over any frame carrying x1..x5). */
+  private[graft] def logitCol(w: Array[Long]): Column =
+    floor(zCol(w) * lit(1000000.0) + lit(0.5))
+
   def classify(spark: SparkSession, dir: String): DataFrame = {
     val (w, f) = learn(spark, dir)
     val wFp = graft.functions.PolyHashExpr.hash(

@@ -49,6 +49,8 @@ object VectorOps {
   /** Native codegen dot product (graft.functions.DotProductExpr) — the
     * zip_with+aggregate HOF form runs interpreted and made the
     * brute-force pair scans ~50× slower. */
+  private[vector] def dotCol(a: Column, b: Column): Column = dot(a, b)
+
   private def dot(a: Column, b: Column): Column =
     graft.functions.NativeExprs.dotProduct(a, b)
 
@@ -549,6 +551,10 @@ object VectorOps {
     * returns (final centroids, the assignment DataFrame of the LAST
     * iteration — i.e. under the pre-update centroids that produced the
     * final means, matching the unrolled oracle's aN CTE). */
+  /** [[lloyd]] at the q81 shape — the index-store build seam. */
+  private[vector] def lloydFit(base: DataFrame, k: Int)
+      : (Seq[Seq[Double]], DataFrame) = lloyd(base, k, KmIters, KmSeedMin)
+
   private def lloyd(base: DataFrame, k: Int, iters: Int, seedMin: Int)
       : (Seq[Seq[Double]], DataFrame) = {
     var cents: Seq[Seq[Double]] = base
@@ -762,6 +768,9 @@ object VectorOps {
     * tie-break. A narrow array_sort over `cells` elements — probe-cell
     * selection costs ZERO shuffles (vs a rank window, which would add
     * an exchange just to pick 4 of 16 slots). */
+  private[vector] def topCellsCol(d: Column, n: Int, cells: Int,
+      ascending: Boolean): Column = topCells(d, n, cells, ascending)
+
   private def topCells(d: Column, n: Int, cells: Int, ascending: Boolean): Column = {
     val structs = transform(sequence(lit(1L), lit(cells.toLong)),
       i => struct(element_at(d, i.cast("int")).as("dv"), i.as("cell")))
@@ -1017,9 +1026,27 @@ object VectorOps {
   private[graft] def annGraphDistributed(spark: SparkSession, e: DataFrame,
       m: Int, buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
     val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val g = nswGraph(e, m, buildRounds).localCheckpoint(true, ckpt)
+    nswWalk(spark, g, e, beam, searchRounds)
+  }
+
+  /** The finished search graph (refined kNN edges + expander init,
+    * both rev-cap symmetrized) — the BUILD artifact q257 persists to
+    * parquet: at serving scale the graph is built once by an index
+    * job and every query batch pays only the walk. */
+  private[graft] def nswGraph(e: DataFrame, m: Int, buildRounds: Int): DataFrame = {
     val (edges, init) = nswBuild(e, m, buildRounds)
-    val g = nswSymCapped(edges).union(nswSymCapped(init)).distinct()
-      .localCheckpoint(true, ckpt)
+    nswSymCapped(edges).union(nswSymCapped(init)).distinct()
+  }
+
+  /** The beam-search WALK over a prepared (src, dst) graph and
+    * (vec_id, v, nrm) corpus — the serving path: bounded beam,
+    * broadcast probes, per-round lineage truncation, fixpoint early
+    * exit. Split out of [[annGraphDistributed]] so q257 can run it
+    * against a PERSISTED graph. */
+  private[graft] def nswWalk(spark: SparkSession, g: DataFrame, e: DataFrame,
+      beam: Int, searchRounds: Int): DataFrame = {
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val q = broadcast(e.filter(col("vec_id") < QueryMax)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
     val wBeam = Window.partitionBy("query_id").orderBy(desc("cos"), col("node"))
