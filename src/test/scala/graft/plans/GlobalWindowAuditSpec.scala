@@ -55,7 +55,14 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     ("q192_pmi_collocations", "score_u,w1,w2"),
     ("q181_session_paths", "n_sessions,path"),
     ("q182_mixture_waterfill", "avail,source"),
-    ("q246_mixture_ess", "avail,source"))
+    ("q246_mixture_ess", "avail,source"),
+    // q254 embeds the q182 waterfill: same source-cardinality input
+    ("q254_curation_pipeline", "avail,source"),
+    // q219 skyline: the exact sweep + front rank run on the PRUNED
+    // survivor set (front-adjacent mass after the bucket-max prune,
+    // documented in TextOps.skylineOf), not the corpus
+    ("q219_skyline", "quality_bp"),
+    ("q219_skyline", "quality_bp,n_tokens,doc_id"))
 
   /** Unpartitioned windows in the analyzed plan that are NOT
     * ladder-shaped, as (orderKeys, inputSummary) pairs. */

@@ -1,0 +1,41 @@
+package graft.vector
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.SparkTestSession
+
+/** q256/q257 persisted-index serving: build-once/search-N semantics
+  * (N invocations trigger exactly one build per index), and the
+  * served results are row-identical to the rebuild-every-time
+  * queries (q81/q252) — the stored index drifts from a fresh build
+  * only if this fails. */
+class AnnIndexStoreSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+  test("IVF serving: one build for N searches, output ≡ q81") {
+    val before = AnnIndexStore.buildsRun
+    val first = rows(AnnIndexStore.annIvfServe(spark, dir))
+    val afterFirst = AnnIndexStore.buildsRun
+    val second = rows(AnnIndexStore.annIvfServe(spark, dir))
+    assert(AnnIndexStore.buildsRun == afterFirst,
+      "second search triggered a rebuild — serving semantics broken")
+    assert(afterFirst == before + 1)
+    assert(first == second)
+    assert(first == rows(VectorOps.annIvfTrained(spark, dir)))
+  }
+
+  test("graph serving: one build for N searches, output ≡ q252") {
+    val before = AnnIndexStore.buildsRun
+    val first = rows(AnnIndexStore.annGraphServe(spark, dir))
+    val afterFirst = AnnIndexStore.buildsRun
+    val second = rows(AnnIndexStore.annGraphServe(spark, dir))
+    assert(AnnIndexStore.buildsRun == afterFirst,
+      "second search triggered a rebuild — serving semantics broken")
+    assert(afterFirst == before + 1)
+    assert(first == second)
+    assert(first == rows(VectorOps.annGraph(spark, dir)))
+  }
+}
