@@ -877,11 +877,16 @@ object EventOps {
       .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
     // cents-exact accumulators (r12 sweep): per-user histories grow
     // without bound, the r11 money-sum drift class
+    // math.round is half-up toward +inf and disagrees with the
+    // oracle's round() (half away from zero) on negative exact-half
+    // cents — same signum·round(|v|) form as the stream state
+    // (EventsStream.scala), r13 ADVICE #1
+    def cents(v: Double): Long = math.signum(v).toLong * math.round(math.abs(v) * 100)
     ev.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, evs, ords) =>
       var ne = 0L; var sv = 0L
-      evs.foreach { e => ne += 1; sv += math.round(e._2 * 100) }
+      evs.foreach { e => ne += 1; sv += cents(e._2) }
       var no = 0L; var sp = 0L
-      ords.foreach { o => no += 1; sp += math.round(o._2 * 100) }
+      ords.foreach { o => no += 1; sp += cents(o._2) }
       Iterator((k, ne, sv, no, sp))
     }.toDF("user_id", "n_events", "sum_value", "n_orders", "sum_spend")
       .select(col("user_id"), col("n_events"),

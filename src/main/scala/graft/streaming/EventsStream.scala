@@ -638,7 +638,10 @@ object EventsStream {
             .foreach { case (tus, group) =>
               group.foreach { case (_, et, v, _) =>
                 if (et == "purchase") {
-                  val cents = math.round(v * 100) // quantize ONCE per row
+                  // quantize ONCE per row; half AWAY FROM ZERO to match
+                  // the oracle's round() on negative exact-half cents
+                  // (r13 ADVICE #1 — same form as UserAggState)
+                  val cents = math.signum(v).toLong * math.round(math.abs(v) * 100)
                   if (s.last_c >= 0 && tus - s.last_c <= L)
                     s = s.copy(nc = s.nc + 1, vc = s.vc + cents)
                   else if (s.last_v >= 0 && tus - s.last_v <= L)

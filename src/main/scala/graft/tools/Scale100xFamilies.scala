@@ -262,12 +262,16 @@ object Scale100xFamilies {
         val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
         val edges = VectorOps.devBuildGraph(spark, lowDir,
           VectorOps.NswM, VectorOps.NswBuildRounds)
+        // init modulus = CORPUS ROW COUNT, exactly as nswBuild derives
+        // it (r13 ADVICE #3 — a hardcoded 200000 would silently check
+        // a different graph if GenPlanted's size arg changes)
+        val lowN = graft.tables.Tables.embeddings(spark, lowDir).count()
         val init = graft.tables.Tables.embeddings(spark, lowDir)
           .select(col("vec_id").as("src"))
           .select(col("src"), explode(sequence(lit(0L),
             lit((VectorOps.NswM - 1).toLong))).as("j"))
           .withColumn("dst", pmod(lit(1103515245L)
-            * (col("src") * VectorOps.NswM + col("j")) + lit(12345L), lit(200000L)))
+            * (col("src") * VectorOps.NswM + col("j")) + lit(12345L), lit(lowN)))
           .filter(col("dst") =!= col("src")).select("src", "dst").distinct()
         val g = VectorOps.devSymCapped(edges)
           .union(VectorOps.devSymCapped(init)).distinct()

@@ -860,10 +860,17 @@ object VectorOps {
   val NswEntry: Int = QueryMax
 
   /** Dev telemetry: rounds actually executed by the last [[nswBuild]]
-    * and the last beam walk on this JVM — the early-exit evidence the
-    * scale protocols record alongside recall. */
-  @volatile private[graft] var lastBuildRoundsRun: Int = 0
-  @volatile private[graft] var lastWalkRoundsRun: Int = 0
+    * and the last beam walk ON THIS THREAD — the early-exit evidence
+    * the scale protocols record alongside recall. Thread-local (r13
+    * ADVICE #2): a concurrent query on another thread can no longer
+    * clobber the counts a probe is about to read; a probe reads the
+    * rounds of the build/walk IT just ran. */
+  private val buildRoundsTl = ThreadLocal.withInitial[Integer](() => 0)
+  private val walkRoundsTl  = ThreadLocal.withInitial[Integer](() => 0)
+  private[graft] def lastBuildRoundsRun: Int = buildRoundsTl.get()
+  private[graft] def lastBuildRoundsRun_=(v: Int): Unit = buildRoundsTl.set(v)
+  private[graft] def lastWalkRoundsRun: Int = walkRoundsTl.get()
+  private[graft] def lastWalkRoundsRun_=(v: Int): Unit = walkRoundsTl.set(v)
 
   /** Graph ANN — the retrieval path for cluster-fragmenting geometry
     * where any IVF's recall/probe trade is poor (measured on the
@@ -1013,13 +1020,21 @@ object VectorOps {
   /** [[annGraphAt]] over an arbitrary prepared `(vec_id, v, nrm)`
     * corpus (checkpointed by the caller) — the seam the geometry
     * router (q253) searches through; dispatches kernel vs distributed
-    * on the same [[NswKernelMaxBytes]] gate. */
+    * on the same [[NswKernelMaxBytes]] gate. The per-row size comes
+    * from the corpus's ACTUAL vector width, read off the first row of
+    * the same bounded head the count uses (r13 ADVICE #4: a Dim
+    * assumption under-estimated wider corpora; and the count is taken
+    * once, not per dispatch decision). */
   def annGraphOn(spark: SparkSession, e: DataFrame, m: Int,
-                 buildRounds: Int, beam: Int, searchRounds: Int): DataFrame =
-    if (e.count() * Dim * 8L < NswKernelMaxBytes)
+                 buildRounds: Int, beam: Int, searchRounds: Int): DataFrame = {
+    val n = e.count() // one bounded scalar action on the checkpointed corpus
+    val width = e.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0).toLong).getOrElse(Dim.toLong)
+    if (n * width * 8L < NswKernelMaxBytes)
       annGraphKernel(spark, e, m, buildRounds, beam, searchRounds)
     else
       annGraphDistributed(spark, e, m, buildRounds, beam, searchRounds)
+  }
 
   /** The distributed round loop — the ≥ [[NswKernelMaxBytes]] path,
     * also invoked directly by the parity spec at gate SF. */
