@@ -241,12 +241,38 @@ object Scale100xFamilies {
       import graft.vector.VectorOps
       def orgBase(d: String) = graft.tables.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val ((mu2Org, routeOrg), tPo) = timed(VectorOps.geometryProbeOn(orgBase(src100)))
-      val ((mu2Low, routeLow), tPl) = timed(VectorOps.geometryProbeOn(orgBase(lowDir)))
-      out += s""""router_probe_secs":${f(tPo + tPl)},"router_mu2_organic":${f(mu2Org)},"router_route_organic":"$routeOrg""""
-      out += s""""router_mu2_lowdim":${f(mu2Low)},"router_route_lowdim":"$routeLow""""
+      // third geometry (r13 ask #8): planted orthogonal clusters at
+      // 200k — must route to the tight-probe trained-IVF arm
+      val cluDir = s"/tmp/clusters200k_v${GenPlanted.LowdimVersion}"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$cluDir/embeddings.parquet/_SUCCESS")))
+        GenPlanted.build(spark, cluDir, 200000, "clusters")
+      val ((mu2Org, c1Org, routeOrg), tPo) = timed(VectorOps.geometryProbeOn(orgBase(src100)))
+      val ((mu2Low, c1Low, routeLow), tPl) = timed(VectorOps.geometryProbeOn(orgBase(lowDir)))
+      val ((mu2Clu, c1Clu, routeClu), tPc) = timed(VectorOps.geometryProbeOn(orgBase(cluDir)))
+      out += s""""router_probe_secs":${f(tPo + tPl + tPc)},"router_mu2_organic":${f(mu2Org)},"router_c1_organic":$c1Org,"router_route_organic":"$routeOrg""""
+      out += s""""router_mu2_lowdim":${f(mu2Low)},"router_c1_lowdim":$c1Low,"router_route_lowdim":"$routeLow""""
+      out += s""""router_mu2_clustered":${f(mu2Clu)},"router_c1_clustered":$c1Clu,"router_route_clustered":"$routeClu""""
       gates += "ann_router_geometry" ->
-        (routeOrg == "ivf" && routeLow == "graph")
+        (routeOrg == "ivf" && routeLow == "graph" && routeClu == "ivf_cells")
+      // the tight-probe route must also WIN there: recall of the
+      // ivf_cells arm on the clustered 200k corpus vs its own brute
+      val bruteClu = q("q24_knn_brute")(spark, cluDir)
+        .filter(col("rank") <= graft.vector.VectorOps.KLsh)
+        .select("query_id", "neighbor_id").cache()
+      val nBruteClu = bruteClu.count()
+      val (recCluTight, tCluT) = timed {
+        val d = graft.vector.VectorOps.annIvfTrainedAt(spark, cluDir,
+            graft.vector.VectorOps.IvfTK, graft.vector.VectorOps.NProbeTight)
+          .select("query_id", "neighbor_id").cache()
+        d.count()
+        val hit = bruteClu.join(d, Seq("query_id", "neighbor_id")).count()
+        d.unpersist()
+        if (nBruteClu == 0) 0.0 else hit.toDouble / nBruteClu
+      }
+      bruteClu.unpersist()
+      out += s""""q81_tight_clustered_secs":${f(tCluT)},"ann_recall_ivf_tight_clustered":${f(recCluTight)}"""
+      gates += "ann_ivf_tight_clustered" -> (recCluTight >= 0.85)
 
       // GRAPH-ANN STRUCTURAL INVARIANTS at 200k (r12 verdict ask #8):
       // recall is semantically 0 on the organic geometry, so a build

@@ -720,7 +720,12 @@ object VectorOps {
   /** The q81 oracle pipeline over an arbitrary base-CTE body — shared
     * with the router oracle (q253), which swaps in capped/derived
     * corpora. */
-  def annIvfTrainedSqlOn(baseBody: String): String = {
+  def annIvfTrainedSqlOn(baseBody: String): String =
+    annIvfTrainedSqlOnAt(baseBody, NProbeTrained)
+
+  /** [[annIvfTrainedSqlOn]] at an explicit probe depth — the router
+    * oracle's ivf_cells arm replays the tight-probe pipeline. */
+  def annIvfTrainedSqlOnAt(baseBody: String, nProbe: Int): String = {
     val lastL = s"l$KmIters"
     s"""WITH base AS ($baseBody),
        |${lloydSql(IvfTK, KmIters, KmSeedMin)},
@@ -738,7 +743,7 @@ object VectorOps {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY dv, cell) AS prank
        |  FROM qd),
-       |qcells AS (SELECT vec_id, v, nrm, cell FROM qr WHERE prank <= $NProbeTrained),
+       |qcells AS (SELECT vec_id, v, nrm, cell FROM qr WHERE prank <= $nProbe),
        |scored AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS cos_sim
@@ -1361,6 +1366,30 @@ object VectorOps {
     * wide margins both sides. */
   val RouterMu2Threshold = 1.1487
 
+  /** Second routing axis (round 14, r13 verdict ask #8): the CLUSTERED
+    * regime — tight orthogonal clusters — has a flat 2NN ratio like
+    * the organic corpus (both in-cluster neighbors sit at similar
+    * distance, μ² ≈ 1), but its nearest-neighbor COSINE is high in
+    * absolute terms where isotropic noise is low: the probe's c₁
+    * median (integer cos·10⁴ units) separates them. Measured medians
+    * at the probe's 64-point sample: organic 2925–2943 across every
+    * SF, derived clustered 9004, planted 200k clusters 9005 (μ² there
+    * 1.086–1.100, safely under the dimension threshold), lowdim
+    * 8576–9430 (but routed to graph by μ² FIRST — order matters: a
+    * manifold corpus also has high c₁, so the c₁ test only fires on
+    * the flat side of the μ² split) — threshold 6000 sits ≥ 3000 cu
+    * from both deciding sides. Routing:
+    * μ² ≥ [[RouterMu2Threshold]] → graph; else c₁ ≥ this → trained
+    * IVF with TIGHT probes ([[NProbeTight]] — cells align with the
+    * clusters, so deep probing buys nothing); else → trained IVF at
+    * [[NProbeTrained]] (the multi-probe regime flat geometry needs). */
+  val RouterC1Threshold = 6000L
+
+  /** Probe depth for the clustered route: trained cells track the
+    * planted clusters, so 2 cells cover a query's cluster even when
+    * Lloyd splits it. */
+  val NProbeTight = 2
+
   /** Fixed 64×[[RouterLat]] integer mixing matrix (same LCG family as
     * [[planeW]]/[[centW]], offset 200000) — the SQL literals embed the
     * same values. */
@@ -1411,17 +1440,64 @@ object VectorOps {
        |        FROM embeddings WHERE vec_id < $RouterCap)""".stripMargin
   }
 
+  /** The derived CLUSTERED diagnostic corpus (third router geometry,
+    * round 14): 10 planted near-orthogonal clusters over the capped id
+    * range — cluster c = id mod 10, v[d] = center(c,d) ± noise(id,d)
+    * with center = ±125 and noise ∈ [−80, 80], both from the same
+    * quadratic congruential hash family as [[routerZ]] (all
+    * intermediates < 10¹², exact integer-valued doubles on both
+    * engines). Within-cluster cosine ≈ 0.88, cross ≈ 0.1 — the
+    * geometry where trained cells track clusters and tight probes
+    * suffice. */
+  private def qcgCol(e: Column): Column = {
+    val t = (e * lit(131071L)) % lit(999983L)
+    (t * t) % lit(999983L) + t
+  }
+  private def qcgSql(e: String): String = {
+    val t = s"((($e) * 131071) % 999983)"
+    s"($t * $t % 999983 + $t)"
+  }
+
+  private[graft] def devRouterLowBase(spark: SparkSession, dir: String): DataFrame =
+    routerLowBase(spark, dir)
+  private[graft] def devRouterClusterBase(spark: SparkSession, dir: String): DataFrame =
+    routerClusterBase(spark, dir)
+
+  private def routerClusterBase(spark: SparkSession, dir: String): DataFrame = {
+    val c = col("vec_id") % 10
+    Tables.spread(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < RouterCap)
+      .select(col("vec_id"), array((0 until Dim).map { d =>
+        val center = when(qcgCol(c * Dim + lit((d + 991).toLong)) % 2 === 0,
+          lit(125L)).otherwise(lit(-125L))
+        val noise = qcgCol(col("vec_id") * Dim + lit((d + 17).toLong)) % 161 - 80
+        (center + noise).cast("double")
+      }: _*).as("v"))
+  }
+
+  private def routerClusterBaseSql: String = {
+    val center = s"(CASE WHEN ${qcgSql(s"(vec_id % 10) * $Dim + d + 991")} % 2 = 0 " +
+      "THEN 125 ELSE -125 END)"
+    val noise = s"(${qcgSql(s"vec_id * $Dim + d + 17")} % 161 - 80)"
+    s"""SELECT vec_id, list_transform(range(0, $Dim),
+       |         d -> ($center + $noise)::DOUBLE) AS v
+       |  FROM embeddings WHERE vec_id < $RouterCap""".stripMargin
+  }
+
   /** The geometry probe: 2NN intrinsic-dimension statistic over a
     * fixed [[RouterSampleN]]-point sample (ids ≥ QueryMax so probes
     * stay out of it). Every quantity is in the engine's exact-contract
     * form: cosines become integers via round(cos·10⁴, 0) (rounding the
     * SCALED value — `round(x,4)·10⁴` would re-float the boundary),
     * μ² = (10⁴−c₂)/(10⁴−c₁) is a division of exact integer-valued
-    * doubles, and the median is the explicit lower median (1-based
+    * doubles, and the medians are the explicit lower median (1-based
     * rank (n+1)/2). Exact-dup sample points (c₁ = 10⁴) drop out.
-    * Returns (μ²-median, route). Cost at ANY corpus size: one pushed-
-    * down id-range scan + a 64×64 pair block. */
-  def geometryProbeOn(base: DataFrame): (Double, String) = {
+    * Returns (μ²-median, c₁-median in cos·10⁴ units, route) — the
+    * second statistic is free (same pair block) and separates the
+    * clustered regime from flat isotropy (see [[RouterC1Threshold]]).
+    * Cost at ANY corpus size: one pushed-down id-range scan + a 64×64
+    * pair block. */
+  def geometryProbeOn(base: DataFrame): (Double, Long, String) = {
     val s = base
       .filter(col("vec_id") >= QueryMax && col("vec_id") < QueryMax + RouterSampleN)
       .withColumn("vv", dot(col("v"), col("v"))).filter(col("vv") > 0)
@@ -1433,28 +1509,43 @@ object VectorOps {
       .withColumn("cu", round(
         dot(col("av"), col("bv")) / (col("an") * col("bn")) * 10000, 0).cast("long"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-    val mus = ranked.groupBy("i")
+    val rows = ranked.groupBy("i")
       .agg(max(when(col("rn") === 1, col("cu"))).as("c1"),
         max(when(col("rn") === 2, col("cu"))).as("c2"))
       .filter(col("c1") < 10000 && col("c2").isNotNull)
-      .select(((lit(10000.0) - col("c2")) / (lit(10000.0) - col("c1"))).as("m2"))
-      .collect().map(_.getDouble(0)).sorted
+      .select(((lit(10000.0) - col("c2")) / (lit(10000.0) - col("c1"))).as("m2"),
+        col("c1"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val mus = rows.map(_._1).sorted
+    val c1s = rows.map(_._2).sorted
     val med = if (mus.isEmpty) 0.0 else mus((mus.length - 1) / 2)
-    (med, if (med >= RouterMu2Threshold) "graph" else "ivf")
+    val c1Med = if (c1s.isEmpty) 0L else c1s((c1s.length - 1) / 2)
+    val route =
+      if (med >= RouterMu2Threshold) "graph"
+      else if (c1Med >= RouterC1Threshold) "ivf_cells"
+      else "ivf"
+    (med, c1Med, route)
   }
 
   /** Probe SQL over a `<base>` CTE: ends in one row
-    * (mu2_med, route). */
+    * (mu2_med, c1_med, route). */
   private def geometryProbeSql(baseCte: String): String =
     s"""SELECT coalesce(mu2_med, 0.0) AS mu2_med,
+       |       CAST(coalesce(c1_med, 0) AS BIGINT) AS c1_med,
        |       CASE WHEN coalesce(mu2_med, 0.0) >= $RouterMu2Threshold
-       |            THEN 'graph' ELSE 'ivf' END AS route
+       |            THEN 'graph'
+       |            WHEN coalesce(c1_med, 0) >= $RouterC1Threshold
+       |            THEN 'ivf_cells'
+       |            ELSE 'ivf' END AS route
        |FROM (
-       |  SELECT max(m2) AS mu2_med FROM (
-       |    SELECT m2, row_number() OVER (ORDER BY m2) AS mrn,
+       |  SELECT max(CASE WHEN mrn = (mn + 1) // 2 THEN m2 END) AS mu2_med,
+       |         max(CASE WHEN crn = (mn + 1) // 2 THEN c1 END) AS c1_med
+       |  FROM (
+       |    SELECT m2, c1, row_number() OVER (ORDER BY m2) AS mrn,
+       |           row_number() OVER (ORDER BY c1) AS crn,
        |           count(*) OVER () AS mn
        |    FROM (
-       |      SELECT (10000.0 - c2) / (10000.0 - c1) AS m2 FROM (
+       |      SELECT (10000.0 - c2) / (10000.0 - c1) AS m2, c1 FROM (
        |        SELECT i, max(CASE WHEN rn = 1 THEN cu END) AS c1,
        |               max(CASE WHEN rn = 2 THEN cu END) AS c2
        |        FROM (
@@ -1476,8 +1567,7 @@ object VectorOps {
        |                    AND list_dot_product(v, v) > 0) b
        |              ON a.vec_id != b.vec_id))
        |        GROUP BY i)
-       |      WHERE c1 < 10000 AND c2 IS NOT NULL))
-       |  WHERE mrn = (mn + 1) // 2)""".stripMargin
+       |      WHERE c1 < 10000 AND c2 IS NOT NULL)))""".stripMargin
 
   /** q253: the geometry-routed ANN front door. Round 12 measured the
     * decision no single index can make — trained IVF wins on the
@@ -1505,31 +1595,41 @@ object VectorOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(true, ckpt)
     val lowBase = routerLowBase(spark, dir).localCheckpoint(true, ckpt)
+    val cluBase = routerClusterBase(spark, dir).localCheckpoint(true, ckpt)
     def routed(corpus: String, base: DataFrame): DataFrame = {
-      val (mu2, route) = geometryProbeOn(base)
+      val (mu2, c1Med, route) = geometryProbeOn(base)
       val hits = route match {
-        case "ivf" => annIvfTrainedOn(base, IvfTK, NProbeTrained)
+        case "ivf"       => annIvfTrainedOn(base, IvfTK, NProbeTrained)
+        case "ivf_cells" => annIvfTrainedOn(base, IvfTK, NProbeTight)
         case _ =>
           val e = base.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
           annGraphOn(spark, e, NswM, NswBuildRounds, NswBeam, NswSearchRounds)
       }
       hits.select(lit(corpus).as("corpus"), lit(mu2).as("mu2_med"),
-        lit(route).as("route"), col("query_id"), col("neighbor_id"),
-        col("cos_sim"), col("rank"))
+        lit(c1Med).as("c1_med"), lit(route).as("route"), col("query_id"),
+        col("neighbor_id"), col("cos_sim"), col("rank"))
     }
-    routed("organic", orgBase).unionAll(routed("lowdim", lowBase))
+    routed("organic", orgBase)
+      .unionAll(routed("lowdim", lowBase))
+      .unionAll(routed("clustered", cluBase))
   }
 
   val annRouterSql: String = {
     def branch(corpus: String, baseCte: String, probeCte: String): String = {
       val ivf = annIvfTrainedSqlOn(s"SELECT vec_id, v FROM $baseCte")
+      val ivfCells = annIvfTrainedSqlOnAt(
+        s"SELECT vec_id, v FROM $baseCte", NProbeTight)
       val graph = annGraphSqlAt(NswM, NswBuildRounds, NswBeam, NswSearchRounds,
         s"vecs AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM $baseCte)")
-      s"""SELECT '$corpus' AS corpus, p.mu2_med, p.route,
+      s"""SELECT '$corpus' AS corpus, p.mu2_med, p.c1_med, p.route,
          |       r.query_id, r.neighbor_id, r.cos_sim, r.rank
          |FROM ($ivf) r, $probeCte p WHERE p.route = 'ivf'
          |UNION ALL
-         |SELECT '$corpus', p.mu2_med, p.route,
+         |SELECT '$corpus', p.mu2_med, p.c1_med, p.route,
+         |       r.query_id, r.neighbor_id, r.cos_sim, r.rank
+         |FROM ($ivfCells) r, $probeCte p WHERE p.route = 'ivf_cells'
+         |UNION ALL
+         |SELECT '$corpus', p.mu2_med, p.c1_med, p.route,
          |       r.query_id, r.neighbor_id, r.cos_sim, r.rank
          |FROM ($graph) r, $probeCte p WHERE p.route = 'graph'""".stripMargin
     }
@@ -1538,11 +1638,16 @@ object VectorOps {
        |  WHERE vec_id < $RouterCap),
        |lowbase AS MATERIALIZED (
        |$routerLowBaseSql),
+       |clubase AS MATERIALIZED (
+       |$routerClusterBaseSql),
        |porg AS MATERIALIZED (${geometryProbeSql("orgbase")}),
-       |plow AS MATERIALIZED (${geometryProbeSql("lowbase")})
+       |plow AS MATERIALIZED (${geometryProbeSql("lowbase")}),
+       |pclu AS MATERIALIZED (${geometryProbeSql("clubase")})
        |${branch("organic", "orgbase", "porg")}
        |UNION ALL
-       |${branch("lowdim", "lowbase", "plow")}""".stripMargin
+       |${branch("lowdim", "lowbase", "plow")}
+       |UNION ALL
+       |${branch("clustered", "clubase", "pclu")}""".stripMargin
   }
 
   // -------------------------------------------------- JL random projection
