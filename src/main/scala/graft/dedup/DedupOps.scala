@@ -1291,18 +1291,20 @@ object DedupOps {
     * Spark plan must be exactly equal. */
   val containmentDedupSql: String =
     s"""WITH $shingleHashesSql,
-       |ex AS (SELECT doc_id, n, unnest(hs) AS h FROM hsets),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM hsets),
        |pairs AS (
-       |  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS shared,
-       |         any_value(a.n) AS n1, any_value(b.n) AS n2
+       |  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS shared
        |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id != b.doc_id
        |  GROUP BY 1, 2)
        |SELECT contained, container, CAST(shared AS BIGINT) AS shared,
-       |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-       |       round(shared::DOUBLE / n1, 4) AS containment,
-       |       round(shared::DOUBLE / (n1 + n2 - shared), 4) AS jaccard,
-       |       (3 * shared < n1 + n2) AS sym_blind
-       |FROM pairs WHERE 5 * shared >= 4 * n1""".stripMargin
+       |       CAST(h1.n AS BIGINT) AS n1, CAST(h2.n AS BIGINT) AS n2,
+       |       round(shared::DOUBLE / h1.n, 4) AS containment,
+       |       round(shared::DOUBLE / (h1.n + h2.n - shared), 4) AS jaccard,
+       |       (3 * shared < h1.n + h2.n) AS sym_blind
+       |FROM pairs
+       |JOIN hsets h1 ON h1.doc_id = contained
+       |JOIN hsets h2 ON h2.doc_id = container
+       |WHERE 5 * shared >= 4 * h1.n""".stripMargin
 
   // ----------------------------------------------------------- dedup funnel
 
