@@ -222,10 +222,60 @@ object Bench {
     val cpusJson =
       if (cpus.matches("\\d+")) cpus
       else Runtime.getRuntime.availableProcessors.toString
+    // Paired-promotion protocol (r13 verdict ask #5): every artifact
+    // carries, IN-BAND, (a) the git HEAD it was built from — so a
+    // promoted canonical is checkably generated at the round's final
+    // HEAD, not one commit behind it — and (b) the common-query wall
+    // ratio against the current canonical record plus whether that
+    // record is same-day (CPU walls drift >1.2x across days, so only
+    // a same-day pair is comparable). Promoting a canonical whose
+    // pair ratio exceeds 1.05x against a same-day prior requires an
+    // explicit SPARK_GRAFT_BENCH_DRIFT_NOTE, which lands in the
+    // artifact as the recorded load-drift note.
+    val gitHead: String = try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: "))), "UTF-8").trim
+      else head
+    } catch { case _: Throwable => "unknown" }
+    val pairJson: String = try {
+      val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANONICAL_REF",
+        "bench/canonical_quiet.json")
+      val p = java.nio.file.Paths.get(refPath)
+      if (!java.nio.file.Files.exists(p)) """"canonical_pair":null"""
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qsec = txt.indexOf("\"queries\":{")
+        val body = txt.substring(qsec + "\"queries\":".length)
+        val qmap = "\"(q[0-9][^\"]*)\":(-?[0-9.]+)".r.findAllMatchIn(
+          body.substring(0, body.indexOf('}') + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val common = results.toSeq.collect {
+          case (k, (v, _)) if v >= 0 && qmap.getOrElse(k, -1.0) > 0 =>
+            (v, qmap(k))
+        }
+        val ratio =
+          if (common.isEmpty) -1.0
+          else common.map(_._1).sum / common.map(_._2).sum
+        val sameDay = java.time.LocalDate.ofInstant(
+          java.nio.file.Files.getLastModifiedTime(p).toInstant,
+          java.time.ZoneId.systemDefault()) == java.time.LocalDate.now()
+        val note = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_NOTE")
+          .map(n => s""","drift_note":"${esc(n)}"""").getOrElse("")
+        if (canonical && sameDay && ratio > 1.05 && note.isEmpty)
+          System.err.println(s"[bench] WARNING: promoting canonical with " +
+            f"same-day pair ratio $ratio%.3f > 1.05 and no " +
+            "SPARK_GRAFT_BENCH_DRIFT_NOTE — record the drift evidence")
+        s""""canonical_pair":{"ref":"${esc(refPath)}","common_queries":${common.size},""" +
+          f""""ratio":$ratio%.4f,"same_day":$sameDay$note}"""
+      }
+    } catch { case _: Throwable => """"canonical_pair":null""" }
     val host = s""""host":{"load1_start":${loadStart._1},"load5_start":${loadStart._2},""" +
       s""""load1_end":${procField("/proc/loadavg", 0)},"load5_end":${procField("/proc/loadavg", 1)},""" +
       s""""uptime_secs":${procField("/proc/uptime", 0)},"cpus":$cpusJson}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,$host,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"canonical":$canonical$canonicalRef,"git_head":"${esc(gitHead)}",$pairJson,$host,"queries":$qs,"streaming":$streaming,"stddev":$sd,"errors":$es2,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout; the per-query dicts
     // over 148+ queries overflow it, truncating the JSON mid-object.
     // So: full record first (own line + a file under bench/), then a
