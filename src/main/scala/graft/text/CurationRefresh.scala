@@ -114,12 +114,20 @@ object CurationRefresh {
     *  - `grams` — gram posting index (g → incidence, owner), ALL grams
     *    (an nd = 1 gram can become duplicated when the batch re-lands
     *    it, so the index must witness singletons too). */
-  def buildState(spark: SparkSession, dir: String): State = {
+  def buildState(spark: SparkSession, dir: String): State =
+    buildStateAt(spark, dir, None)
+
+  /** [[buildState]] at an explicit id threshold — the 100× protocol
+    * holds the ABSOLUTE batch size fixed while the corpus grows, so
+    * the per-refresh shuffle-invariance claim is measured against a
+    * constant batch, not a proportional one. */
+  def buildStateAt(spark: SparkSession, dir: String,
+      threshold: Option[Long]): State = {
     val n = callSeq.incrementAndGet()
     def t(s: String) = s"graft_q255_${s}_${runTag}_$n"
     val all = Tables.spread(Tables.documents(spark, dir))
     val st = State(t("docs"), t("fps"), t("bands"), t("hsets"), t("grams"),
-      idThreshold(all))
+      threshold.getOrElse(idThreshold(all)))
     val corpus = all.filter(col("doc_id") <= st.threshold)
 
     // funnel base columns — the exact funnelStaged projections
