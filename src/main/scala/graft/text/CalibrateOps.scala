@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables
@@ -124,18 +124,48 @@ object CalibrateOps {
         // protocol caught as an ANSI ARITHMETIC_OVERFLOW (round 9)
         expr("((cast(rank_src as bigint) - 1) * 1000000) div greatest(n_src - 1, 1)"))
     val tq = cal.agg(expr("count(1) div 4").as("topq"))
-    // global windows: the q76/q114 designed-sort trade — fine for a
-    // ledger; the per-shard form applies at 100 TB
-    val rawRank = Window.orderBy(col("quality_bp").desc, col("doc_id"))
-    val calRank = Window.orderBy(col("cal_u").desc, col("doc_id"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Round 14: the global top-quartile membership WITHOUT a global
+    // row sort (this was the last corpus-sized designed sort outside
+    // the documented q76/q114/q219 cases). "rank ≤ topq under
+    // (value DESC, doc_id)" decomposes exactly into a VALUE-HISTOGRAM
+    // cutoff (q155/q193 ladder shape): the boundary value v* is the
+    // first ladder value whose strictly-above cumulative count is
+    // still short of topq; within v*'s tie group the remaining quota
+    // admits the `quota` smallest doc_ids (a window PARTITIONED by the
+    // boundary value — tie-group-sized, never corpus-sized); then
+    // membership is a pure per-row predicate against the broadcast
+    // (v*, d*) cutoff pair.
+    def topqCut(df: DataFrame, valueCol: String): DataFrame = {
+      val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      val above = hist.withColumn("cum_above",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col(valueCol).desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val bound = above.crossJoin(broadcast(tq))
+        .filter(col("cum_above") < col("topq") &&
+          col("cum_above") + col("cnt") >= col("topq"))
+        .select(col(valueCol).as("vstar"),
+          (col("topq") - col("cum_above")).as("quota"))
+      val dstar = df.join(broadcast(bound), col(valueCol) === col("vstar"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(valueCol)).orderBy(col("doc_id"))).cast("long"))
+        .filter(col("rn") === col("quota"))
+        .select(col("vstar"), col("doc_id").as("dstar"))
+      // always exactly one row (nulls when topq = 0 → predicate false)
+      dstar.agg(max(col("vstar")).as(s"${valueCol}_vstar"),
+        max(col("dstar")).as(s"${valueCol}_dstar"))
+    }
+    def member(valueCol: String): Column =
+      col(valueCol) > col(s"${valueCol}_vstar") ||
+        (col(valueCol) === col(s"${valueCol}_vstar") &&
+          col("doc_id") <= col(s"${valueCol}_dstar"))
     cal
-      .withColumn("r_raw", row_number().over(rawRank))
-      .withColumn("r_cal", row_number().over(calRank))
-      .crossJoin(broadcast(tq))
+      .crossJoin(broadcast(topqCut(cal, "quality_bp")))
+      .crossJoin(broadcast(topqCut(cal, "cal_u")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("r_raw") <= col("topq"), 1L).otherwise(0L)).as("n_topq_raw"),
-        sum(when(col("r_cal") <= col("topq"), 1L).otherwise(0L)).as("n_topq_cal"))
+        sum(when(member("quality_bp"), 1L).otherwise(0L)).as("n_topq_raw"),
+        sum(when(member("cal_u"), 1L).otherwise(0L)).as("n_topq_cal"))
   }
 
   /** Oracle: same two-level ranking relationally; the global quartile

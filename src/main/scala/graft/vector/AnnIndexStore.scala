@@ -51,6 +51,12 @@ object AnnIndexStore {
   private val ivfCache = new ConcurrentHashMap[String, IvfState]()
   private val graphCache = new ConcurrentHashMap[String, (String, String)]()
 
+  /** Test hook: drop the in-JVM index registry so a spec can observe a
+    * cold build deterministically (other suites constructing every
+    * query warm the caches first). The persisted tables are
+    * overwritten by the next build. */
+  private[vector] def devReset(): Unit = { ivfCache.clear(); graphCache.clear() }
+
   private def vecsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

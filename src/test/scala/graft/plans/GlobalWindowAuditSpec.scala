@@ -35,9 +35,6 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     *  - q76/q114 doc-ordered prefix sums: the designed-sort trade is
     *    documented in-source (TextOps.scala per-shard notes) — the
     *    fleet-scale form is per-shard prefix + shard-offset merge.
-    *  - q176 rank calibration: the global top-quartile cut ranks the
-    *    scored corpus once; documented in CalibrateOps (the per-shard
-    *    form applies at 100 TB, the ledger is source-sized).
     *  - TextRank / PMI / path / funnel / plan rankings: inputs are
     *    POST-AGGREGATE catalog-sized tables (vocab, thresholded
     *    collocation pairs, distinct paths, sources) ordered by an
@@ -47,9 +44,6 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     // doc-ordered prefix sums with in-source per-shard notes
     ("q76_seq_packing", "doc_id"),
     ("q114_pps_sample", "doc_id"),
-    // q176: documented designed-sort ledger (corpus ranked once)
-    ("q176_rank_calibrate", "quality_bp,doc_id"),
-    ("q176_rank_calibrate", "cal_u,doc_id"),
     // vocab-/catalog-sized post-aggregate rankings
     ("q201_textrank", "mass,n"),
     ("q192_pmi_collocations", "score_u,w1,w2"),

@@ -16,6 +16,7 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
 
   test("IVF serving: one build for N searches, output ≡ q81") {
+    AnnIndexStore.devReset() // other suites construct every query and warm the cache
     val before = AnnIndexStore.buildsRun
     val first = rows(AnnIndexStore.annIvfServe(spark, dir))
     val afterFirst = AnnIndexStore.buildsRun
@@ -28,6 +29,7 @@ class AnnIndexStoreSpec extends AnyFunSuite {
   }
 
   test("graph serving: one build for N searches, output ≡ q252") {
+    AnnIndexStore.devReset()
     val before = AnnIndexStore.buildsRun
     val first = rows(AnnIndexStore.annGraphServe(spark, dir))
     val afterFirst = AnnIndexStore.buildsRun
