@@ -1142,16 +1142,13 @@ object Relational {
     * l_orderkey scales linearly in orders. The pair rollup is keyed by
     * (part_a, part_b) and map-side combines. The item-item similarity
     * primitive recommendation pipelines aggregate. */
-  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.BasketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n").as("n_orders"))
       .filter(col("n_orders") >= CopurchaseMinSupport)
-  }
 
   val copurchasePairsSql: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -1187,11 +1184,8 @@ object Relational {
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nOrders = li.select(col("l_orderkey")).distinct().count()
     val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    val pairs = graft.plans.BasketPairs(li, "l_orderkey", "l_partkey")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n").as("n_ab"))
       .filter(col("n_ab") >= CopurchaseMinSupport)
     val directed = pairs.select(
         col("part_a").as("antecedent"), col("part_b").as("consequent"), col("n_ab"))
@@ -1387,12 +1381,9 @@ object Relational {
   /** The Apriori level-3 chain at an arbitrary min-support (see
     * [[tripleItemsets]] for the algorithm and scale notes). */
   private def aprioriTriples(b: DataFrame, minSupport: Long): DataFrame = {
-    val fp = b.as("x").join(b.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
-      .agg(count(lit(1)).as("n"))
+    val fp = graft.plans.BasketPairs(b, "o", "p")
       .filter(col("n") >= minSupport)
-      .select("p1", "p2")
+      .select(col("pa").as("p1"), col("pb").as("p2"))
     val cand = fp.as("u").join(fp.as("v"),
         col("u.p1") === col("v.p1") && col("u.p2") < col("v.p2"))
       .select(col("u.p1").as("part_a"), col("u.p2").as("part_b"),

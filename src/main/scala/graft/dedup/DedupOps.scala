@@ -729,18 +729,26 @@ object DedupOps {
         .filter(col("a") =!= col("b")).distinct()
     }
 
+    val lazyCkpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < 64) { // log2-bounded; 64 = overflow guard
-      val next = materialize(smallStar(largeStar(edges)))
+      // LAZY checkpoints, ONE action per round: smallStar references the
+      // large-star output ~6× (sym twice, its min table, the re-link
+      // union) — un-checkpointed, the whole large-star join re-ran per
+      // reference; eager, each round paid a separate materialize job.
+      // The fixpoint count below is the round's single materializing
+      // action for BOTH (count touches every partition, so the next
+      // round reads cached blocks — the q72/nswBuild convention), and
+      // it doubles as the exact symmetric-difference test: both sets
+      // are distinct, so equal iff no (a, b) has a nonzero signed count.
+      val ls = largeStar(edges).localCheckpoint(false, lazyCkpt)
+      val next = smallStar(ls).localCheckpoint(false, lazyCkpt)
       rounds += 1
-      // Single-action exact fixpoint test: both sets are distinct, so
-      // they are equal iff the signed-count symmetric difference is
-      // empty — one union + one aggregate, not count + exceptAll.
       converged = next.select(col("a"), col("b"), lit(1L).as("side"))
         .unionAll(edges.select(col("a"), col("b"), lit(-1L).as("side")))
         .groupBy(col("a"), col("b")).agg(sum(col("side")).as("s"))
-        .filter(col("s") =!= 0L).isEmpty
+        .filter(col("s") =!= 0L).count() == 0L
       edges = next
     }
     val map = nodes

@@ -54,17 +54,12 @@ object GraphOps {
   /** Distinct co-purchase edges (part pairs sharing ≥ `minSupport`
     * orders), canonical `pa < pb`. The per-order fanout is C(basket, 2)
     * — bounded by basket size, never by catalog or order count. */
-  private def edges(spark: SparkSession, dir: String, minSupport: Long): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("n"))
+  private def edges(spark: SparkSession, dir: String, minSupport: Long): DataFrame =
+    graft.plans.BasketPairs(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
       .filter(col("n") >= minSupport)
       .select(col("pa"), col("pb"))
-  }
 
   private def edgesSql(minSupport: Long): String =
     s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -501,7 +496,7 @@ object GraphOps {
       .unionAll(e0.select(col("pb").as("u"), col("pa").as("v"))))
     val k = kCoreThreshold(
       e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-    val core = kCorePeel(e, k, KCorePeelRounds)
+    val core = kCorePeel(e, k, KCorePeelRounds, inputMaterialized = true)
     val flag = core.agg(
       (coalesce(min(col("core_deg")), lit(k)) >= k).cast("int").as("converged"))
     core.crossJoin(broadcast(flag))
@@ -513,8 +508,12 @@ object GraphOps {
     * unchanged edge set fixes the degree table, so further rounds are
     * no-ops; same fixpoint as counting survivors); returns surviving
     * nodes with their in-core degree. */
-  def kCorePeel(edges0: DataFrame, k: Long, rounds: Int = KCorePeelRounds): DataFrame = {
-    var e = materialize(edges0)
+  def kCorePeel(edges0: DataFrame, k: Long, rounds: Int = KCorePeelRounds,
+                inputMaterialized: Boolean = false): DataFrame = {
+    // skip the input barrier when the caller already checkpointed the
+    // symmetric edge list (kCore does — the threshold aggregate needed
+    // it); a second eager serialize of the full edge set was pure cost
+    var e = if (inputMaterialized) edges0 else materialize(edges0)
     // fixpoint on the EDGE count: the degree filter is a function of
     // the edge set alone, so an unchanged edge count is an unchanged
     // degree table — same fixpoint as counting survivors, but the

@@ -17,6 +17,10 @@ object StageTime {
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val fn = graft.SparkEntry.queries(q)
     fn(spark, dir).count() // warm-up
+    // drop warm-up state exactly like Bench.reset(): leaked localCheckpoint
+    // blocks from the warm-up otherwise GC-storm the timed run
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val events = new ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(

@@ -24,13 +24,18 @@ object TimeQueries {
     val qs = graft.SparkEntry.queries
     for (prefix <- names; (name, fn) <- qs if name.startsWith(prefix)) {
       // warm-up then 3 timed runs, min wins (bench convention)
+      def reset(): Unit = { // Bench.reset(): leaked checkpoint blocks GC-storm later runs
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
       fn(spark, dir).count()
       val times = (1 to 3).map { _ =>
-        spark.sharedState.cacheManager.clearCache()
+        reset()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      reset()
       println(f"[time] $name%-24s min=${times.min}%6.2f s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
