@@ -1136,12 +1136,13 @@ object Relational {
 
   /** Market-basket co-purchase pairs: parts appearing in the same order,
     * with the number of co-occurring orders (support ≥
-    * [[CopurchaseMinSupport]]). The join fans out per order as
-    * C(order_size, 2) — bounded by the basket size (single digits in
-    * this schema), NEVER by part or order count, so the self-join on
-    * l_orderkey scales linearly in orders. The pair rollup is keyed by
-    * (part_a, part_b) and map-side combines. The item-item similarity
-    * primitive recommendation pipelines aggregate. */
+    * [[CopurchaseMinSupport]]). Delegates to the join-free
+    * [[graft.plans.BasketPairs]] aggregate (collect_set per basket +
+    * in-array posexplode/slice pair expansion — see its scaladoc for
+    * the plan shape and the C(basket, 2) fanout bound); the pair
+    * rollup is keyed by (part_a, part_b) and map-side combines. The
+    * item-item similarity primitive recommendation pipelines
+    * aggregate. */
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
     graft.plans.BasketPairs(
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
@@ -1184,7 +1185,17 @@ object Relational {
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nOrders = li.select(col("l_orderkey")).distinct().count()
     val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairs = graft.plans.BasketPairs(li, "l_orderkey", "l_partkey")
+    // li is already distinct AND checkpointed: the self-join form reuses
+    // the cached blocks on both sides for one repartition-by-basket,
+    // where the aggregate form re-built per-basket sets on top of them
+    // (ObjectHashAggregate + per-position slice churn) — the measured
+    // r14 verdict-#2 2× regression. Seam mirrors GraphOps.edges.
+    val pairsImpl = baskets.sparkSession.conf
+      .get("graft.plans.basketPairsImpl", "join")
+    val pairsRaw =
+      if (pairsImpl == "agg") graft.plans.BasketPairs(li, "l_orderkey", "l_partkey")
+      else graft.plans.BasketPairs.viaJoinOfDistinct(li, "l_orderkey", "l_partkey")
+    val pairs = pairsRaw
       .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n").as("n_ab"))
       .filter(col("n_ab") >= CopurchaseMinSupport)
     val directed = pairs.select(

@@ -53,13 +53,29 @@ object GraphOps {
 
   /** Distinct co-purchase edges (part pairs sharing ≥ `minSupport`
     * orders), canonical `pa < pb`. The per-order fanout is C(basket, 2)
-    * — bounded by basket size, never by catalog or order count. */
-  private def edges(spark: SparkSession, dir: String, minSupport: Long): DataFrame =
-    graft.plans.BasketPairs(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey")
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
+    * — bounded by basket size, never by catalog or order count.
+    *
+    * Implementation seam (`graft.plans.basketPairsImpl`): the round-14
+    * reroute through the aggregate BasketPairs regressed the
+    * minSupport=1 census paths (r14 verdict #2). Measured per call
+    * site this round (same-day min-of-3 pairs, OPTIMIZATION_r15.md):
+    * at minSupport=1 the self-join form wins (q123 5.76→4.22 s, q128
+    * 4.89→4.38, q196 8.25→7.72 — the downstream census dominates and
+    * the unthresholded aggregate's per-basket set churn is pure
+    * overhead), at minSupport=2 the two are within noise locally and
+    * the aggregate form keeps one fewer fact-row exchange at scale —
+    * so the default is join for minSupport=1, agg otherwise. */
+  private[graft] def edges(spark: SparkSession, dir: String, minSupport: Long): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val impl = spark.conf.get("graft.plans.basketPairsImpl",
+      if (minSupport <= 1) "join" else "agg")
+    val pairs =
+      if (impl == "join")
+        graft.plans.BasketPairs.viaJoinOfDistinct(
+          li.distinct(), "l_orderkey", "l_partkey")
+      else graft.plans.BasketPairs(li, "l_orderkey", "l_partkey")
+    pairs.filter(col("n") >= minSupport).select(col("pa"), col("pb"))
+  }
 
   private def edgesSql(minSupport: Long): String =
     s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

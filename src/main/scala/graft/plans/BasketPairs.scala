@@ -51,4 +51,27 @@ object BasketPairs {
         slice(col("__ps"), col("__i") + lit(2), size(col("__ps")))).as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
   }
+
+  /** The pre-round-14 self-join form, on an input that is ALREADY
+    * distinct (and, at the call sites that use this, already
+    * materialized): join-on-basket → pa < pb → (pa, pb) rollup.
+    *
+    * Kept alongside the aggregate form because the round-14 reroute of
+    * EVERY caller through [[apply]] measurably regressed two paths
+    * (r14 verdict #2): when the input rows are already checkpointed
+    * distinct blocks, the self-join reuses them on both sides for one
+    * repartition-by-basket, while the aggregate form pays an
+    * ObjectHashAggregate that rebuilds per-basket sets plus
+    * per-position array slicing — pure overhead on top of cached
+    * input. Same (pa, pb, n) output: the join's `o = o` equi-key
+    * never matches NULL baskets, `pa < pb` never passes NULL items,
+    * and the input being distinct makes each co-occurring pair count
+    * once per basket — the oracles keep this join form, so the hash
+    * gate re-proves equivalence every run. */
+  def viaJoinOfDistinct(distinctItems: DataFrame, o: String, p: String): DataFrame = {
+    val a = distinctItems.select(col(o).as("__o"), col(p).as("pa"))
+    val b = distinctItems.select(col(o).as("__o"), col(p).as("pb"))
+    a.join(b, Seq("__o")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+  }
 }
