@@ -730,6 +730,13 @@ object DedupOps {
     }
 
     val lazyCkpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // the persisted RDD behind a localCheckpoint'd frame — so a round's
+    // dead blocks can be dropped as soon as the next round materializes
+    // (r14 advice: the loop used to persist 2 checkpoints per round for
+    // up to 64 rounds and never unpersist within the query)
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < 64) { // log2-bounded; 64 = overflow guard
@@ -749,6 +756,11 @@ object DedupOps {
         .unionAll(edges.select(col("a"), col("b"), lit(-1L).as("side")))
         .groupBy(col("a"), col("b")).agg(sum(col("side")).as("s"))
         .filter(col("s") =!= 0L).count() == 0L
+      // the count materialized `next`; the round's large-star blocks and
+      // the PREVIOUS round's edges are dead — drop them so the per-round
+      // persisted footprint stays at one edge set instead of 2·rounds
+      ckptRdd(ls).foreach(_.unpersist(blocking = false))
+      ckptRdd(edges).foreach(_.unpersist(blocking = false))
       edges = next
     }
     val map = nodes

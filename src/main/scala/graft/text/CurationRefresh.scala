@@ -91,6 +91,35 @@ object CurationRefresh {
   private def ck(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Single-pass heavy projection (r15): tokenize ONCE per row and
+    * derive every text-derived artifact from the shared token array —
+    * funnel columns (n_tokens, fp), classifier features (y, x1..x5),
+    * shingle hashes (hs) and gram hashes (gs). Before r15 the build and
+    * the refresh each ran FOUR separate whole-side tokenizations (cfun,
+    * featsFrom, chsets, cgrams) behind three eager checkpoints; q255
+    * was 190 serial jobs whose largest stage was 0.7 s (guide §1.2
+    * step 1: don't compute things twice; §2.6). `tk` is multi-
+    * referenced and non-cheap, so CollapseProject leaves the first
+    * projection alone and every derivation reads the array (the
+    * TextOps convention). Expression trees are shared verbatim with
+    * featsFrom / funnelStaged, so the values are bit-identical. */
+  private def heavyProjection(docs: DataFrame): DataFrame =
+    docs
+      .select(Seq(col("doc_id"), col("lang"), col("source")) ++
+        QualityClassifier.featPrepCols: _*)
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        polyHashCol(array_join(col("tk"), " ")).as("fp"),
+        graft.functions.NativeExprs
+          .shingleHashes(col("tk"), ShingleW, P).as("hs"),
+        graft.functions.NativeExprs
+          .gramHashes(col("tk"), DedupOps.SpanW, P).as("gs")) ++
+        QualityClassifier.featDeriveCols: _*)
+
+  /** Overlap independent Spark-action chains (guide §2.6) — the
+    * refresh is round-latency-bound, not data-bound. */
+  private def awaitAll[A](fs: Seq[() => A]): Seq[A] = graft.plans.Par.all(fs)
+
   /** The corpus/batch id threshold: docs with id ≤ T are the standing
     * corpus, ids above are the arriving batch. */
   private def idThreshold(all: DataFrame): Long = {
@@ -130,62 +159,77 @@ object CurationRefresh {
       threshold.getOrElse(idThreshold(all)))
     val corpus = all.filter(col("doc_id") <= st.threshold)
 
-    // funnel base columns — the exact funnelStaged projections
-    val cfun = ck(corpus.select(col("doc_id"), col("lang"), col("source"),
-      size(tokensCol(col("text"))).cast("long").as("n_tokens"),
-      polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp")))
-    val cfeats = QualityClassifier.featsFrom(corpus)
-    val chsets = ck(corpus
-      .select(col("doc_id"),
-        graft.functions.NativeExprs
-          .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
+    // ONE corpus tokenization (r15, see heavyProjection): funnel
+    // columns, features, shingles, grams all derive from this
+    // checkpoint; the per-artifact frames below are narrow selects.
+    val heavy = ck(heavyProjection(corpus))
+    val cfun = heavy.select(col("doc_id"), col("lang"), col("source"),
+      col("n_tokens"), col("fp"))
+    val cfeats = heavy.select(col("doc_id"), col("y"), col("x1"),
+      col("x2"), col("x3"), col("x4"), col("x5"))
+    val chsets = heavy.select(col("doc_id"), col("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("n", size(col("hs"))))
-    val cgrams = ck(corpus
-      .select(col("doc_id"),
-        graft.functions.NativeExprs
-          .gramHashes(tokensCol(col("text")), DedupOps.SpanW, P).as("gs"))
+      .withColumn("n", size(col("hs")))
+    val cgrams = heavy.select(col("doc_id"), col("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        explode(col("gs")).as("g")))
+        explode(col("gs")).as("g"))
 
     // exact index: min-id election per fingerprint (nulls group)
     val cKeep = cfun.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    cKeep.write.mode("overwrite").saveAsTable(st.fps)
 
-    // near-dup: corpus-internal verified pairs → components → rep map
-    val (cmap, _) = DedupOps.starComponents(
-      DedupOps.minhashLshFrom(chsets).select(col("d1"), col("d2")))
-    val cclRep = ck(cmap)
-
-    // gram posting index + the corpus substring ledger (immutable)
-    val cinc = cgrams.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
-    cinc.write.mode("overwrite").saveAsTable(st.grams)
-    val csub = cgrams
-      .join(spark.table(st.grams).filter(col("nd") >= 2), Seq("g"), "left")
-      .groupBy(col("doc_id"))
-      .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
-        count(when(col("nd").isNotNull && col("owner") < col("doc_id"), 1))
-          .as("n_removable"))
-      .select(col("doc_id"),
-        (expr("(n_removable * 10000) div n_grams") >= DedupOps.SubstrDropBp)
-          .as("sub_drop"))
+    // r15: the fingerprint/CC/gram/signature index builds are mutually
+    // independent chains off `heavy` — overlap them (guide §2.6)
+    // instead of running ~12 small jobs back to back.
+    val results = awaitAll(Seq(
+      () => { cKeep.write.mode("overwrite").saveAsTable(st.fps); null },
+      // near-dup: corpus-internal verified pairs → components → rep map
+      () => ck(DedupOps.starComponents(
+        DedupOps.minhashLshFrom(chsets).select(col("d1"), col("d2")))._1),
+      // gram posting index (immutable corpus substring evidence)
+      () => {
+        cgrams.select(col("g"), col("doc_id")).distinct()
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+          .write.mode("overwrite").saveAsTable(st.grams)
+        null
+      },
+      // doc_id → (shingle set, size, signature) candidate-verify table
+      () => {
+        chsets.select(col("doc_id"), col("hs"), col("n"),
+            minhashSigCol(col("hs")).as("sig"))
+          .write.mode("overwrite").saveAsTable(st.hsets)
+        null
+      }))
+    val cclRep = results(1).asInstanceOf[DataFrame]
 
     // band index carries the member's REP so probe hits contract
-    // straight to cluster space (no corpus-sized join at refresh time)
-    val sigs = chsets.select(col("doc_id"), col("hs"), col("n"),
-      minhashSigCol(col("hs")).as("sig"))
-    sigs.write.mode("overwrite").saveAsTable(st.hsets)
-    spark.table(st.hsets)
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-      .join(cclRep.withColumnRenamed("rep_id", "rep"), Seq("doc_id"), "left")
-      .select(col("b"), col("bkey"), col("doc_id"),
-        coalesce(col("rep"), col("doc_id")).as("rep"))
-      .write.mode("overwrite").saveAsTable(st.bands)
+    // straight to cluster space (no corpus-sized join at refresh time);
+    // corpus substring ledger off the gram postings — independent of
+    // the band write, so these two overlap as well
+    val Seq(_, csubAny) = awaitAll(Seq(
+      () => {
+        spark.table(st.hsets)
+          .select(col("doc_id"), col("sig"),
+            explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+          .select(col("doc_id"), col("b"),
+            bandKeyCol(col("sig"), col("b")).as("bkey"))
+          .join(cclRep.withColumnRenamed("rep_id", "rep"), Seq("doc_id"), "left")
+          .select(col("b"), col("bkey"), col("doc_id"),
+            coalesce(col("rep"), col("doc_id")).as("rep"))
+          .write.mode("overwrite").saveAsTable(st.bands)
+        null
+      },
+      () => ck(cgrams
+        .join(spark.table(st.grams).filter(col("nd") >= 2), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
+          count(when(col("nd").isNotNull && col("owner") < col("doc_id"), 1))
+            .as("n_removable"))
+        .select(col("doc_id"),
+          (expr("(n_removable * 10000) div n_grams") >= DedupOps.SubstrDropBp)
+            .as("sub_drop")))))
+    val csub = csubAny.asInstanceOf[DataFrame]
 
     // the compact per-doc state, bucketed for the exchange-free reflow
     cfun
@@ -218,110 +262,121 @@ object CurationRefresh {
     val all = Tables.spread(Tables.documents(spark, dir))
     val batch = all.filter(col("doc_id") > st.threshold)
 
-    // batch featurization — the only tokenization in the refresh
-    val bfun = ck(batch.select(col("doc_id"), col("lang"), col("source"),
-      size(tokensCol(col("text"))).cast("long").as("n_tokens"),
-      polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp")))
-    val bfeats = ck(QualityClassifier.featsFrom(batch))
-    val bhsets = ck(batch
-      .select(col("doc_id"),
-        graft.functions.NativeExprs
-          .shingleHashes(tokensCol(col("text")), ShingleW, P).as("hs"))
+    // batch featurization — the only tokenization in the refresh, and
+    // (r15) ONE pass: every batch artifact derives from this checkpoint
+    val bheavy = ck(heavyProjection(batch))
+    val bfun = bheavy.select(col("doc_id"), col("lang"), col("source"),
+      col("n_tokens"), col("fp"))
+    val bfeats = bheavy.select(col("doc_id"), col("y"), col("x1"),
+      col("x2"), col("x3"), col("x4"), col("x5"))
+    val bhsets = bheavy.select(col("doc_id"), col("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("n", size(col("hs"))))
-    val bgrams = ck(batch
-      .select(col("doc_id"),
-        graft.functions.NativeExprs
-          .gramHashes(tokensCol(col("text")), DedupOps.SpanW, P).as("gs"))
+      .withColumn("n", size(col("hs")))
+    val bgrams = bheavy.select(col("doc_id"), col("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        explode(col("gs")).as("g")))
+        explode(col("gs")).as("g"))
+    val stDocs = spark.table(st.docs)
 
-    // -- exact: probe the fingerprint index (corpus keepers immutable;
-    // within-batch min-id election merges below the probe)
-    val bfpMin = bfun.groupBy(col("fp")).agg(min(col("doc_id")).as("bkeep"))
-    val fpProbe = ck(spark.table(st.fps).withColumnRenamed("fp", "sfp")
-      .join(broadcast(bfpMin), col("sfp") <=> col("fp"))
-      .select(col("fp"), col("keep_id")))
-    val bexact = bfun.select(col("doc_id"), col("fp"))
-      .join(broadcast(bfpMin.withColumnRenamed("fp", "bfp")),
-        col("fp") <=> col("bfp"))
-      .join(broadcast(fpProbe.withColumnRenamed("fp", "pfp")),
-        col("fp") <=> col("pfp"), "left")
-      .select(col("doc_id"),
-        (col("doc_id") =!= coalesce(col("keep_id"), col("bkeep")))
-          .as("exact_drop"))
-
-    // -- near-dup: batch bands probe the corpus band index (candidates
-    // are batch-incident only), batch×batch runs the verified pipeline
-    val bsigs = ck(bhsets.select(col("doc_id"), col("hs"), col("n"),
-      minhashSigCol(col("hs")).as("sig")))
-    val bbands = bsigs
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-      .select(col("doc_id"), col("b"), bandKeyCol(col("sig"), col("b")).as("bkey"))
-    val candBC = ck(spark.table(st.bands)
-      .join(broadcast(bbands.select(col("b"), col("bkey"),
-        col("doc_id").as("nid"))), Seq("b", "bkey"))
-      .select(col("nid"), col("doc_id").as("cid"), col("rep").as("crep"))
-      .distinct())
-    // verification joins fetch shingles/signatures for candidates only
-    val verifiedBC = candBC
-      .join(bsigs.select(col("doc_id").as("nid"), col("hs").as("hs1"),
-        col("n").as("n1"), col("sig").as("sig1")), Seq("nid"))
-      .join(spark.table(st.hsets).join(
-          broadcast(candBC.select(col("cid")).distinct()),
-          col("doc_id") === col("cid"))
-        .select(col("cid").as("cid2"), col("hs").as("hs2"),
-          col("n").as("n2"), col("sig").as("sig2")),
-        col("cid") === col("cid2"))
-      .withColumn("n_agree", size(filter(
-        zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
-      .filter(col("n_agree") >= DedupOps.AgreeCut)
-      .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
-      .withColumn("jaccard", round(
-        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
-      .filter(col("jaccard") >= DedupOps.JaccardThreshold)
-      .select(col("nid"), col("crep"))
-    val pairsBB = DedupOps.minhashLshFrom(bhsets).select(col("d1"), col("d2"))
-    // contracted component graph: corpus reps + batch nodes
-    val (cmapDelta, _) = DedupOps.starComponents(
-      verifiedBC.select(col("nid").as("d1"), col("crep").as("d2"))
-        .unionByName(pairsBB))
-    val deltaMap = ck(cmapDelta)
+    // r15: the four maintenance chains — exact probe, near-dup
+    // probe+CC, gram-posting merge, retrain — are mutually independent
+    // given `bheavy` and the standing tables; overlap them (guide §2.6)
+    // so the CC rounds and the 16 sequential gradient jobs back-fill
+    // each other's barriers instead of running strictly serially.
+    val chainResults = awaitAll(Seq(
+      // -- exact: probe the fingerprint index (corpus keepers
+      // immutable; within-batch min-id election merges below the probe)
+      () => {
+        val bfpMin = bfun.groupBy(col("fp")).agg(min(col("doc_id")).as("bkeep"))
+        val fpProbe = spark.table(st.fps).withColumnRenamed("fp", "sfp")
+          .join(broadcast(bfpMin), col("sfp") <=> col("fp"))
+          .select(col("fp"), col("keep_id"))
+        ck(bfun.select(col("doc_id"), col("fp"))
+          .join(broadcast(bfpMin.withColumnRenamed("fp", "bfp")),
+            col("fp") <=> col("bfp"))
+          .join(broadcast(fpProbe.withColumnRenamed("fp", "pfp")),
+            col("fp") <=> col("pfp"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") =!= coalesce(col("keep_id"), col("bkeep")))
+              .as("exact_drop")))
+      },
+      // -- near-dup: batch bands probe the corpus band index
+      // (candidates are batch-incident only), batch×batch runs the
+      // verified pipeline; contracted component graph over reps+batch
+      () => {
+        val bsigs = ck(bhsets.select(col("doc_id"), col("hs"), col("n"),
+          minhashSigCol(col("hs")).as("sig")))
+        val bbands = bsigs
+          .select(col("doc_id"), col("sig"),
+            explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+          .select(col("doc_id"), col("b"),
+            bandKeyCol(col("sig"), col("b")).as("bkey"))
+        val candBC = ck(spark.table(st.bands)
+          .join(broadcast(bbands.select(col("b"), col("bkey"),
+            col("doc_id").as("nid"))), Seq("b", "bkey"))
+          .select(col("nid"), col("doc_id").as("cid"), col("rep").as("crep"))
+          .distinct())
+        // verification joins fetch shingles/signatures for candidates only
+        val verifiedBC = candBC
+          .join(bsigs.select(col("doc_id").as("nid"), col("hs").as("hs1"),
+            col("n").as("n1"), col("sig").as("sig1")), Seq("nid"))
+          .join(spark.table(st.hsets).join(
+              broadcast(candBC.select(col("cid")).distinct()),
+              col("doc_id") === col("cid"))
+            .select(col("cid").as("cid2"), col("hs").as("hs2"),
+              col("n").as("n2"), col("sig").as("sig2")),
+            col("cid") === col("cid2"))
+          .withColumn("n_agree", size(filter(
+            zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p)))
+          .filter(col("n_agree") >= DedupOps.AgreeCut)
+          .withColumn("shared", size(array_intersect(col("hs1"), col("hs2"))))
+          .withColumn("jaccard", round(
+            col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
+          .filter(col("jaccard") >= DedupOps.JaccardThreshold)
+          .select(col("nid"), col("crep"))
+        val pairsBB = DedupOps.minhashLshFrom(bhsets).select(col("d1"), col("d2"))
+        ck(DedupOps.starComponents(
+          verifiedBC.select(col("nid").as("d1"), col("crep").as("d2"))
+            .unionByName(pairsBB))._1)
+      },
+      // -- substring: merge batch incidence into the posting probe
+      () => {
+        val bDistinctG = bgrams.select(col("g"), col("doc_id")).distinct()
+        val binc = ck(bDistinctG.groupBy(col("g"))
+          .agg(count(lit(1)).as("bnd"), min(col("doc_id")).as("bowner")))
+        val touched = spark.table(st.grams)
+          .join(broadcast(binc.select(col("g"))), Seq("g"))
+          .select(col("g"), col("nd"), col("owner"))
+        val mergedInc = binc.join(touched, Seq("g"), "left")
+          .select(col("g"),
+            (col("bnd") + coalesce(col("nd"), lit(0L))).as("nd_all"),
+            coalesce(col("owner"), col("bowner")).as("owner_all"))
+        ck(bgrams.join(mergedInc, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
+            count(when(col("nd_all") >= 2 && col("owner_all") < col("doc_id"), 1))
+              .as("n_removable"))
+          .select(col("doc_id"),
+            (expr("(n_removable * 10000) div n_grams") >= DedupOps.SubstrDropBp)
+              .as("sub_drop")))
+      },
+      // -- retrain: map-side integer-gradient aggregates over state ∪
+      // batch features; bit-identical to training from text
+      () => {
+        val featCols = Seq("doc_id", "y", "x1", "x2", "x3", "x4", "x5").map(col)
+        QualityClassifier.learnFrom(
+          stDocs.select(featCols: _*).unionByName(bfeats.select(featCols: _*)))._1
+      }))
+    val bexact = chainResults(0).asInstanceOf[DataFrame]
+    val deltaMap = chainResults(1).asInstanceOf[DataFrame]
+    val bsub = chainResults(2).asInstanceOf[DataFrame]
+    val w = chainResults(3).asInstanceOf[Array[Long]]
     // corpus rep remap: only reps whose component min changed
     val repMap = deltaMap
       .filter(col("doc_id") <= st.threshold && col("rep_id") =!= col("doc_id"))
       .select(col("doc_id").as("old_rep"), col("rep_id").as("new_rep"))
     val bRep = deltaMap.filter(col("doc_id") > st.threshold)
       .select(col("doc_id"), col("rep_id"))
-
-    // -- substring: merge batch incidence into the posting probe
-    val bDistinctG = bgrams.select(col("g"), col("doc_id")).distinct()
-    val binc = ck(bDistinctG.groupBy(col("g"))
-      .agg(count(lit(1)).as("bnd"), min(col("doc_id")).as("bowner")))
-    val touched = spark.table(st.grams)
-      .join(broadcast(binc.select(col("g"))), Seq("g"))
-      .select(col("g"), col("nd"), col("owner"))
-    val mergedInc = ck(binc.join(touched, Seq("g"), "left")
-      .select(col("g"),
-        (col("bnd") + coalesce(col("nd"), lit(0L))).as("nd_all"),
-        coalesce(col("owner"), col("bowner")).as("owner_all")))
-    val bsub = bgrams.join(mergedInc, Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
-        count(when(col("nd_all") >= 2 && col("owner_all") < col("doc_id"), 1))
-          .as("n_removable"))
-      .select(col("doc_id"),
-        (expr("(n_removable * 10000) div n_grams") >= DedupOps.SubstrDropBp)
-          .as("sub_drop"))
-
-    // -- retrain + rescore: map-side integer-gradient aggregates over
-    // state ∪ batch features; bit-identical to training from text
-    val stDocs = spark.table(st.docs)
-    val featCols = Seq("doc_id", "y", "x1", "x2", "x3", "x4", "x5").map(col)
-    val (w, _) = QualityClassifier.learnFrom(
-      stDocs.select(featCols: _*).unionByName(bfeats.select(featCols: _*)))
     val sU = (-QualityClassifier.logitCol(w)).as("s_u")
     val splitB =
       (polyHashCol(concat_ws(":", col("source"), col("doc_id"))) % 100)

@@ -65,7 +65,7 @@ object LangIdTrained {
     * the same IEEE operation the literal form folds at plan time, and
     * integral `div` truncates toward zero exactly like the driver's
     * Long division did. Must divide [[Rounds]]. */
-  val Fuse = 2
+  val Fuse = 4
 
   /** Integer learning-rate numerator: w ← w − (Lr·G) / n. */
   val Lr = 8L

@@ -77,20 +77,35 @@ object QualityClassifier {
     * features with the IDENTICAL expression tree, so state ∪ batch
     * training is bit-identical to full-corpus training. */
   private[graft] def featsFrom(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("n_chars"),
-        tokensCol(col("text")).as("tk"),
-        length(col("text")).as("lc"),
-        length(regexp_replace(col("text"), "[^0-9]", "")).as("nd"),
-        length(regexp_replace(col("text"), "[^A-Z]", "")).as("nu"))
-      .select(col("doc_id"),
-        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"),
-        (least(size(col("tk")), lit(500)) / lit(100.0)).as("x1"),
-        (col("lc") / (greatest(size(col("tk")), lit(1)) * lit(10.0))).as("x2"),
-        (col("nd") / greatest(col("lc"), lit(1))).as("x3"),
-        (col("nu") / greatest(col("lc"), lit(1))).as("x4"),
-        (size(array_intersect(col("tk"), array(Stops.map(lit): _*)))
-          / greatest(size(col("tk")), lit(1))).as("x5"))
+    docs.select(col("doc_id") +: featPrepCols: _*)
+      .select(col("doc_id") +: featDeriveCols: _*)
+
+  /** First-projection columns of [[featsFrom]]: the token array plus
+    * the text-length counters. Exposed so q255's single-pass heavy
+    * projection can compute `tk` ONCE per row and share it between the
+    * funnel/shingle/gram columns and these features (CollapseProject
+    * leaves a non-cheap multi-referenced alias alone, so the downstream
+    * references read the array instead of re-tokenizing — the TextOps
+    * convention). */
+  private[graft] def featPrepCols: Seq[Column] = Seq(
+    col("n_chars"),
+    tokensCol(col("text")).as("tk"),
+    length(col("text")).as("lc"),
+    length(regexp_replace(col("text"), "[^0-9]", "")).as("nd"),
+    length(regexp_replace(col("text"), "[^A-Z]", "")).as("nu"))
+
+  /** The (y, x1..x5) derivations over a [[featPrepCols]] projection —
+    * the exact expression trees the oracle unrolls; any caller that
+    * shares them (q255) is bit-identical to [[featsFrom]] by
+    * construction. */
+  private[graft] def featDeriveCols: Seq[Column] = Seq(
+    when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"),
+    (least(size(col("tk")), lit(500)) / lit(100.0)).as("x1"),
+    (col("lc") / (greatest(size(col("tk")), lit(1)) * lit(10.0))).as("x2"),
+    (col("nd") / greatest(col("lc"), lit(1))).as("x3"),
+    (col("nu") / greatest(col("lc"), lit(1))).as("x4"),
+    (size(array_intersect(col("tk"), array(Stops.map(lit): _*)))
+      / greatest(size(col("tk")), lit(1))).as("x5"))
 
   /** z = w·x with micro-unit weights, left-associated exactly as the
     * oracle writes it. */

@@ -1590,12 +1590,6 @@ object VectorOps {
     * route(organic)=ivf ∧ route(lowdim)=graph. */
   def annRouter(spark: SparkSession, dir: String): DataFrame = {
     val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val orgBase = Tables.spread(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") < RouterCap)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint(true, ckpt)
-    val lowBase = routerLowBase(spark, dir).localCheckpoint(true, ckpt)
-    val cluBase = routerClusterBase(spark, dir).localCheckpoint(true, ckpt)
     def routed(corpus: String, base: DataFrame): DataFrame = {
       val (mu2, c1Med, route) = geometryProbeOn(base)
       val hits = route match {
@@ -1609,9 +1603,20 @@ object VectorOps {
         lit(c1Med).as("c1_med"), lit(route).as("route"), col("query_id"),
         col("neighbor_id"), col("cos_sim"), col("rank"))
     }
-    routed("organic", orgBase)
-      .unionAll(routed("lowdim", lowBase))
-      .unionAll(routed("clustered", cluBase))
+    // r15: the three per-corpus pipelines (checkpoint → probe collect →
+    // routed search, each a chain of small driver-gated jobs) are
+    // mutually independent — overlap them (guide §2.6). The router was
+    // the bench's worst anti-scaler (8-vs-32-core ratio 0.44: pure
+    // serial probe/route phases); concurrency attacks the serial wall
+    // without touching the probe or either index pipeline.
+    val branches = graft.plans.Par.all(Seq(
+      () => routed("organic", Tables.spread(Tables.embeddings(spark, dir))
+        .filter(col("vec_id") < RouterCap)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(true, ckpt)),
+      () => routed("lowdim", routerLowBase(spark, dir).localCheckpoint(true, ckpt)),
+      () => routed("clustered", routerClusterBase(spark, dir).localCheckpoint(true, ckpt))))
+    branches(0).unionAll(branches(1)).unionAll(branches(2))
   }
 
   val annRouterSql: String = {
