@@ -38,6 +38,17 @@ object GraphOps {
       df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else df
 
+  /** LAZY lineage truncation (r15, the q134 convention): same plan
+    * truncation as [[materialize]] — the multi-referenced frame becomes
+    * a LogicalRDD, so the plan cannot double per reference — but WITHOUT
+    * its own materializing job: the first downstream action (typically
+    * the renorm's 1-row max broadcast) computes and persists the blocks,
+    * and every later reference reads them. Used where no driver-side
+    * scalar needs the frame eagerly; shaves one job barrier per call in
+    * the round-latency-bound iterative operators (q224). */
+  private def materializeLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Broadcast hint behind a config seam. The co-purchase edge list is
     * catalog-sized (parts², bounded by basket overlap — ~1.2M rows /
     * ~19 MB even at sf0.1's 600k lineitems), far below the corpus-sized
@@ -635,14 +646,19 @@ object GraphOps {
                       rounds: Int): DataFrame = {
     val be = maybeBroadcast(e)
     val lab0 = nodes().select(col("n"), col("n").as("lab"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("u")).orderBy(desc("c"), col("lab"))
     (1 to rounds).foldLeft(lab0) { (lab, _) =>
+      // top-1 as a lexicographic max over (count, −label) structs
+      // (r15): ≡ the former row_number window ordered (c DESC, lab ASC)
+      // — max count wins, ties take the smallest label (labels are
+      // positive part keys, so negation is order-reversing and safe) —
+      // but runs as a map-side-combinable aggregate instead of a
+      // partition-wide SORT per round (guide §2.4: the window's sort
+      // bought nothing the argmax doesn't).
       val vote = lab.join(be, lab("n") === be("v"))
         .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("u").as("vn"), col("lab").as("vlab"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("u").as("vn"), (-col("m.nl")).as("vlab"))
       val nr = nodes()
       nr.join(vote, nr("n") === vote("vn"), "left")
         .select(nr("n"), coalesce(col("vlab"), nr("n")).as("lab"))
@@ -709,7 +725,9 @@ object GraphOps {
     * Reference framing: the co-purchase mining family of
     * dataflow_transform.py's grouped aggregates (SURVEY §2). */
   def hits(spark: SparkSession, dir: String): DataFrame = {
-    val buys = materialize(
+    // lazy (r15): first broadcast of `be` materializes the dedup'd
+    // edge list; no driver-side scalar needs it eagerly
+    val buys = materializeLazy(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_partkey")),
@@ -725,8 +743,11 @@ object GraphOps {
       // aggregate + the scaling join), and without truncation each
       // renorm would DOUBLE the plan — 2·rounds renorms = 2^(2·rounds)×
       // plan blowup, a driver-side scale-killer long before any data
-      // moves (caught by the plan-shape golden gate).
-      val df = materialize(df0)
+      // moves (caught by the plan-shape golden gate). r15: the
+      // truncation is LAZY — the max-aggregate's broadcast sub-job
+      // doubles as the materializer, so the 4 renorms stop being 4
+      // serial job barriers on the driver thread.
+      val df = materializeLazy(df0)
       val mx = df.agg(max(col(score)).as("mx"))
       df.crossJoin(broadcast(mx))
         .select(df.columns.filter(_ != score).map(col) :+

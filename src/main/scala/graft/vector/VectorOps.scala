@@ -2228,10 +2228,14 @@ object VectorOps {
     // whole preceding round chain — the plan doubles per round (the
     // DedupOps.materialize caveat; 16-row checkpoints, negligible)
     val wFin = (1 to PiRounds).foldLeft(w0) { (w, _) =>
+      // LAZY checkpoint (r15): the truncation still caps the plan at
+      // one round, but the per-round materializing job is gone — the
+      // renorm's 1-row max broadcast computes (and persists) the
+      // 16-row table instead, halving the loop's job barriers
       val u = g.join(w, g("j") === w("j"))
         .groupBy(g("i").as("i"))
         .agg(sum(expr("g * w")).as("u"))
-        .localCheckpoint(true,
+        .localCheckpoint(false,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val m = u.agg(greatest(max(abs(col("u"))),
         lit(1).cast("decimal(38,0)")).as("m"))
