@@ -50,10 +50,19 @@ object CurationPipeline {
 
   def curationManifest(spark: SparkSession, dir: String): DataFrame = {
     val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val staged = DedupOps.funnelStaged(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tokens"), col("fp"), col("rep"), col("stage"))
-    val j = QualityClassifier.conformalScoredSplit(spark, dir)
+    // r15: the dedup funnel (LSH + star-CC rounds) and the conformal
+    // scorer (16 sequential gradient jobs) both run their internal
+    // actions at CONSTRUCTION; they are independent until the `adm`
+    // join below, so construct them concurrently (guide §2.6 — q254
+    // was 89 fully-serialized small jobs, 10.2 s of stage wall for
+    // 38 s of CPU on 32 cores).
+    val parts = graft.plans.Par.all(Seq[() => DataFrame](
+      () => DedupOps.funnelStaged(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("fp"), col("rep"), col("stage")),
+      () => QualityClassifier.conformalScoredSplit(spark, dir)))
+    val staged = parts(0)
+    val j = parts(1)
     val thr = QualityClassifier.conformalThr(j)
       .filter(col("alpha_pct") === AlphaPct).select(col("thr_s_u"))
     // referenced by the availability aggregate AND the prefix-take
