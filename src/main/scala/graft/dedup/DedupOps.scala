@@ -349,9 +349,13 @@ object DedupOps {
       .orderBy(desc("n_tokens"), col("doc_id"))
           // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
       Tables.spread(Tables.documents(spark, dir))
+      // tokenize ONCE per row (r15): the alias is multi-referenced and
+      // non-cheap, so CollapseProject leaves it — the single-projection
+      // form evaluated tokensCol twice per row (fp + n_tokens)
+      .select(col("doc_id"), tokensCol(col("text")).as("tk"))
       .select(col("doc_id"),
-        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"),
-        size(tokensCol(col("text"))).as("n_tokens"))
+        polyHashCol(array_join(col("tk"), " ")).as("fp"),
+        size(col("tk")).as("n_tokens"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n_copies", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
@@ -1354,10 +1358,15 @@ object DedupOps {
     * [[dedupFunnel]] is its per-language rollup (the extra columns
     * don't change the rollup — it groups on lang only). */
   private[graft] def funnelStaged(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize ONCE per row (r15): multi-referenced non-cheap alias is
+    // left alone by CollapseProject; the single-projection form ran the
+    // tokenizer twice per row (n_tokens + fp)
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"),
-        size(tokensCol(col("text"))).cast("long").as("n_tokens"),
-        polyHashCol(array_join(tokensCol(col("text")), " ")).as("fp"))
+        tokensCol(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        polyHashCol(array_join(col("tk"), " ")).as("fp"))
     val exactKeep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     val clusters  = dedupClusters(spark, dir)
     val substr    = substringDedup(spark, dir)

@@ -59,14 +59,17 @@ object Bucketing {
     // collide); both tables are dropped below once the result is
     // materialized, so nothing outlives the call on a clean exit
     val (liT, ordT) = (s"graft_q99_li_${runTag}_$n", s"graft_q99_ord_${runTag}_$n")
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-      .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable(liT)
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderpriority")
-      .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable(ordT)
+    // the two bucketed copies are independent — write them concurrently
+    // (guide §2.6; r15: the serial writes were most of the query's wall)
+    graft.plans.Par.all(Seq(
+      () => Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT),
+      () => Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordT)))
     withPlanConfs(spark) {
       val joined = spark.table(liT)
         .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))

@@ -128,9 +128,12 @@ object AnnIndexStore {
     val (gT, eT) = (
       s"graft_q257_edges_${runTag}_${math.abs(dir.hashCode)}",
       s"graft_q257_vecs_${runTag}_${math.abs(dir.hashCode)}")
-    VectorOps.nswGraph(e, NswM, NswBuildRounds)
-      .write.mode("overwrite").saveAsTable(gT)
-    e.write.mode("overwrite").saveAsTable(eT)
+    // independent artifacts off the same checkpointed corpus — overlap
+    // the NN-Descent build+write with the corpus write (guide §2.6)
+    graft.plans.Par.all(Seq(
+      () => VectorOps.nswGraph(e, NswM, NswBuildRounds)
+        .write.mode("overwrite").saveAsTable(gT),
+      () => e.write.mode("overwrite").saveAsTable(eT)))
     (gT, eT)
   }
 
