@@ -178,75 +178,83 @@ object CurationRefresh {
     // exact index: min-id election per fingerprint (nulls group)
     val cKeep = cfun.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
 
-    // r15: the fingerprint/CC/gram/signature index builds are mutually
-    // independent chains off `heavy` — overlap them (guide §2.6)
-    // instead of running ~12 small jobs back to back.
-    val results = awaitAll(Seq(
-      () => { cKeep.write.mode("overwrite").saveAsTable(st.fps); null },
-      // near-dup: corpus-internal verified pairs → components → rep map
-      () => ck(DedupOps.starComponents(
-        DedupOps.minhashLshFrom(chsets).select(col("d1"), col("d2")))._1),
-      // gram posting index (immutable corpus substring evidence)
-      () => {
-        cgrams.select(col("g"), col("doc_id")).distinct()
-          .groupBy(col("g"))
-          .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
-          .write.mode("overwrite").saveAsTable(st.grams)
-        null
-      },
-      // doc_id → (shingle set, size, signature) candidate-verify table
-      () => {
-        chsets.select(col("doc_id"), col("hs"), col("n"),
-            minhashSigCol(col("hs")).as("sig"))
-          .write.mode("overwrite").saveAsTable(st.hsets)
-        null
-      }))
-    val cclRep = results(1).asInstanceOf[DataFrame]
-
-    // band index carries the member's REP so probe hits contract
-    // straight to cluster space (no corpus-sized join at refresh time);
-    // corpus substring ledger off the gram postings — independent of
-    // the band write, so these two overlap as well
-    val Seq(_, csubAny) = awaitAll(Seq(
-      () => {
-        spark.table(st.hsets)
-          .select(col("doc_id"), col("sig"),
-            explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-          .select(col("doc_id"), col("b"),
-            bandKeyCol(col("sig"), col("b")).as("bkey"))
-          .join(cclRep.withColumnRenamed("rep_id", "rep"), Seq("doc_id"), "left")
-          .select(col("b"), col("bkey"), col("doc_id"),
-            coalesce(col("rep"), col("doc_id")).as("rep"))
-          .write.mode("overwrite").saveAsTable(st.bands)
-        null
-      },
-      () => ck(cgrams
-        .join(spark.table(st.grams).filter(col("nd") >= 2), Seq("g"), "left")
-        .groupBy(col("doc_id"))
-        .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
-          count(when(col("nd").isNotNull && col("owner") < col("doc_id"), 1))
-            .as("n_removable"))
-        .select(col("doc_id"),
-          (expr("(n_removable * 10000) div n_grams") >= DedupOps.SubstrDropBp)
-            .as("sub_drop")))))
-    val csub = csubAny.asInstanceOf[DataFrame]
-
-    // the compact per-doc state, bucketed for the exchange-free reflow
-    cfun
-      .join(cKeep.withColumnRenamed("fp", "efp"), col("fp") <=> col("efp"))
-      .drop("efp")
-      .join(cfeats, Seq("doc_id"))
-      .join(cclRep, Seq("doc_id"), "left")
-      .join(csub, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
-        col("fp"), col("y"), col("x1"), col("x2"), col("x3"), col("x4"),
-        col("x5"),
-        (col("doc_id") =!= col("keep_id")).as("exact_drop"),
-        coalesce(col("sub_drop"), lit(false)).as("sub_drop"),
-        coalesce(col("rep_id"), col("doc_id")).as("rep"))
-      .repartition(StateBuckets, col("source"))
-      .write.bucketBy(StateBuckets, "source").sortBy("source", "doc_id")
-      .mode("overwrite").saveAsTable(st.docs)
+    // r15: the index builds form a small dependency DAG off `heavy` —
+    // run it with futures (guide §2.6) instead of ~12 serial jobs:
+    //   fps ∥ (LSH→CC→rep) ∥ grams ∥ hsets, then
+    //   bands (needs rep + hsets) ∥ csub (needs grams) ∥ docs (needs
+    //   rep + csub) — the band write fully overlaps the docs write.
+    {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val fFps = Future { cKeep.write.mode("overwrite").saveAsTable(st.fps) }
+        // near-dup: corpus-internal verified pairs → components → rep map
+        val fRep = Future { ck(DedupOps.starComponents(
+          DedupOps.minhashLshFrom(chsets).select(col("d1"), col("d2")))._1) }
+        // gram posting index (immutable corpus substring evidence)
+        val fGrams = Future {
+          cgrams.select(col("g"), col("doc_id")).distinct()
+            .groupBy(col("g"))
+            .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+            .write.mode("overwrite").saveAsTable(st.grams)
+        }
+        // doc_id → (shingle set, size, signature) candidate-verify table
+        val fHsets = Future {
+          chsets.select(col("doc_id"), col("hs"), col("n"),
+              minhashSigCol(col("hs")).as("sig"))
+            .write.mode("overwrite").saveAsTable(st.hsets)
+        }
+        // corpus substring ledger off the gram postings
+        val fCsub = fGrams.map { _ =>
+          ck(cgrams
+            .join(spark.table(st.grams).filter(col("nd") >= 2), Seq("g"), "left")
+            .groupBy(col("doc_id"))
+            .agg(any_value(col("n_grams")).cast("long").as("n_grams"),
+              count(when(col("nd").isNotNull && col("owner") < col("doc_id"), 1))
+                .as("n_removable"))
+            .select(col("doc_id"),
+              (expr("(n_removable * 10000) div n_grams") >= DedupOps.SubstrDropBp)
+                .as("sub_drop")))
+        }
+        // band index carries the member's REP so probe hits contract
+        // straight to cluster space (no corpus-sized join at refresh time)
+        val fBands = for { cclRep <- fRep; _ <- fHsets } yield {
+          spark.table(st.hsets)
+            .select(col("doc_id"), col("sig"),
+              explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+            .select(col("doc_id"), col("b"),
+              bandKeyCol(col("sig"), col("b")).as("bkey"))
+            .join(cclRep.withColumnRenamed("rep_id", "rep"), Seq("doc_id"), "left")
+            .select(col("b"), col("bkey"), col("doc_id"),
+              coalesce(col("rep"), col("doc_id")).as("rep"))
+            .write.mode("overwrite").saveAsTable(st.bands)
+        }
+        val cclRep = Await.result(fRep, Duration.Inf)
+        val csub = Await.result(fCsub, Duration.Inf)
+        // the compact per-doc state, bucketed for the exchange-free
+        // reflow — runs while the band index is still writing
+        cfun
+          .join(cKeep.withColumnRenamed("fp", "efp"), col("fp") <=> col("efp"))
+          .drop("efp")
+          .join(cfeats, Seq("doc_id"))
+          .join(cclRep, Seq("doc_id"), "left")
+          .join(csub, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+            col("fp"), col("y"), col("x1"), col("x2"), col("x3"), col("x4"),
+            col("x5"),
+            (col("doc_id") =!= col("keep_id")).as("exact_drop"),
+            coalesce(col("sub_drop"), lit(false)).as("sub_drop"),
+            coalesce(col("rep_id"), col("doc_id")).as("rep"))
+          .repartition(StateBuckets, col("source"))
+          .write.bucketBy(StateBuckets, "source").sortBy("source", "doc_id")
+          .mode("overwrite").saveAsTable(st.docs)
+        Await.result(fBands, Duration.Inf)
+        Await.result(fFps, Duration.Inf)
+      } finally pool.shutdown()
+    }
     st
   }
 
