@@ -437,9 +437,15 @@ object GraphOps {
     val es = e.filter(edgeKeep(col("pa"), col("pb")))
     val p3inv = (TriSampleMod / TriSampleKeep) // 1/p, integer by construction
     val scale = p3inv * p3inv * p3inv
-    orientedTriangles(e)
-      .crossJoin(orientedTriangles(es)
-        .select((col("n_triangles") * scale).as("n_triangles_est")))
+    // r15: the exact and the thinned censuses are independent given the
+    // shared checkpointed edge set, and each eagerly materializes its
+    // oriented-edge table at construction — overlap them (guide §2.6)
+    val census = graft.plans.Par.all(Seq(
+      () => orientedTriangles(e),
+      () => orientedTriangles(es)
+        .select((col("n_triangles") * scale).as("n_triangles_est"))))
+    census(0)
+      .crossJoin(census(1))
       .select(col("n_triangles"), col("n_triangles_est"),
         (abs(col("n_triangles_est") - col("n_triangles")) <=
           expr("n_triangles div 2") + 400L).cast("int").as("within_bound"))
