@@ -1458,12 +1458,17 @@ object DedupOps {
           // spread: no-op on a multi-split deployment, parallelizes the 1-split testdata
       Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), hs.as("hs"), sig.as("sig")))
-    val mh = minhashLshFrom(docs
-        .filter(size(col("hs")) > 0)
-        .select(col("doc_id"), col("hs"), size(col("hs")).as("n")))
-      .select(col("d1"), col("d2"), col("jaccard"))
-    val sh = simhashNearDupFrom(docs.select(col("doc_id"), col("sig")))
-      .select(col("d1"), col("d2"), col("hd"))
+    // r15: the two signal pipelines are independent given the shared
+    // checkpoint and each runs its own eager materializes at
+    // construction — overlap them (guide §2.6)
+    val arms = graft.plans.Par.all(Seq(
+      () => minhashLshFrom(docs
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), col("hs"), size(col("hs")).as("n")))
+        .select(col("d1"), col("d2"), col("jaccard")),
+      () => simhashNearDupFrom(docs.select(col("doc_id"), col("sig")))
+        .select(col("d1"), col("d2"), col("hd"))))
+    val (mh, sh) = (arms(0), arms(1))
     mh.join(sh, Seq("d1", "d2"), "full_outer")
       .select(col("d1"), col("d2"),
         when(col("jaccard").isNotNull && col("hd").isNotNull, "both")
